@@ -1,0 +1,237 @@
+"""Model configuration.
+
+The reference model configures itself through ~700 compile-time CPP options
+(ROMS/Include/cppdefs.h) plus runtime `roms_*.in` keyword files parsed by
+ROMS/Utility/inp_par.F.  Here the two tiers collapse into one frozen, hashable
+dataclass tree: passing a `ModelConfig` as a static argument to `jax.jit`
+specializes the compiled program exactly like CPP specialized the Fortran —
+branches on config fields are resolved at trace time, so the XLA program
+contains only the selected schemes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Lateral boundary condition taxonomy (mod_param.F:357-373).
+# ---------------------------------------------------------------------------
+
+PERIODIC = "periodic"
+CLOSED = "closed"
+GRADIENT = "gradient"
+CLAMPED = "clamped"
+RADIATION = "radiation"
+FLATHER = "flather"          # ubar/vbar only
+CHAPMAN_IMPLICIT = "chapman_implicit"  # zeta only
+CHAPMAN_EXPLICIT = "chapman_explicit"  # zeta only
+REDUCED = "reduced"
+
+WEST, SOUTH, EAST, NORTH = "west", "south", "east", "north"
+
+
+@dataclass(frozen=True)
+class LBC:
+    """Per-edge boundary condition for one state variable.
+
+    Mirrors the reference's T_LBC switch structure (mod_param.F:357-373) and
+    the `LBC(...) == Per Clo Per Clo` input syntax (roms_upwelling.in:184-199,
+    order West South East North).
+    """
+
+    west: str = CLOSED
+    south: str = CLOSED
+    east: str = CLOSED
+    north: str = CLOSED
+
+    @classmethod
+    def same(cls, kind: str) -> "LBC":
+        return cls(west=kind, south=kind, east=kind, north=kind)
+
+    @classmethod
+    def ew_periodic(cls, ns: str = CLOSED) -> "LBC":
+        return cls(west=PERIODIC, east=PERIODIC, south=ns, north=ns)
+
+    @classmethod
+    def ns_periodic(cls, ew: str = CLOSED) -> "LBC":
+        return cls(west=ew, east=ew, south=PERIODIC, north=PERIODIC)
+
+
+@dataclass(frozen=True)
+class BoundaryConfig:
+    """Boundary selections for every prognostic variable family."""
+
+    zeta: LBC = field(default_factory=LBC)
+    ubar: LBC = field(default_factory=LBC)
+    vbar: LBC = field(default_factory=LBC)
+    u: LBC = field(default_factory=LBC)
+    v: LBC = field(default_factory=LBC)
+    t: LBC = field(default_factory=LBC)   # all tracers share one spec for now
+    tke: LBC = field(default_factory=LBC)
+
+    @property
+    def ew_periodic(self) -> bool:
+        return self.zeta.west == PERIODIC
+
+    @property
+    def ns_periodic(self) -> bool:
+        return self.zeta.south == PERIODIC
+
+    @classmethod
+    def uniform(cls, lbc: LBC) -> "BoundaryConfig":
+        return cls(zeta=lbc, ubar=lbc, vbar=lbc, u=lbc, v=lbc, t=lbc, tke=lbc)
+
+
+# ---------------------------------------------------------------------------
+# Scheme selections (replacing CPP options).
+# ---------------------------------------------------------------------------
+
+# Tracer advection schemes (ROMS/Utility/tadv.F:146-180).
+UPSTREAM3 = "upstream3"
+CENTERED2 = "centered2"
+CENTERED4 = "centered4"
+AKIMA4 = "akima4"
+SPLINES = "splines"
+SPLIT_U3 = "split_u3"
+HSIMT = "hsimt"
+MPDATA = "mpdata"
+
+
+@dataclass(frozen=True)
+class VerticalCoordConfig:
+    """Terrain-following coordinate (ROMS/Utility/set_scoord.F)."""
+
+    N: int = 16
+    Vtransform: int = 2        # roms_upwelling.in:415
+    Vstretching: int = 4       # roms_upwelling.in:416
+    theta_s: float = 3.0       # surface stretching
+    theta_b: float = 0.0       # bottom stretching
+    Tcline: float = 25.0       # critical depth hc (m)
+
+
+@dataclass(frozen=True)
+class EOSConfig:
+    """Equation of state (ROMS/Nonlinear/rho_eos.F).
+
+    linear=True follows rho_eos.F:694-723:
+        rho = R0 - R0*Tcoef*(T-T0) + R0*Scoef*(S-S0) - 1000
+    linear=False selects the Jackett & McDougall (1995) polynomial
+    (rho_eos.F:12-37).
+    """
+
+    linear: bool = True
+    R0: float = 1027.0
+    T0: float = 14.0
+    S0: float = 35.0
+    Tcoef: float = 1.7e-4
+    Scoef: float = 0.0
+
+
+@dataclass(frozen=True)
+class MixingConfig:
+    # Horizontal harmonic viscosity/diffusion (m2/s)
+    visc2: float = 0.0              # VISC2 (roms_upwelling.in:316)
+    tnu2: Tuple[float, ...] = (0.0, 0.0)   # TNU2 per tracer
+    # Vertical background mixing
+    akv_bak: float = 1.0e-5         # AKV_BAK
+    akt_bak: Tuple[float, ...] = (1.0e-6, 1.0e-6)  # AKT_BAK per tracer
+    # Vertical closure: 'ana' (analytic profile), 'constant', 'gls', 'lmd'
+    vmix: str = "constant"
+    # GLS parameters (roms_*.in GLS_*), used when vmix == 'gls'
+    gls_p: float = 3.0
+    gls_m: float = 1.5
+    gls_n: float = -1.0
+    gls_cmu0: float = 0.5477
+    gls_c1: float = 1.44
+    gls_c2: float = 1.92
+    gls_c3m: float = -0.4
+    gls_c3p: float = 1.0
+    gls_sigk: float = 1.0
+    gls_sigp: float = 1.3
+    gls_kmin: float = 7.6e-6
+    gls_pmin: float = 1.0e-12
+    akk_bak: float = 5.0e-6
+    akp_bak: float = 5.0e-6
+    # Use parabolic-spline reconstruction for implicit vertical solves
+    # (SPLINES_VDIFF / SPLINES_VVISC in upwelling.h:21-22).
+    splines_vdiff: bool = True
+    splines_vvisc: bool = True
+
+
+@dataclass(frozen=True)
+class BottomDragConfig:
+    """UV_LDRAG/UV_QDRAG/UV_LOGDRAG selection (set_vbc.F)."""
+
+    kind: str = "linear"      # 'linear' | 'quadratic' | 'log' | 'none'
+    rdrg: float = 3.0e-4      # m/s
+    rdrg2: float = 3.0e-3     # nondimensional
+    Zob: float = 0.02         # m
+    Cdb_min: float = 1.0e-6
+    Cdb_max: float = 0.5
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Master configuration — static under jit."""
+
+    # Grid dimensions: interior RHO-points (mod_param.F Lm/Mm/N).
+    Lm: int = 41
+    Mm: int = 80
+
+    # Number of active + passive tracers (itemp, isalt, ...).
+    NT: int = 2
+    NAT: int = 2
+
+    # Time stepping (roms_upwelling.in:231-233).
+    dt: float = 300.0
+    ndtfast: int = 30
+
+    vert: VerticalCoordConfig = field(default_factory=VerticalCoordConfig)
+    eos: EOSConfig = field(default_factory=EOSConfig)
+    mixing: MixingConfig = field(default_factory=MixingConfig)
+    drag: BottomDragConfig = field(default_factory=BottomDragConfig)
+    bc: BoundaryConfig = field(default_factory=BoundaryConfig)
+
+    rho0: float = 1025.0
+    gamma2: float = 1.0       # slipperiness (free slip = 1)
+
+    # Tracer advection scheme selection per tracer family
+    # (Hadvection/Vadvection in roms_*.in; tadv.F).
+    hadv: str = UPSTREAM3
+    vadv: str = CENTERED4     # reference default for UPWELLING is CENTERED4
+    # (actually SPLINES via ana config; see apps)
+
+    # Momentum advection: 'up3' (default UV_ADV), 'c2', 'c4', or None.
+    uv_hadv: str = "up3"
+    uv_vadv: str = "c4_sw"    # 4th-order stencil with 4th-order W (rhs3d.F default)
+    uv_cor: bool = True
+    uv_adv: bool = True
+    curvgrid: bool = False
+
+    # Solver precision of state arrays ('float32' or 'float64').
+    dtype: str = "float32"
+
+    # Number of fast steps actually taken (nfast) is derived from the filter
+    # weights at setup; see roms_tpu.core.weights.
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def L(self) -> int:
+        return self.Lm + 1
+
+    @property
+    def M(self) -> int:
+        return self.Mm + 1
+
+    @property
+    def shape2d(self) -> Tuple[int, int]:
+        """(eta, xi) array shape including the boundary ring."""
+        return (self.Mm + 2, self.Lm + 2)
+
+    @property
+    def N(self) -> int:
+        return self.vert.N

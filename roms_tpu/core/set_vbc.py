@@ -1,0 +1,59 @@
+"""Vertical (surface/bottom) boundary fluxes for momentum and tracers.
+
+Re-implements ROMS/Nonlinear/set_vbc.F for the drag laws used by the
+idealized and benchmark applications: linear (UV_LDRAG), quadratic
+(UV_QDRAG) and logarithmic (UV_LOGDRAG), each with the reference's
+0.75/dt momentum-sign limiter.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants
+from ..config import ModelConfig
+from ..ops import stencil as st
+
+
+def bottom_drag(cfg: ModelConfig, grid, u, v, Hz, z_r=None, z_w=None):
+    """Return kinematic bottom stress (bustr, bvstr) in m2/s2.
+
+    u, v: (N, Mj, Li) at time nrhs; bottom level is k=0.
+    """
+    d = cfg.drag
+    ub = u[0]
+    vb = v[0]
+    cff = 0.75 / cfg.dt
+    Hz_u = st.avg_x(Hz[0])
+    Hz_v = st.avg_y(Hz[0])
+
+    if d.kind == "linear":
+        # set_vbc.F "Set linear bottom stress":
+        # bustr = rdrag * u(:,:,1), limited to 0.75/dt * Hz_u * |u|.
+        bustr = d.rdrg * ub
+        bvstr = d.rdrg * vb
+    elif d.kind == "quadratic":
+        v_at_u = 0.25 * (vb + st.jp1(vb) + st.im1(vb) + st.im1(st.jp1(vb)))
+        u_at_v = 0.25 * (ub + st.ip1(ub) + st.jm1(ub) + st.jm1(st.ip1(ub)))
+        bustr = d.rdrg2 * ub * jnp.sqrt(ub * ub + v_at_u * v_at_u)
+        bvstr = d.rdrg2 * vb * jnp.sqrt(vb * vb + u_at_v * u_at_v)
+    elif d.kind == "log":
+        # set_vbc.F "Set logarithmic bottom stress".
+        cff1 = 1.0 / jnp.log((z_r[0] - z_w[0]) / d.Zob)
+        cd = jnp.clip(constants.vonKar ** 2 * cff1 * cff1,
+                      d.Cdb_min, d.Cdb_max)
+        cd_u = st.avg_x(cd)
+        cd_v = st.avg_y(cd)
+        v_at_u = 0.25 * (vb + st.jp1(vb) + st.im1(vb) + st.im1(st.jp1(vb)))
+        u_at_v = 0.25 * (ub + st.ip1(ub) + st.jm1(ub) + st.jm1(st.ip1(ub)))
+        bustr = cd_u * ub * jnp.sqrt(ub * ub + v_at_u * v_at_u)
+        bvstr = cd_v * vb * jnp.sqrt(vb * vb + u_at_v * u_at_v)
+    else:
+        return jnp.zeros_like(ub), jnp.zeros_like(vb)
+
+    # Sign-preserving limiter (set_vbc.F: bustr not allowed to reverse u).
+    bustr = jnp.sign(bustr) * jnp.minimum(jnp.abs(bustr),
+                                          jnp.abs(ub) * cff * Hz_u)
+    bvstr = jnp.sign(bvstr) * jnp.minimum(jnp.abs(bvstr),
+                                          jnp.abs(vb) * cff * Hz_v)
+    return bustr, bvstr

@@ -1,0 +1,114 @@
+"""Batched tridiagonal solvers along the vertical (k) axis.
+
+The reference solves its implicit vertical viscosity/diffusion systems with
+hand-rolled Thomas sweeps inside per-tile loops (step3d_uv.F:458-497,
+step3d_t.F vertical-diffusion section).  Here each sweep step is a
+`lax.scan` iteration operating on a full (Mm+2, Lm+2) horizontal slab, so
+the VPU processes whole planes per step; k is never decomposed (matching
+the reference's design constraint, SURVEY.md section 2.2).
+
+All arrays are [k, j, i] with k axis 0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def tridiag_solve(lower, diag, upper, rhs):
+    """Solve tridiagonal systems along axis 0 (Thomas algorithm).
+
+    lower[k] multiplies x[k-1] (lower[0] ignored);
+    diag[k]  multiplies x[k];
+    upper[k] multiplies x[k+1] (upper[-1] ignored).
+    Shapes: (N, ...) with arbitrary trailing batch dims.
+    """
+    def fwd(carry, xs):
+        cp_prev, dp_prev = carry
+        a, b, c, d = xs
+        denom = 1.0 / (b - a * cp_prev)
+        cp = c * denom
+        dp = (d - a * dp_prev) * denom
+        return (cp, dp), (cp, dp)
+
+    zeros = jnp.zeros_like(rhs[0])
+    (_, _), (cps, dps) = lax.scan(fwd, (zeros, zeros),
+                                  (lower, diag, upper, rhs))
+
+    def bwd(x_next, xs):
+        cp, dp = xs
+        x = dp - cp * x_next
+        return x, x
+
+    _, sol = lax.scan(bwd, zeros, (cps, dps), reverse=True)
+    return sol
+
+
+def spline_flux_solve(Hzk, AK, q, dt):
+    """Implicit vertical-flux solve with parabolic-spline reconstruction.
+
+    Used by SPLINES_VVISC / SPLINES_VDIFF paths (step3d_uv.F:393-437,
+    step3d_t.F "SPLINES_VDIFF" block).  Solves for interface flux potential
+    DC[k] (k = 1..N-1 interfaces) of the system
+
+        FC(k)*DC(k-1) + BC(k)*DC(k) + CF(k)*DC(k+1) = q(k+1) - q(k)
+
+    with FC(k) = Hzk(k)/6   - dt*AK(k-1)/Hzk(k)
+         CF(k) = Hzk(k+1)/6 - dt*AK(k+1)/Hzk(k+1)
+         BC(k) = (Hzk(k)+Hzk(k+1))/3 + dt*AK(k)*(1/Hzk(k)+1/Hzk(k+1))
+    and DC(0) = DC(N) = 0, then returns the update
+
+        dq(k) = dt/Hzk(k) * (AK(k)*DC(k) - AK(k-1)*DC(k-1)).
+
+    Args:
+      Hzk: (N, ...) layer thickness at the solve points.
+      AK:  (N+1, ...) vertical mixing coefficient at interfaces (0..N).
+      q:   (N, ...) field (velocity in m/s or tracer) at mid-levels.
+      dt:  scalar time step.
+    Returns dq with the same shape as q.
+    """
+    N = q.shape[0]
+    oHz = 1.0 / Hzk
+    sixth = 1.0 / 6.0
+    third = 1.0 / 3.0
+
+    # Interface systems k=1..N-1 (index kk=0..N-2 below).
+    FC = sixth * Hzk[:-1] - dt * AK[:-2] * oHz[:-1]
+    CF = sixth * Hzk[1:] - dt * AK[2:] * oHz[1:]
+    BC = (third * (Hzk[:-1] + Hzk[1:])
+          + dt * AK[1:-1] * (oHz[:-1] + oHz[1:]))
+    rhs = q[1:] - q[:-1]
+
+    DC_int = tridiag_solve(FC, BC, CF, rhs)       # (N-1, ...)
+    zeros = jnp.zeros_like(q[:1])
+    DC = jnp.concatenate([zeros, DC_int, zeros], axis=0)   # (N+1, ...)
+
+    flux = AK * DC                                 # (N+1, ...)
+    return dt * oHz * (flux[1:] - flux[:-1])
+
+
+def implicit_vdiff_solve(Hzk, AK, dz_inv, q_times_Hz, dt, lam=1.0):
+    """Standard backward-implicit vertical diffusion (non-splines path).
+
+    step3d_uv.F:441-497 / step3d_t.F standard block:
+        FC(k) = -lam*dt*AK(k)/dz(k)  at interfaces k=1..N-1,
+        BC(k) = Hzk(k) - FC(k) - FC(k-1),
+        solve  tri(BC, FC) x = q_times_Hz;  returns x (in q units).
+
+    Args:
+      Hzk:        (N, ...) layer thicknesses.
+      AK:         (N+1, ...) interface mixing coefficient.
+      dz_inv:     (N-1, ...) 1/(z_r[k+1]-z_r[k]) at interior interfaces.
+      q_times_Hz: (N, ...) right-hand side in (units * m).
+      dt, lam:    scalars.
+    """
+    N = q_times_Hz.shape[0]
+    FC_int = -lam * dt * AK[1:-1] * dz_inv        # (N-1, ...)
+    zeros = jnp.zeros_like(q_times_Hz[:1])
+    FC = jnp.concatenate([zeros, FC_int, zeros], axis=0)  # (N+1, ...)
+    diag = Hzk - FC[1:] - FC[:-1]
+    lower = FC[:-1]
+    upper = FC[1:]
+    return tridiag_solve(lower, diag, upper, q_times_Hz)
