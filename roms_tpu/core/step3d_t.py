@@ -1,0 +1,50 @@
+"""Tracer corrector: advection of the half-step tracer by time-centered
+mass fluxes, then backward-implicit vertical diffusion.
+
+Re-implements ROMS/Nonlinear/step3d_t.F for the centered/upstream scheme
+family (MPDATA/HSIMT follow with the positivity milestone).  t_part
+arrives from pre_step3d as Hz_old*t(n) + dt*(surface-bottom fluxes); all
+divergences subtract in (Tunits m); the final division by the new Hz
+happens inside the implicit solve (standard path) or explicitly before
+the spline solve (SPLINES_VDIFF, step3d_t.F:1353-1356).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..grid.grid import Grid
+from ..ops import stencil as st
+from ..ops.tridiag import implicit_vdiff_solve, spline_flux_solve
+from . import advection, boundary
+
+
+def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
+             Huon, Hvom, W, Hz, z_r, Akt):
+    """Returns t at n+1 (NT, N, Mj, Li).
+
+    Hz/z_r: NEW depths; Huon/Hvom/W: time-centered corrected fluxes;
+    Akt: (NAT, N+1, Mj, Li) interface diffusivities.
+    """
+    dt = cfg.dt
+    pmn = grid.pm * grid.pn
+    NAT = Akt.shape[0]
+    out = []
+    for itrc in range(cfg.NT):
+        FX, FE = advection.hadv_flux(cfg, grid, t_half[itrc], Huon, Hvom,
+                                     cfg.hadv)
+        tn = t_part[itrc] - dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
+        FC = advection.vadv_flux(cfg, t_half[itrc], W, Hz, cfg.vadv)
+        tn = tn - dt * pmn * (FC[1:] - FC[:-1])
+
+        Ak = Akt[min(itrc, NAT - 1)]
+        if cfg.mixing.splines_vdiff:
+            tn = tn / Hz
+            tn = tn + spline_flux_solve(Hz, Ak, tn, dt)
+        else:
+            dz_inv = 1.0 / (z_r[1:] - z_r[:-1])
+            tn = implicit_vdiff_solve(Hz, Ak, dz_inv, tn, dt)
+        tn = boundary.bc_rho(tn, cfg.bc.t)
+        out.append(tn)
+    return jnp.stack(out)

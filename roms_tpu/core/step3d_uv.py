@@ -1,0 +1,107 @@
+"""Corrector for 3D momentum with implicit vertical viscosity and
+barotropic coupling.
+
+Re-implements ROMS/Nonlinear/step3d_uv.F: add the AB3 lead term of the
+new RHS, solve the backward-implicit vertical viscosity (spline or
+standard tridiagonal along k, batched over the whole horizontal plane),
+replace the (inaccurate) vertical mean with the fast-time-averaged
+barotropic transport DU_avg1, and rebuild time-centered mass fluxes
+Huon/Hvom consistent with DU_avg2 for the tracer corrector.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..grid.grid import Grid
+from ..ops import stencil as st
+from ..ops.tridiag import implicit_vdiff_solve, spline_flux_solve
+from . import boundary
+
+
+def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
+              Hz, z_r, Akv, avg, Huon_old, Hvom_old, iic):
+    """Returns (u, v, ubar, vbar, Huon, Hvom) at time n+1.
+
+    u_part/v_part: corrector seeds from pre_step3d (+uv3dmix), Hz*u units.
+    ru/rv: full 3D RHS at time n.  Hz/z_r: NEW depths (from Zt_avg1).
+    avg: FastAverages.  Huon_old/Hvom_old: mass fluxes at time n.
+    """
+    dt = cfg.dt
+    # AB3 lead coefficient (step3d_uv.F:261-268)
+    cffab = jnp.where(iic == 0, 0.25 * dt,
+                      jnp.where(iic == 1, 0.25 * dt * 1.5,
+                                0.25 * dt * 23.0 / 12.0))
+    DC0u = cffab * (grid.pm + st.im1(grid.pm)) * \
+        (grid.pn + st.im1(grid.pn))
+    DC0v = cffab * (grid.pm + st.jm1(grid.pm)) * \
+        (grid.pn + st.jm1(grid.pn))
+
+    Hz_u = 0.5 * (Hz + st.im1(Hz))
+    Hz_v = 0.5 * (Hz + st.jm1(Hz))
+    AKu = 0.5 * (Akv + st.im1(Akv))
+    AKv_ = 0.5 * (Akv + st.jm1(Akv))
+
+    un = u_part + DC0u * ru
+    vn = v_part + DC0v * rv
+
+    if cfg.mixing.splines_vvisc:
+        # SPLINES_VVISC (step3d_uv.F:292-339)
+        un = un / Hz_u
+        vn = vn / Hz_v
+        un = un + spline_flux_solve(Hz_u, AKu, un, dt)
+        vn = vn + spline_flux_solve(Hz_v, AKv_, vn, dt)
+    else:
+        # standard backward-implicit tridiagonal (step3d_uv.F:341-420)
+        dz_u = (z_r[1:] + st.im1(z_r[1:])) - (z_r[:-1] + st.im1(z_r[:-1]))
+        dz_v = (z_r[1:] + st.jm1(z_r[1:])) - (z_r[:-1] + st.jm1(z_r[:-1]))
+        un = implicit_vdiff_solve(Hz_u, 2.0 * AKu, 1.0 / dz_u, un, dt)
+        vn = implicit_vdiff_solve(Hz_v, 2.0 * AKv_, 1.0 / dz_v, vn, dt)
+
+    # ---- couple to barotropic mode (step3d_uv.F:595-700) ----------------
+    D_u = jnp.sum(Hz_u, axis=0)
+    D_v = jnp.sum(Hz_v, axis=0)
+
+    def correct_u(q):
+        err = (jnp.sum(q * Hz_u, axis=0) * grid.on_u - avg.DU_avg1) / \
+            (D_u * grid.on_u)
+        return (q - err[None]) * grid.umask
+
+    def correct_v(q):
+        err = (jnp.sum(q * Hz_v, axis=0) * grid.om_v - avg.DV_avg1) / \
+            (D_v * grid.om_v)
+        return (q - err[None]) * grid.vmask
+
+    un = correct_u(un)
+    vn = correct_v(vn)
+    un = boundary.bc_u(un, cfg.bc.u, cfg.gamma2)
+    vn = boundary.bc_v(vn, cfg.bc.v, cfg.gamma2)
+    # Re-correct so BOUNDARY points also carry the exact barotropic mean
+    # (interior is already exact; step3d_uv.F:1390-1470).
+    un = correct_u(un)
+    vn = correct_v(vn)
+
+    ubar = avg.DU_avg1 / (D_u * grid.on_u) * grid.umask
+    vbar = avg.DV_avg1 / (D_v * grid.om_v) * grid.vmask
+    ubar = boundary.bc_u(ubar, cfg.bc.ubar, cfg.gamma2)
+    vbar = boundary.bc_v(vbar, cfg.bc.vbar, cfg.gamma2)
+
+    # ---- time-centered mass fluxes consistent with DU_avg2 --------------
+    # (step3d_uv.F:1500-1560,1700-1716)
+    DCk_u = Hz_u * grid.on_u
+    DCk_v = Hz_v * grid.om_v
+    Huon = 0.5 * (Huon_old + un * DCk_u)
+    Hvom = 0.5 * (Hvom_old + vn * DCk_v)
+    errU = (jnp.sum(Huon, axis=0) - avg.DU_avg2) / (D_u * grid.on_u)
+    errV = (jnp.sum(Hvom, axis=0) - avg.DV_avg2) / (D_v * grid.om_v)
+    Huon = Huon - DCk_u * errU[None]
+    Hvom = Hvom - DCk_v * errV[None]
+    if cfg.bc.ew_periodic:
+        Huon = st.periodic_x(Huon)
+        Hvom = st.periodic_x(Hvom)
+    if cfg.bc.ns_periodic:
+        Huon = st.periodic_y(Huon)
+        Hvom = st.periodic_y(Hvom)
+
+    return un, vn, ubar, vbar, Huon, Hvom

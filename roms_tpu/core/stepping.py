@@ -1,0 +1,128 @@
+"""Baroclinic time-step orchestrator — the main3d of the TPU core.
+
+One call = one full split-explicit baroclinic step (ROMS/Nonlinear/
+main3d.F:216-1130), traced once under jit: prep (mass fluxes, EOS,
+forcing, closures, omega), predictor stage (pre_step3d + pressure
+gradient + RHS + mixing), the fast barotropic sub-cycle as a lax.scan,
+then the 3D correctors.  The reference's kstp/krhs/knew/nstp/nrhs/nnew
+slot rotation is resolved into the State dataflow (see core.state).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..grid.depth import set_depth, set_massflux
+from ..grid.grid import Grid
+from ..ops import stencil as st
+from . import hmix, omega as omega_mod, prsgrd, rhs3d, set_vbc
+from .pre_step3d import pre_step3d
+from .rho_eos import rho_eos
+from .state import Forcing, State
+from .step2d import make_fast_loop
+from .step3d_t import step3d_t
+from .step3d_uv import step3d_uv
+from .weights import power_law_weights
+
+
+def default_vmix(cfg: ModelConfig):
+    """Constant background vertical mixing (mod_mixing defaults)."""
+    def vmix(state, grid, z_w):
+        Akv = jnp.full_like(z_w, cfg.mixing.akv_bak)
+        Akt = jnp.stack([jnp.full_like(z_w, ab)
+                         for ab in cfg.mixing.akt_bak])
+        return Akv, Akt
+    return vmix
+
+
+class Model:
+    """Bundles static configuration with the jitted step function.
+
+    forcing_fn(time) -> Forcing; vmix_fn(state, grid, z_w) -> (Akv, Akt).
+    """
+
+    def __init__(self, cfg: ModelConfig, grid: Grid,
+                 forcing_fn: Callable, vmix_fn: Optional[Callable] = None,
+                 var_rho: bool = True):
+        self.cfg = cfg
+        self.grid = grid
+        self.forcing_fn = forcing_fn
+        self.vmix_fn = vmix_fn or default_vmix(cfg)
+        self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
+        self.fast_loop = make_fast_loop(cfg, grid, self.nfast, w1, w2,
+                                        var_rho=var_rho)
+        self._step_jit = jax.jit(self.step_impl)
+
+    def step_impl(self, state: State) -> State:
+        cfg, grid = self.cfg, self.grid
+        z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
+        iic = state.iic
+
+        # ---- prep: fluxes, EOS, forcing, closures (main3d.F:348-535) ----
+        Huon, Hvom = set_massflux(grid, state.u, state.v, Hz)
+        if cfg.bc.ew_periodic:
+            Huon, Hvom = st.periodic_x(Huon), st.periodic_x(Hvom)
+        if cfg.bc.ns_periodic:
+            Huon, Hvom = st.periodic_y(Huon), st.periodic_y(Hvom)
+        rho, rhoA, rhoS = rho_eos(cfg, state.t, z_r, Hz, z_w)
+        forcing = self.forcing_fn(state.time)
+        bustr, bvstr = set_vbc.bottom_drag(cfg, grid, state.u, state.v,
+                                           Hz, z_r, z_w)
+        Akv, Akt = self.vmix_fn(state, grid, z_w)
+        W = omega_mod.omega(cfg, grid, Huon, Hvom, z_w)
+
+        # ---- predictor stage (rhs3d.F:80-189) ---------------------------
+        t_half, t_part, u_part, v_part = pre_step3d(
+            cfg, grid, state.u, state.v, state.t, state.t_prev,
+            state.ru_prev, state.rv_prev, state.ru_prev2, state.rv_prev2,
+            Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic)
+        ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz)
+        t_part = hmix.t3dmix2_s(cfg, grid, state.t, t_part, Hz)
+        ru, rv = rhs3d.rhs3d_momentum(cfg, grid, state.u, state.v, Hz,
+                                      Huon, Hvom, W, ru, rv)
+        rufrc, rvfrc = rhs3d.integrate_rufrc(cfg, grid, ru, rv, forcing,
+                                             bustr, bvstr)
+        u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_s(
+            cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc, rvfrc)
+
+        # ---- fast barotropic sub-cycle (main3d.F:810-918) ---------------
+        (avg, rufrc_eff, rvfrc_eff, _, _, _) = self.fast_loop(
+            state.zeta, state.ubar, state.vbar, rufrc, rvfrc, rhoS, rhoA,
+            state.ru0_prev, state.rv0_prev,
+            state.ru0_prev2, state.rv0_prev2, iic)
+
+        # ---- new depths from the filtered free surface (main3d.F:963) ---
+        z_r2, z_w2, Hz2 = set_depth(grid, avg.Zt_avg1)
+
+        # ---- correctors (main3d.F:990-1045) -----------------------------
+        un, vn, ubar, vbar, Huon2, Hvom2 = step3d_uv(
+            cfg, grid, u_part, v_part, ru, rv, Hz2, z_r2, Akv, avg,
+            Huon, Hvom, iic)
+        W2 = omega_mod.omega(cfg, grid, Huon2, Hvom2, z_w2)
+        tn = step3d_t(cfg, grid, t_half, t_part, Huon2, Hvom2, W2,
+                      Hz2, z_r2, Akt)
+
+        return State(
+            time=state.time + cfg.dt, iic=iic + 1,
+            zeta=avg.Zt_avg1, ubar=ubar, vbar=vbar,
+            u=un, v=vn, t=tn, t_prev=state.t,
+            ru_prev=ru, rv_prev=rv,
+            ru_prev2=state.ru_prev, rv_prev2=state.rv_prev,
+            ru0_prev=rufrc_eff, rv0_prev=rvfrc_eff,
+            ru0_prev2=state.ru0_prev, rv0_prev2=state.rv0_prev,
+            z_r=z_r2, z_w=z_w2, Hz=Hz2)
+
+    def step(self, state: State) -> State:
+        return self._step_jit(state)
+
+    def run(self, state: State, nsteps: int) -> State:
+        """Advance nsteps inside a single jitted scan."""
+        def body(s, _):
+            return self.step_impl(s), None
+        return jax.jit(
+            lambda s: jax.lax.scan(body, s, None, length=nsteps)[0])(state)
