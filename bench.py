@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark: BENCHMARK3-class channel throughput on one chip.
+
+Runs the reference's scaling benchmark configuration (BENCHMARK3 grid
+2048x256x30, dt=150 s, ndtfast=20; ROMS/External/roms_benchmark3.in:94-96,
+231-233) with the TPU-native core and reports sustained grid-point
+throughput:
+
+    value = interior_points * baroclinic_steps / wall_seconds
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is null
+until Fortran reference timings are measured on comparable hardware.
+
+Usage: python bench.py [--size 1|2|3] [--steps N] [--dtype float32]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=3, choices=[1, 2, 3],
+                   help="BENCHMARK ladder rung (1: 512x64, 2: 1024x128, "
+                        "3: 2048x256)")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--dtype", default="float32")
+    args = p.parse_args()
+
+    import jax
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import benchmark
+
+    Lm = 512 * (2 ** (args.size - 1))
+    Mm = 64 * (2 ** (args.size - 1))
+    N = 30
+    cfg = benchmark.make_config(Lm=Lm, Mm=Mm, N=N, dtype=args.dtype)
+    grid = benchmark.make_grid(cfg)
+    state = benchmark.make_initial(cfg, grid)
+    model = Model(cfg, grid, benchmark.make_forcing_fn(cfg, grid))
+
+    # warmup (compile)
+    s = model.run(state, args.warmup)
+    jax.block_until_ready(s)
+
+    t0 = time.perf_counter()
+    s = model.run(s, args.steps)
+    jax.block_until_ready(s)
+    wall = time.perf_counter() - t0
+
+    points = Lm * Mm * N
+    value = points * args.steps / wall
+    print(json.dumps({
+        "metric": f"benchmark{args.size}_gridpoints_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "gridpoint-steps/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

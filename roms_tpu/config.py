@@ -139,6 +139,8 @@ class MixingConfig:
     akt_bak: Tuple[float, ...] = (1.0e-6, 1.0e-6)  # AKT_BAK per tracer
     # Vertical closure: 'ana' (analytic profile), 'constant', 'gls', 'lmd'
     vmix: str = "constant"
+    # Penetrative shortwave heating (SOLAR_SOURCE)
+    solar_source: bool = False
     # GLS parameters (roms_*.in GLS_*), used when vmix == 'gls'
     gls_p: float = 3.0
     gls_m: float = 1.5
@@ -152,6 +154,8 @@ class MixingConfig:
     gls_sigp: float = 1.3
     gls_kmin: float = 7.6e-6
     gls_pmin: float = 1.0e-12
+    gls_stab: str = "canuto_a"   # 'canuto_a' | 'kantha_clayson'
+    gls_Zos: float = 0.02        # surface roughness (m), Zos in roms_*.in
     akk_bak: float = 5.0e-6
     akp_bak: float = 5.0e-6
     # Use parabolic-spline reconstruction for implicit vertical solves

@@ -26,7 +26,8 @@ from . import advection, boundary
 
 def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
                ru_prev, rv_prev, ru_prev2, rv_prev2,
-               Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic):
+               Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic,
+               ghats=None):
     """Returns (t_half, t_part, u_part, v_part).
 
     All inputs at time n (nstp); t_prev at n-1 (nnew slot on entry);
@@ -64,12 +65,24 @@ def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
     # Tracer corrector seed (Hz*t + dt*surface/bottom fluxes); lambda=1
     # kills the interior explicit diffusion piece (pre_step3d.F:700-746).
     # ------------------------------------------------------------------
-    zeros2 = jnp.zeros_like(Hz[:1])
     t_part = []
+    NAT = cfg.NAT
+    if cfg.mixing.solar_source:
+        # Paulson-Simpson penetrative shortwave at interior interfaces
+        # (pre_step3d.F SOLAR_SOURCE block)
+        from .lmd import swdk_frac
+        swdk_i = swdk_frac(z_w[-1][None] - z_w[1:-1])
     for itrc in range(NT):
+        FC_int = jnp.zeros_like(Hz[:-1])
+        if ghats is not None and itrc < NAT:
+            # LMD_NONLOCAL: FC -= dt*(Akt*ghats) (pre_step3d.F:705-713);
+            # the caller passes ghats premultiplied by Akt.
+            FC_int = FC_int - dt * ghats[itrc][1:-1]
+        if cfg.mixing.solar_source and itrc == 0:
+            FC_int = FC_int + dt * forcing.srflx[None] * swdk_i
         FCd = jnp.concatenate(
             [dt * forcing.btflx[itrc][None],
-             jnp.zeros_like(Hz[:-1]),
+             FC_int,
              dt * forcing.stflx[itrc][None]], axis=0)
         t_part.append(Hz * t[itrc] + (FCd[1:] - FCd[:-1]))
     t_part = jnp.stack(t_part)

@@ -87,9 +87,16 @@ def rho_eos_jm95(cfg: ModelConfig, t, z_r):
 def rho_eos(cfg: ModelConfig, t, z_r, Hz, z_w):
     """Density anomaly plus barotropic-coupling averages.
 
-    Returns (rho, rhoA, rhoS):
+    Returns (rho, pden, rhoA, rhoS, bvf):
+      pden: surface-referenced potential density anomaly (rho_eos.F pden)
       rhoA: nondimensional vertically averaged density (rho_eos.F:726-748)
       rhoS: nondimensional density perturbation for the 2D pressure gradient
+      bvf:  Brunt-Vaisala frequency squared at w interfaces (N+1, Mj, Li),
+            bvf = -(g/rho0) d(pden)/dz (rho_eos.F "Compute Brunt-Vaisala");
+            zero at surface/bottom interfaces.  For the nonlinear EOS this
+            uses the potential-density gradient (the reference's exact
+            adiabatic-derivative form arrives with the EOS-derivatives
+            milestone).
     """
     if cfg.eos.linear:
         rho = rho_eos_linear(cfg, t)
@@ -109,4 +116,16 @@ def rho_eos(cfg: ModelConfig, t, z_r, Hz, z_w):
     o_rho0 = 1.0 / cfg.rho0
     rhoA = o_rho0 * D_inv * rhoA
     rhoS = 2.0 * o_rho0 * D_inv * D_inv * rhoS
-    return rho, rhoA, rhoS
+
+    # Brunt-Vaisala frequency from potential density (surface-referenced:
+    # for the linear EOS pden == rho; for JM95 use the z=0 polynomial).
+    from .. import constants
+    if cfg.eos.linear:
+        pden = rho
+    else:
+        pden = rho_eos_jm95(cfg, t, jnp.zeros_like(z_r))
+    bvf_i = -(constants.g / cfg.rho0) * (pden[1:] - pden[:-1]) \
+        / (z_r[1:] - z_r[:-1])
+    zeros = jnp.zeros_like(bvf_i[:1])
+    bvf = jnp.concatenate([zeros, bvf_i, zeros], axis=0)
+    return rho, pden, rhoA, rhoS, bvf

@@ -21,7 +21,7 @@ Mapping to the reference's slots at entry of baroclinic step n:
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 
@@ -65,9 +65,12 @@ class State(NamedTuple):
     z_w: jnp.ndarray       # (N+1, Mj, Li)
     Hz: jnp.ndarray        # (N, Mj, Li)
 
+    # Optional turbulence-closure state (GLS/MY25), None otherwise.
+    mix: Any = None
+
 
 def initial_state(cfg: ModelConfig, grid: Grid, *, zeta=None, u=None, v=None,
-                  t=None, time0: float = 0.0) -> State:
+                  t=None, time0: float = 0.0, mix=None) -> State:
     """Build the initial state (cold start, reference initial.F semantics).
 
     ubar/vbar are the vertical averages of u/v (ini_fields.F:340-400);
@@ -94,6 +97,10 @@ def initial_state(cfg: ModelConfig, grid: Grid, *, zeta=None, u=None, v=None,
     zeros2 = jnp.zeros((Mj, Li), dtype)
     zeros3 = jnp.zeros((N, Mj, Li), dtype)
 
+    if mix is None and cfg.mixing.vmix == "gls":
+        from .gls import initial_mix
+        mix = initial_mix(cfg)
+
     return State(
         time=jnp.asarray(time0, dtype),
         iic=jnp.asarray(0, jnp.int32),
@@ -104,4 +111,5 @@ def initial_state(cfg: ModelConfig, grid: Grid, *, zeta=None, u=None, v=None,
         ru0_prev=zeros2, rv0_prev=zeros2,
         ru0_prev2=zeros2, rv0_prev2=zeros2,
         z_r=z_r, z_w=z_w, Hz=Hz,
+        mix=mix,
     )

@@ -264,7 +264,7 @@ def _uv_bc(cfg, u, v):
     return u, v
 
 
-def make_fast_loop(cfg: ModelConfig, grid: Grid, nfast: int, w1, w2,
+def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
                    var_rho: bool = True):
     """Build the jittable fast barotropic loop.
 
@@ -286,12 +286,12 @@ def make_fast_loop(cfg: ModelConfig, grid: Grid, nfast: int, w1, w2,
     dtfast = cfg.dt / cfg.ndtfast
     w1j = jnp.asarray(w1, dtype)
     w2j = jnp.asarray(w2, dtype)
-    pmn = grid.pm * grid.pn
-    pmn4_u = (grid.pm + st.im1(grid.pm)) * (grid.pn + st.im1(grid.pn))
-    pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
 
-    def predictor(iif, c: FastCarry, rhoS, rhoA, iic,
+    def predictor(grid, iif, c: FastCarry, rhoS, rhoA, iic,
                   ru0_prev2, rv0_prev2):
+        pmn = grid.pm * grid.pn
+        pmn4_u = (grid.pm + st.im1(grid.pm)) * (grid.pn + st.im1(grid.pn))
+        pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
         """iif is the 1-based fast-step index (traced)."""
         first = (iif == 1)
         Drhs, DUon, DVom = _flux_state(cfg, grid, c.zeta, c.ubar, c.vbar)
@@ -364,8 +364,11 @@ def make_fast_loop(cfg: ModelConfig, grid: Grid, nfast: int, w1, w2,
         return (zeta_new, ubar_new, vbar_new, rhs_zeta, rhs_u, rhs_v,
                 rufrc_c, rvfrc_c, avg)
 
-    def corrector(iif, c: FastCarry, zeta_p, ubar_p, vbar_p,
+    def corrector(grid, iif, c: FastCarry, zeta_p, ubar_p, vbar_p,
                   rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA):
+        pmn = grid.pm * grid.pn
+        pmn4_u = (grid.pm + st.im1(grid.pm)) * (grid.pn + st.im1(grid.pn))
+        pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
         first = (iif == 1)
         avg = c.avg
         Drhs, DUon, DVom = _flux_state(cfg, grid, zeta_p, ubar_p, vbar_p)
@@ -427,7 +430,7 @@ def make_fast_loop(cfg: ModelConfig, grid: Grid, nfast: int, w1, w2,
             rufrc=rufrc_c, rvfrc=rvfrc_c,
             ru0=c.ru0, rv0=c.rv0, avg=avg)
 
-    def fast_loop(zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
+    def fast_loop(grid, zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
                   ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic):
         zeros = jnp.zeros_like(zeta0)
         avg0 = FastAverages(zeros, zeros, zeros, zeros, zeros)
@@ -441,10 +444,10 @@ def make_fast_loop(cfg: ModelConfig, grid: Grid, nfast: int, w1, w2,
 
         def body(c, iif):
             (zeta_p, ubar_p, vbar_p, rz_m, ru_m, rv_m,
-             rufrc_c, rvfrc_c, avg) = predictor(iif, c, rhoS, rhoA, iic,
-                                                ru0_prev2, rv0_prev2)
+             rufrc_c, rvfrc_c, avg) = predictor(grid, iif, c, rhoS, rhoA,
+                                                iic, ru0_prev2, rv0_prev2)
             c = c._replace(avg=avg)
-            c = corrector(iif, c, zeta_p, ubar_p, vbar_p,
+            c = corrector(grid, iif, c, zeta_p, ubar_p, vbar_p,
                           rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA)
             return c, None
 

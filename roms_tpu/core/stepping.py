@@ -20,7 +20,8 @@ from ..config import ModelConfig
 from ..grid.depth import set_depth, set_massflux
 from ..grid.grid import Grid
 from ..ops import stencil as st
-from . import hmix, omega as omega_mod, prsgrd, rhs3d, set_vbc
+from . import (gls as gls_mod, hmix, lmd as lmd_mod, omega as omega_mod,
+               prsgrd, rhs3d, set_vbc)
 from .pre_step3d import pre_step3d
 from .rho_eos import rho_eos
 from .state import Forcing, State
@@ -54,12 +55,16 @@ class Model:
         self.forcing_fn = forcing_fn
         self.vmix_fn = vmix_fn or default_vmix(cfg)
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
-        self.fast_loop = make_fast_loop(cfg, grid, self.nfast, w1, w2,
+        self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
                                         var_rho=var_rho)
-        self._step_jit = jax.jit(self.step_impl)
+        self._step_jit = jax.jit(self._step_grid)
 
-    def step_impl(self, state: State) -> State:
-        cfg, grid = self.cfg, self.grid
+    def _step_grid(self, state: State, grid: Grid) -> State:
+        return self.step_impl(state, grid)
+
+    def step_impl(self, state: State, grid: Optional[Grid] = None) -> State:
+        cfg = self.cfg
+        grid = self.grid if grid is None else grid
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
         iic = state.iic
 
@@ -69,18 +74,33 @@ class Model:
             Huon, Hvom = st.periodic_x(Huon), st.periodic_x(Hvom)
         if cfg.bc.ns_periodic:
             Huon, Hvom = st.periodic_y(Huon), st.periodic_y(Hvom)
-        rho, rhoA, rhoS = rho_eos(cfg, state.t, z_r, Hz, z_w)
+        rho, pden, rhoA, rhoS, bvf = rho_eos(cfg, state.t, z_r, Hz, z_w)
         forcing = self.forcing_fn(state.time)
         bustr, bvstr = set_vbc.bottom_drag(cfg, grid, state.u, state.v,
                                            Hz, z_r, z_w)
-        Akv, Akt = self.vmix_fn(state, grid, z_w)
+        use_gls = cfg.mixing.vmix == "gls"
+        ghats_flux = None
+        if use_gls:
+            Akv, Akt = state.mix.Akv, state.mix.Akt
+        elif cfg.mixing.vmix == "lmd":
+            # LMD-KPP (main3d.F:525-529): interior Ri mixing + surface
+            # boundary layer, diagnostic from the time-n state.
+            Akv, Akt = lmd_mod.lmd_vmix_interior(cfg, state.u, state.v,
+                                                 bvf, Hz)
+            Akv, Akt, ghats, hsbl = lmd_mod.lmd_skpp(
+                cfg, grid, state.t, state.u, state.v, pden, bvf, Hz,
+                z_r, z_w, forcing, Akv, Akt)
+            ghats_flux = Akt * ghats
+        else:
+            Akv, Akt = self.vmix_fn(state, grid, z_w)
         W = omega_mod.omega(cfg, grid, Huon, Hvom, z_w)
 
         # ---- predictor stage (rhs3d.F:80-189) ---------------------------
         t_half, t_part, u_part, v_part = pre_step3d(
             cfg, grid, state.u, state.v, state.t, state.t_prev,
             state.ru_prev, state.rv_prev, state.ru_prev2, state.rv_prev2,
-            Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic)
+            Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic,
+            ghats=ghats_flux)
         ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz)
         t_part = hmix.t3dmix2_s(cfg, grid, state.t, t_part, Hz)
         ru, rv = rhs3d.rhs3d_momentum(cfg, grid, state.u, state.v, Hz,
@@ -89,10 +109,15 @@ class Model:
                                              bustr, bvstr)
         u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_s(
             cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc, rvfrc)
+        if use_gls:
+            # gls_prestep (main3d.F:634-636): AB2 advection of tke/psi
+            tke_half, gls_half, tke_seed, gls_seed = gls_mod.gls_prestep(
+                cfg, grid, state.mix, Huon, Hvom, W, Hz, iic)
 
         # ---- fast barotropic sub-cycle (main3d.F:810-918) ---------------
         (avg, rufrc_eff, rvfrc_eff, _, _, _) = self.fast_loop(
-            state.zeta, state.ubar, state.vbar, rufrc, rvfrc, rhoS, rhoA,
+            grid, state.zeta, state.ubar, state.vbar, rufrc, rvfrc,
+            rhoS, rhoA,
             state.ru0_prev, state.rv0_prev,
             state.ru0_prev2, state.rv0_prev2, iic)
 
@@ -104,8 +129,20 @@ class Model:
             cfg, grid, u_part, v_part, ru, rv, Hz2, z_r2, Akv, avg,
             Huon, Hvom, iic)
         W2 = omega_mod.omega(cfg, grid, Huon2, Hvom2, z_w2)
+        if use_gls:
+            # gls_corstep (main3d.F:1019-1021) runs before step3d_t so
+            # tracers diffuse with the updated Akt.
+            mix_new = gls_mod.gls_corstep(
+                cfg, grid, state.mix, tke_half, gls_half, tke_seed,
+                gls_seed, state.u, state.v, Hz2, z_r2, z_w2,
+                Huon2, Hvom2, W2, bvf, forcing.sustr, forcing.svstr,
+                bustr, bvstr)
+            Akt_t = mix_new.Akt
+        else:
+            mix_new = state.mix
+            Akt_t = Akt
         tn = step3d_t(cfg, grid, t_half, t_part, Huon2, Hvom2, W2,
-                      Hz2, z_r2, Akt)
+                      Hz2, z_r2, Akt_t)
 
         return State(
             time=state.time + cfg.dt, iic=iic + 1,
@@ -115,14 +152,15 @@ class Model:
             ru_prev2=state.ru_prev, rv_prev2=state.rv_prev,
             ru0_prev=rufrc_eff, rv0_prev=rvfrc_eff,
             ru0_prev2=state.ru0_prev, rv0_prev2=state.rv0_prev,
-            z_r=z_r2, z_w=z_w2, Hz=Hz2)
+            z_r=z_r2, z_w=z_w2, Hz=Hz2, mix=mix_new)
 
     def step(self, state: State) -> State:
-        return self._step_jit(state)
+        return self._step_jit(state, self.grid)
 
     def run(self, state: State, nsteps: int) -> State:
         """Advance nsteps inside a single jitted scan."""
-        def body(s, _):
-            return self.step_impl(s), None
-        return jax.jit(
-            lambda s: jax.lax.scan(body, s, None, length=nsteps)[0])(state)
+        def scan_run(s, g):
+            def body(c, _):
+                return self.step_impl(c, g), None
+            return jax.lax.scan(body, s, None, length=nsteps)[0]
+        return jax.jit(scan_run)(state, self.grid)

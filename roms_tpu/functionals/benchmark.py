@@ -1,0 +1,125 @@
+"""BENCHMARK analytical application — idealized Southern Ocean channel.
+
+The reference's scaling benchmark (ROMS/Include/benchmark.h,
+ROMS/External/roms_benchmark{1,2,3}.in): spherical 360-degree zonal
+channel at 70S-50S, 4000 m deep, EW-periodic / closed NS.
+
+Sources:
+  grid     ana_grid.h:243-248 (Xsize=360 deg, Esize=20 deg, depth=4000)
+           ana_grid.h:462-482 (spherical lon/lat), :677-689 (pm, pn),
+           :870-876 (full Coriolis f = 2*Omega*sin(lat))
+  initial  ana_initial.h:545-557 (T(z) exponential-tanh; S=35)
+  wind     ana_winds.h:118-126 (zonal gaussian jet at 60S, 15 m/s) run
+           through a constant-Cd stress law until the COARE bulk-flux
+           milestone lands (reference uses BULK_FLUXES)
+  params   roms_benchmark3.in (dt=150, ndtfast=20, theta_s=theta_b=0,
+           Tcline=400, nonlinear EOS, quadratic drag rdrg2, VISC2=5000,
+           TNU2=500, AKV_BAK=1e-4)
+
+Physics gaps vs the reference benchmark (tracked for later milestones):
+LMD-KPP vertical mixing (constant background used), COARE bulk fluxes
+(analytic stress used), MIX_GEO_TS rotated diffusion (along-s used).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants
+from ..config import (LBC, BoundaryConfig, BottomDragConfig, EOSConfig,
+                      MixingConfig, ModelConfig, VerticalCoordConfig,
+                      UPSTREAM3, CENTERED4)
+from ..core.state import Forcing, State, initial_state
+from ..grid.grid import Grid, build_grid
+
+
+def make_config(Lm: int = 512, Mm: int = 64, N: int = 30,
+                dt: float = 150.0, ndtfast: int = 20,
+                dtype: str = "float32") -> ModelConfig:
+    lbc = LBC.ew_periodic()
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=4,
+                                 theta_s=0.0, theta_b=0.0, Tcline=400.0),
+        eos=EOSConfig(linear=False),
+        mixing=MixingConfig(visc2=5000.0, tnu2=(500.0, 500.0),
+                            akv_bak=1.0e-4, akt_bak=(1.0e-5, 1.0e-5),
+                            vmix="constant",
+                            splines_vdiff=True, splines_vvisc=True),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig.uniform(lbc),
+        rho0=1025.0, gamma2=1.0,
+        hadv=UPSTREAM3, vadv=CENTERED4,
+        uv_hadv="up3", uv_vadv="c4_sw",
+        uv_cor=True, uv_adv=True, curvgrid=True,
+        dtype=dtype,
+    )
+
+
+def make_grid(cfg: ModelConfig) -> Grid:
+    """Spherical channel grid (ana_grid.h BENCHMARK branches)."""
+    Lm, Mm = cfg.Lm, cfg.Mm
+    Mj, Li = cfg.shape2d
+    Xsize, Esize, depth = 360.0, 20.0, 4000.0
+    dx = Xsize / Lm                   # degrees lon
+    dy = Esize / Mm                   # degrees lat
+    Er = constants.Eradius
+    d2r = constants.deg2rad
+
+    i = np.arange(Li, dtype=np.float64)
+    j = np.arange(Mj, dtype=np.float64)
+    lonr = (dx * (i - 0.5))[None, :] + np.zeros((Mj, 1))
+    latr = (-70.0 + dy * (j - 0.5))[:, None] + np.zeros((1, Li))
+
+    # pm = 1/dx_m: ana_grid.h:681-689
+    val1 = Lm / (2.0 * np.pi * Er)                    # per-degree factor /360
+    val2 = Mm * 360.0 / (2.0 * np.pi * Er * Esize)
+    pm = val1 / np.cos(latr * d2r) * np.ones_like(lonr)
+    pn = val2 * np.ones_like(lonr)
+
+    # full Coriolis (ana_grid.h:870-876)
+    omega2 = 2.0 * (2.0 * np.pi * 366.25 / 365.25) / 86400.0
+    f = omega2 * np.sin(latr * d2r)
+
+    h = np.full((Mj, Li), depth)
+    xr = Er * d2r * lonr * np.cos(latr * d2r)
+    yr = Er * d2r * latr
+
+    return build_grid(cfg, h=h, pm=pm, pn=pn, f=f, xr=xr, yr=yr,
+                      spherical=True)
+
+
+def make_initial(cfg: ModelConfig, grid: Grid) -> State:
+    """ana_initial.h:545-557."""
+    from ..grid.depth import set_depth
+    zeta = jnp.zeros(cfg.shape2d, cfg.dtype)
+    z_r, _, _ = set_depth(grid, zeta)
+    g = constants.g
+    val1 = (44.69 / 39.382) ** 2
+    val2 = val1 * (cfg.rho0 * 800.0 / g) * (5.0e-5 / ((42.689 / 44.69) ** 2))
+    T = val2 * jnp.exp(z_r / 800.0) * (0.6 - 0.4 * jnp.tanh(z_r / 800.0))
+    S = jnp.full_like(T, 35.0)
+    return initial_state(cfg, grid, zeta=zeta, t=jnp.stack([T, S]))
+
+
+def make_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """Zonal wind jet (ana_winds.h:118-126) through a bulk stress law
+    tau = rho_air*Cd*|W|*W / rho0; placeholder for COARE BULK_FLUXES."""
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    lat_u = np.asarray(-70.0 + (20.0 / cfg.Mm)
+                       * (np.arange(Mj) - 0.5))[:, None] + np.zeros((1, Li))
+    cffw = 0.2 * (60.0 + lat_u)
+    Uwind = 15.0 * np.exp(-cffw * cffw)
+    rho_air, Cd = 1.2, 1.4e-3
+    sustr_np = (rho_air * Cd * np.abs(Uwind) * Uwind / cfg.rho0)
+    sustr0 = jnp.asarray(sustr_np, dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    zerosT = jnp.zeros((cfg.NT, Mj, Li), dtype)
+
+    def forcing(time):
+        return Forcing(sustr=sustr0, svstr=zeros, stflx=zerosT,
+                       btflx=zerosT, srflx=zeros)
+
+    return forcing

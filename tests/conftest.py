@@ -1,13 +1,16 @@
 """Test harness configuration.
 
-Tests run on CPU in float64 (the reference model is float64 Fortran) with an
-8-device virtual mesh available for sharding tests.  TPU benchmarking uses
-float32; the physics is validated here at full precision.
+Tests run on CPU in float64 (the reference model is float64 Fortran) with
+an 8-device virtual mesh available for sharding tests.  TPU benchmarking
+uses float32; the physics is validated here at full precision.
+
+The environment pins JAX_PLATFORMS=axon (tunneled TPU) and its
+sitecustomize initializes the plugin before conftest runs, so the CPU
+backend is selected through jax.config rather than the environment.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +18,5 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

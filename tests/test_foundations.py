@@ -132,7 +132,8 @@ class TestEOS:
         cfg = upwelling.make_config(dtype="float64")
         grid = upwelling.make_grid(cfg)
         st = upwelling.make_initial(cfg, grid)
-        rho, rhoA, rhoS = rho_eos(cfg, st.t, st.z_r, st.Hz, st.z_w)
+        rho, pden, rhoA, rhoS, bvf = rho_eos(cfg, st.t, st.z_r, st.Hz,
+                                             st.z_w)
         # rho = R0 - R0*Tcoef*(T-T0) - 1000
         expect = 1027.0 * (1.0 - 1.7e-4 * (np.asarray(st.t[0]) - 14.0)) - 1000.0
         assert np.allclose(np.asarray(rho), expect, atol=1e-10)

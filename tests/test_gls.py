@@ -1,0 +1,48 @@
+"""GLS turbulence closure tests (UPWELLING + GLS_MIXING variant of
+ROMS/Include/upwelling.h:44-47)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import upwelling
+
+
+def _run(stab, nsteps=20, **gls_kw):
+    cfg = upwelling.make_config(Lm=20, Mm=24, N=12, dtype="float64")
+    cfg = cfg.replace(mixing=dataclasses.replace(
+        cfg.mixing, vmix="gls", gls_stab=stab, **gls_kw))
+    grid = upwelling.make_grid(cfg)
+    state = upwelling.make_initial(cfg, grid)
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid))
+    return cfg, model.run(state, nsteps)
+
+
+class TestGLS:
+    @pytest.mark.parametrize("stab", ["canuto_a", "kantha_clayson"])
+    def test_stable_and_physical(self, stab):
+        cfg, s = _run(stab)
+        a = np.asarray
+        assert np.isfinite(a(s.mix.tke)).all()
+        assert np.isfinite(a(s.u)).all() and np.isfinite(a(s.t)).all()
+        # tke bounded below by gls_Kmin (gls_corstep.F MAX clipping)
+        assert a(s.mix.tke).min() >= cfg.mixing.gls_kmin - 1e-18
+        assert a(s.mix.gls).min() >= cfg.mixing.gls_pmin
+        # mixing coefficients at least background, physically bounded
+        assert a(s.mix.Akv).min() >= cfg.mixing.akv_bak - 1e-18
+        assert a(s.mix.Akv).max() < 1.0
+        # wind stirring must raise the surface-interface TKE (Dirichlet
+        # stress balance, gls_corstep.F:660-668) above background
+        assert a(s.mix.tke)[-1].max() > 1.5 * cfg.mixing.gls_kmin
+
+    def test_keps_vs_komega_parameters(self):
+        """k-epsilon parameter set (gls_p=3,m=1.5,n=-1 default) and
+        k-omega (p=-1,m=0.5,n=-1) both integrate stably."""
+        cfg, s = _run("canuto_a", gls_p=-1.0, gls_m=0.5, gls_n=-1.0,
+                      gls_cmu0=0.5477, gls_c1=0.555, gls_c2=0.833,
+                      gls_c3m=-0.6, gls_c3p=1.0, gls_sigk=2.0,
+                      gls_sigp=2.0)
+        assert np.isfinite(np.asarray(s.mix.tke)).all()
+        assert np.isfinite(np.asarray(s.u)).all()
