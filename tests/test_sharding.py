@@ -18,7 +18,7 @@ from roms_tpu.functionals import upwelling
 
 @pytest.fixture(scope="module")
 def setup():
-    cfg = upwelling.make_config(Lm=30, Mm=32, N=8, dtype="float64")
+    cfg = upwelling.make_config(Lm=30, Mm=30, N=8, dtype="float64")
     grid = upwelling.make_grid(cfg)
     state = upwelling.make_initial(cfg, grid)
     model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
