@@ -1,0 +1,259 @@
+"""COARE 3.0 bulk air-sea fluxes (Fairall et al. 1996/2003).
+
+Re-implements ROMS/Nonlinear/bulk_flux.F for the open-water path:
+saturation humidity, Monin-Obukhov iteration (3 fixed passes, as the
+reference's IterMax=3 — a static unrolled loop under jit), Charnock
+roughness, stability functions bulk_psiu/psit, latent + sensible +
+longwave (Berliand) fluxes, wind stress, and E-P salt flux.
+
+Inputs are the atmospheric state (Uwind, Vwind, Tair [C], Pair [mb],
+Hair [fraction or g/kg], rain, cloud, srflx) and the model SST/SSS; the
+output Forcing carries kinematic stresses (m2/s2) and tracer fluxes
+(Celsius m/s, PSU m/s) as consumed by pre_step3d/set_vbc.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .. import constants
+from ..config import ModelConfig
+from ..ops import stencil as st
+from .state import Forcing
+
+# mod_scalars.F:460-462, 1496-1500, 4545-4547
+STEFBO = 5.67e-8
+EMMISS = 0.97
+RHOW = 1000.0
+BLK_CPA = 1004.67
+BLK_CPW = 4000.0
+BLK_RGAS = 287.1
+BLK_ZABL = 600.0
+BLK_BETA = 1.2
+BLK_ZW = 10.0
+BLK_ZT = 10.0
+BLK_ZQ = 10.0
+
+_EPS = 1.0e-20
+_PI = math.pi
+
+
+class AtmState(NamedTuple):
+    """Atmospheric forcing fields at RHO points."""
+    Uwind: jnp.ndarray     # 10-m wind (m/s)
+    Vwind: jnp.ndarray
+    Tair: jnp.ndarray      # air temperature (Celsius)
+    Pair: jnp.ndarray      # sea-level pressure (mb)
+    Hair: jnp.ndarray      # relative humidity (fraction) or g/kg if >=2
+    cloud: jnp.ndarray     # cloud fraction
+    rain: jnp.ndarray      # kg/m2/s
+    srflx: jnp.ndarray     # shortwave (Celsius m/s), incl. albedo
+
+
+def bulk_psiu(ZoL):
+    """Momentum stability function (bulk_flux.F:1465-1528)."""
+    r3 = 1.0 / 3.0
+    x = jnp.maximum(1.0 - 15.0 * ZoL, _EPS) ** 0.25
+    psik = (2.0 * jnp.log(0.5 * (1.0 + x))
+            + jnp.log(0.5 * (1.0 + x * x))
+            - 2.0 * jnp.arctan(x) + 0.5 * _PI)
+    s3 = math.sqrt(3.0)
+    y = jnp.maximum(1.0 - 10.15 * ZoL, _EPS) ** r3
+    psic = (1.5 * jnp.log(r3 * (1.0 + y + y * y))
+            - s3 * jnp.arctan((1.0 + 2.0 * y) / s3) + _PI / s3)
+    Fw = ZoL * ZoL / (1.0 + ZoL * ZoL)
+    unstable = (1.0 - Fw) * psik + Fw * psic
+    cff = jnp.minimum(50.0, 0.35 * ZoL)
+    stable = -((1.0 + ZoL) + 0.6667 * (ZoL - 14.28) / jnp.exp(cff)
+               + 8.525)
+    return jnp.where(ZoL < 0.0, unstable, stable)
+
+
+def bulk_psit(ZoL):
+    """Scalar stability function (bulk_flux.F:1530-1592)."""
+    r3 = 1.0 / 3.0
+    x = jnp.sqrt(jnp.maximum(1.0 - 15.0 * ZoL, _EPS))
+    psik = 2.0 * jnp.log(0.5 * (1.0 + x))
+    s3 = math.sqrt(3.0)
+    y = jnp.maximum(1.0 - 34.15 * ZoL, _EPS) ** r3
+    psic = (1.5 * jnp.log(r3 * (1.0 + y + y * y))
+            - s3 * jnp.arctan((1.0 + 2.0 * y) / s3) + _PI / s3)
+    Fw = ZoL * ZoL / (1.0 + ZoL * ZoL)
+    unstable = (1.0 - Fw) * psik + Fw * psic
+    cff = jnp.minimum(50.0, 0.35 * ZoL)
+    stable = -((1.0 + 2.0 * ZoL) ** 1.5
+               + 0.6667 * (ZoL - 14.28) / jnp.exp(cff) + 8.525)
+    return jnp.where(ZoL < 0.0, unstable, stable)
+
+
+def _sat_vapor(TC, Pair):
+    """Saturation specific humidity pieces (bulk_flux.F:700-720)."""
+    cff = (1.0007 + 3.46e-6 * Pair) * 6.1121 * \
+        jnp.exp(17.502 * TC / (240.97 + TC))
+    return cff
+
+
+def bulk_flux(cfg: ModelConfig, atm: AtmState, sst, sss, rho_surf,
+              lrflx_data=None):
+    """Compute surface fluxes.
+
+    sst/sss: surface tracer fields (Mj, Li); rho_surf: surface in-situ
+    density anomaly.  Returns (sustr, svstr, stflx_T, stflx_S, lrflx,
+    lhflx, shflx, evap) with stresses at U/V points (kinematic m2/s2)
+    and fluxes in Celsius m/s, PSU m/s.
+    """
+    g = constants.g
+    vonKar = constants.vonKar
+    rho0 = cfg.rho0
+    Cp = constants.Cp
+    Hscale = rho0 * Cp
+
+    Wmag = jnp.sqrt(atm.Uwind ** 2 + atm.Vwind ** 2)
+    TairC = atm.Tair
+    TairK = TairC + 273.16
+    TseaC = sst
+    TseaK = TseaC + 273.16
+    RH = atm.Hair
+    SRad = atm.srflx * Hscale
+
+    # --- longwave (Berliand, LONGWAVE branch) ---------------------------
+    cff = (0.7859 + 0.03477 * TairC) / (1.0 + 0.00412 * TairC)
+    e_sat = 10.0 ** cff
+    vap_p = e_sat * jnp.where(RH < 2.0, RH, RH * 0.0 + 0.8)
+    cff2 = TairK ** 3
+    cff1 = cff2 * TairK
+    LRad = -EMMISS * STEFBO * (
+        cff1 * (0.39 - 0.05 * jnp.sqrt(vap_p))
+        * (1.0 - 0.6823 * atm.cloud * atm.cloud)
+        + cff2 * 4.0 * (TseaK - TairK))
+
+    # --- humidities ------------------------------------------------------
+    cffa = _sat_vapor(TairC, atm.Pair)
+    Qair = 0.62197 * cffa / (atm.Pair - 0.378 * cffa + _EPS)
+    cffq = cffa * jnp.where(RH < 2.0, RH, 1.0)
+    Q = jnp.where(RH < 2.0,
+                  0.62197 * cffq / (atm.Pair - 0.378 * cffq + _EPS),
+                  RH / 1000.0)
+    cffs = _sat_vapor(TseaC, atm.Pair) * 0.98
+    Qsea = 0.62197 * cffs / (atm.Pair - 0.378 * cffs)
+
+    rhoAir = atm.Pair * 100.0 / (BLK_RGAS * TairK * (1.0 + 0.61 * Q))
+    VisAir = 1.326e-5 * (1.0 + TairC * (6.542e-3 + TairC *
+                                        (8.301e-6 - 4.84e-9 * TairC)))
+    Hlv = (2.501 - 0.00237 * TseaC) * 1.0e6
+
+    # --- first guesses (bulk_flux.F:735-800) -----------------------------
+    Wgus = jnp.full_like(Wmag, 0.5)
+    delW = jnp.sqrt(Wmag ** 2 + Wgus ** 2)
+    delQ = Qsea - Q
+    delT = TseaC - TairC
+    ZoW = jnp.full_like(Wmag, 0.0001)
+    u10 = delW * jnp.log(10.0 / ZoW) / jnp.log(BLK_ZW / ZoW)
+    Wstar = 0.035 * u10
+    Zo10 = 0.011 * Wstar * Wstar / g + 0.11 * VisAir / Wstar
+    Cd10 = (vonKar / jnp.log(10.0 / Zo10)) ** 2
+    Ch10 = 0.00115
+    Ct10 = Ch10 / jnp.sqrt(Cd10)
+    ZoT10 = 10.0 / jnp.exp(vonKar / Ct10)
+    Cd = (vonKar / jnp.log(BLK_ZW / Zo10)) ** 2
+    Ct = vonKar / jnp.log(BLK_ZT / ZoT10)
+    CC = vonKar * Ct / Cd
+    Ribcu = -BLK_ZW / (BLK_ZABL * 0.004 * BLK_BETA ** 3)
+    Ri = -g * BLK_ZW * (delT + 0.61 * TairK * delQ) / \
+        (TairK * delW * delW + _EPS)
+    Zetu = jnp.where(Ri < 0.0,
+                     CC * Ri / (1.0 + Ri / Ribcu),
+                     CC * Ri / (1.0 + 3.0 * Ri / CC))
+    L10 = BLK_ZW / Zetu
+    Wstar = delW * vonKar / (jnp.log(BLK_ZW / Zo10)
+                             - bulk_psiu(BLK_ZW / L10))
+    Tstar = -delT * vonKar / (jnp.log(BLK_ZT / ZoT10)
+                              - bulk_psit(BLK_ZT / L10))
+    Qstar = -delQ * vonKar / (jnp.log(BLK_ZQ / ZoT10)
+                              - bulk_psit(BLK_ZQ / L10))
+
+    # Charnock parameter (COARE 3.0 wind dependence)
+    charn = jnp.where(
+        delW > 18.0, 0.018,
+        jnp.where(delW > 10.0,
+                  0.011 + 0.125 * (0.018 - 0.011) * (delW - 10.0),
+                  0.011))
+
+    # --- Monin-Obukhov iteration (IterMax=3, statically unrolled) --------
+    for _ in range(3):
+        ZoW = charn * Wstar * Wstar / g + 0.11 * VisAir / (Wstar + _EPS)
+        Rr = ZoW * Wstar / VisAir
+        ZoQ = jnp.minimum(1.15e-4, 5.5e-5 / Rr ** 0.6)
+        ZoT = ZoQ
+        ZoL = vonKar * g * BLK_ZW * \
+            (Tstar * (1.0 + 0.61 * Q) + 0.61 * TairK * Qstar) / \
+            (TairK * Wstar * Wstar * (1.0 + 0.61 * Q) + _EPS)
+        L = BLK_ZW / (ZoL + _EPS)
+        Wpsi = bulk_psiu(ZoL)
+        Tpsi = bulk_psit(BLK_ZT / L)
+        Qpsi = bulk_psit(BLK_ZQ / L)
+        Wstar = jnp.maximum(_EPS, delW * vonKar /
+                            (jnp.log(BLK_ZW / ZoW) - Wpsi))
+        Tstar = -delT * vonKar / (jnp.log(BLK_ZT / ZoT) - Tpsi)
+        Qstar = -delQ * vonKar / (jnp.log(BLK_ZQ / ZoQ) - Qpsi)
+        Bf = -g / TairK * Wstar * (Tstar + 0.61 * TairK * Qstar)
+        Wgus = jnp.where(Bf > 0.0,
+                         BLK_BETA * (Bf * BLK_ZABL) ** (1.0 / 3.0),
+                         0.2)
+        delW = jnp.sqrt(Wmag ** 2 + Wgus ** 2)
+
+    # --- fluxes (bulk_flux.F:900-1010) -----------------------------------
+    Hs = -BLK_CPA * rhoAir * Wstar * Tstar
+    diffw = 2.11e-5 * (TairK / 273.16) ** 1.94
+    diffh = 0.02411 * (1.0 + TairC * (3.309e-3 - 1.44e-6 * TairC)) / \
+        (rhoAir * BLK_CPA + _EPS)
+    cffw = Qair * Hlv / (BLK_RGAS * TairK * TairK)
+    wet_bulb = 1.0 / (1.0 + 0.622 * (cffw * Hlv * diffw) /
+                      (BLK_CPA * diffh))
+    Hsr = jnp.abs(atm.rain) * wet_bulb * BLK_CPW * \
+        (delT + delQ * Hlv / BLK_CPA)
+    SHeat = Hs + Hsr
+
+    Hl = -Hlv * rhoAir * Wstar * Qstar
+    upvel = -1.61 * Wstar * Qstar - \
+        (1.0 + 1.61 * Q) * Wstar * Tstar / TairK
+    Hlw = rhoAir * Hlv * upvel * Q
+    LHeat = Hl + Hlw
+
+    Taur = 0.85 * jnp.abs(atm.rain) * Wmag
+    cfft = rhoAir * (Wstar * Wstar + Taur / rhoAir) / (Wmag + _EPS)
+    Taux = cfft * atm.Uwind
+    Tauy = cfft * atm.Vwind
+
+    oH = 1.0 / Hscale
+    lrflx = LRad * oH
+    lhflx = -LHeat * oH
+    shflx = -SHeat * oH
+    stflx_T = atm.srflx + lrflx + lhflx + shflx
+    evap = LHeat / (Hlv + _EPS)
+    stflx_S = (evap - atm.rain) * sss / RHOW
+
+    # stresses to staggered points, kinematic (bulk_flux.F tail)
+    sustr = 0.5 * (Taux + st.im1(Taux)) / rho0
+    svstr = 0.5 * (Tauy + st.jm1(Tauy)) / rho0
+    return sustr, svstr, stflx_T, stflx_S, lrflx, lhflx, shflx, evap
+
+
+def make_bulk_forcing(cfg: ModelConfig, atm_fn):
+    """Wrap an atmospheric-state function into a forcing_fn that needs the
+    current surface state: returns fn(time, sst, sss, rho_surf) -> Forcing.
+    """
+    def forcing(time, sst, sss, rho_surf):
+        atm = atm_fn(time)
+        (sustr, svstr, stT, stS, *_rest) = bulk_flux(cfg, atm, sst, sss,
+                                                     rho_surf)
+        zeros = jnp.zeros_like(sustr)
+        stflx = jnp.stack([stT, stS] + [zeros] * (cfg.NT - 2))
+        btflx = jnp.zeros_like(stflx)
+        return Forcing(sustr=sustr, svstr=svstr, stflx=stflx,
+                       btflx=btflx, srflx=atm.srflx)
+
+    return forcing

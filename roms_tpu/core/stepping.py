@@ -10,6 +10,7 @@ slot rotation is resolved into the State dataflow (see core.state).
 
 from __future__ import annotations
 
+import inspect
 from functools import partial
 from typing import Callable, Optional
 
@@ -53,6 +54,10 @@ class Model:
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
+        # Bulk-flux style forcing needs the ocean surface state:
+        # forcing(time, sst, sss, rho_surf) (bulk_flux.make_bulk_forcing)
+        self._forcing_takes_state = (
+            len(inspect.signature(forcing_fn).parameters) > 1)
         self.vmix_fn = vmix_fn or default_vmix(cfg)
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
@@ -75,7 +80,12 @@ class Model:
         if cfg.bc.ns_periodic:
             Huon, Hvom = st.periodic_y(Huon), st.periodic_y(Hvom)
         rho, pden, rhoA, rhoS, bvf = rho_eos(cfg, state.t, z_r, Hz, z_w)
-        forcing = self.forcing_fn(state.time)
+        if self._forcing_takes_state:
+            sss = state.t[1][-1] if cfg.NT > 1 else jnp.zeros_like(rho[-1])
+            forcing = self.forcing_fn(state.time, state.t[0][-1], sss,
+                                      rho[-1])
+        else:
+            forcing = self.forcing_fn(state.time)
         bustr, bvstr = set_vbc.bottom_drag(cfg, grid, state.u, state.v,
                                            Hz, z_r, z_w)
         use_gls = cfg.mixing.vmix == "gls"

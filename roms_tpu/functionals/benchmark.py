@@ -103,9 +103,68 @@ def make_initial(cfg: ModelConfig, grid: Grid) -> State:
     return initial_state(cfg, grid, zeta=zeta, t=jnp.stack([T, S]))
 
 
+def make_atm_fn(cfg: ModelConfig, grid: Grid):
+    """Analytical atmosphere for BULK_FLUXES: Gaussian zonal wind jet at
+    60S (ana_winds.h:118-126), Tair=4 C (ana_tair.h:86-91), Pair=1025 mb
+    (ana_pair.h:87-92), RH=0.8 (ana_humid.h:93-98), cloud=0.6
+    (ana_cloud.h:116-117), Zillman shortwave with 6% water albedo and
+    diurnal cycle (ana_srflux.h:165-192, ALBEDO)."""
+    import math
+    from ..core.bulk_flux import AtmState
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    dy = 20.0 / cfg.Mm
+    dx = 360.0 / cfg.Lm
+    lat = np.asarray(-70.0 + dy * (np.arange(Mj) - 0.5))[:, None] \
+        + np.zeros((1, Li))
+    lon = (dx * (np.arange(Li) - 0.5))[None, :] + np.zeros((Mj, 1))
+    cffw = 0.2 * (60.0 + lat)
+    Uwind = jnp.asarray(15.0 * np.exp(-cffw * cffw), dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    Tair = jnp.full((Mj, Li), 4.0, dtype)
+    Pair = jnp.full((Mj, Li), 1025.0, dtype)
+    Hair = jnp.full((Mj, Li), 0.8, dtype)
+    cloud = jnp.full((Mj, Li), 0.6, dtype)
+    latr = jnp.asarray(lat * constants.deg2rad, dtype)
+    lonr = jnp.asarray(lon * constants.deg2rad, dtype)
+    Rsolar = 1353.0 / (cfg.rho0 * constants.Cp)
+    alb_w = 0.06
+
+    def atm(time):
+        # day-of-year and hour from model clock (caldate equivalent for
+        # an idealized year starting Jan 1)
+        tdays = time * constants.sec2day
+        yday = jnp.mod(tdays, 365.2425)
+        hour = 24.0 * jnp.mod(tdays, 1.0)
+        Dangle = (23.44 * jnp.cos((172.0 - yday) * 2.0 * math.pi
+                                  / 365.2425)) * constants.deg2rad
+        Hangle = (12.0 - hour) * math.pi / 12.0
+        cff1 = jnp.sin(latr) * jnp.sin(Dangle)
+        cff2 = jnp.cos(latr) * jnp.cos(Dangle)
+        zenith = cff1 + cff2 * jnp.cos(Hangle - lonr)
+        cffT = (0.7859 + 0.03477 * 4.0) / (1.0 + 0.00412 * 4.0)
+        vap_p = (10.0 ** cffT) * 0.8
+        srflx = jnp.where(
+            zenith > 0.0,
+            Rsolar * zenith * zenith * (1.0 - 0.6 * 0.6 ** 3)
+            / ((zenith + 2.7) * vap_p * 1.0e-3 + 1.085 * zenith + 0.1),
+            0.0) * (1.0 - alb_w)
+        return AtmState(Uwind=Uwind, Vwind=zeros, Tair=Tair, Pair=Pair,
+                        Hair=Hair, cloud=cloud, rain=zeros,
+                        srflx=srflx.astype(dtype))
+
+    return atm
+
+
+def make_bulk_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """Full BULK_FLUXES forcing (benchmark.h) via COARE 3.0."""
+    from ..core.bulk_flux import make_bulk_forcing
+    return make_bulk_forcing(cfg, make_atm_fn(cfg, grid))
+
+
 def make_forcing_fn(cfg: ModelConfig, grid: Grid):
-    """Zonal wind jet (ana_winds.h:118-126) through a bulk stress law
-    tau = rho_air*Cd*|W|*W / rho0; placeholder for COARE BULK_FLUXES."""
+    """Zonal wind jet (ana_winds.h:118-126) through a constant-Cd stress
+    law — the cheap non-bulk variant used for pure throughput runs."""
     Mj, Li = cfg.shape2d
     dtype = jnp.dtype(cfg.dtype)
     lat_u = np.asarray(-70.0 + (20.0 / cfg.Mm)
