@@ -1,0 +1,202 @@
+"""Open-boundary conditions: radiation, Chapman, Flather, clamped with
+external data and nudging.
+
+Re-implements the per-edge dispatch of ROMS/Nonlinear/zetabc.F,
+u2dbc_im.F, v2dbc_im.F, u3dbc_im.F, v3dbc_im.F, t3dbc_im.F for the open
+families (the closed/gradient/periodic families live in core.boundary).
+
+Geometry trick: every edge is handled by one oriented kernel.  `_orient`
+rotates/flips the array so the processed boundary is always the LAST
+column of the last axis; the inverse transform writes the result back.
+All work on the ghost line is 1-D per (k,) level — negligible cost, no
+dynamic shapes.
+
+External data enters as a dict pytree, e.g.
+  obc = {"zeta": {"west": zw}, "ubar": {"west": uw}}
+with per-edge arrays shaped like the corresponding boundary line
+(Mj or Li, or (N, Mj) for 3-D fields).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .. import constants
+from ..config import (LBC, ModelConfig, CHAPMAN_EXPLICIT, CHAPMAN_IMPLICIT,
+                      CLAMPED, FLATHER, GRADIENT, RADIATION)
+
+_EPS = 1.0e-20
+
+
+def _orient(f, side):
+    """Return f with the `side` boundary as the last column of axis -1."""
+    if side == "east":
+        return f
+    if side == "west":
+        return jnp.flip(f, axis=-1)
+    if side == "north":
+        return jnp.swapaxes(f, -1, -2)
+    if side == "south":
+        return jnp.flip(jnp.swapaxes(f, -1, -2), axis=-1)
+    raise ValueError(side)
+
+
+def _restore(f, side):
+    if side == "east":
+        return f
+    if side == "west":
+        return jnp.flip(f, axis=-1)
+    if side == "north":
+        return jnp.swapaxes(f, -1, -2)
+    if side == "south":
+        return jnp.swapaxes(jnp.flip(f, axis=-1), -1, -2)
+    raise ValueError(side)
+
+
+def _radiation_line(new, old, tau_in=0.0, tau_out=0.0, data=None,
+                    radiation_2d: bool = False, dt=None):
+    """Oblique radiation update of the ghost line (zetabc.F:205-260).
+
+    new/old: oriented arrays (..., rows, cols); boundary ghost is col -1,
+    interior neighbor col -2, next col -3.  Returns the new ghost line.
+    """
+    dZdt = old[..., :, -2] - new[..., :, -2]
+    dZdx = new[..., :, -2] - new[..., :, -3]
+    # tangential gradients of `old` at the two outermost columns,
+    # at "v-like" points between rows
+    gb = old[..., 1:, -2] - old[..., :-1, -2]     # rows-1
+    gg = old[..., 1:, -1] - old[..., :-1, -1]
+    zl = jnp.zeros_like(gb[..., :1])
+    gb_m = jnp.concatenate([zl, gb], axis=-1)     # grad at (row)
+    gb_p = jnp.concatenate([gb, zl], axis=-1)     # grad at (row+1)
+    gg_m = jnp.concatenate([zl, gg], axis=-1)
+    gg_p = jnp.concatenate([gg, zl], axis=-1)
+
+    dZdt = jnp.where(dZdt * dZdx < 0.0, 0.0, dZdt)
+    dZde = jnp.where(dZdt * (gb_m + gb_p) > 0.0, gb_m, gb_p)
+    cff = jnp.maximum(dZdx * dZdx + dZde * dZde, _EPS)
+    Cx = dZdt * dZdx
+    if radiation_2d:
+        Ce = jnp.clip(dZdt * dZde, -cff, cff)
+    else:
+        Ce = jnp.zeros_like(Cx)
+    ghost = (cff * old[..., :, -1] + Cx * new[..., :, -2]
+             - jnp.maximum(Ce, 0.0) * gg_m
+             - jnp.minimum(Ce, 0.0) * gg_p) / (cff + Cx)
+    if data is not None and (tau_in or tau_out):
+        tau = jnp.where(dZdt * dZdx < 0.0, tau_in, tau_out) * dt
+        ghost = ghost + tau * (data - old[..., :, -1])
+    return ghost
+
+
+def zetabc(cfg: ModelConfig, grid, z_new, z_old, dt2d, obc=None):
+    """Open-boundary updates for the free surface applied AFTER the
+    closed/gradient/periodic pass of boundary.bc_rho.  Handles
+    Chapman implicit/explicit, clamped-with-data, radiation."""
+    data = (obc or {}).get("zeta", {})
+    g = constants.g
+    for side in ("west", "south", "east", "north"):
+        kind = getattr(cfg.bc.zeta, side)
+        if kind not in (CHAPMAN_IMPLICIT, CHAPMAN_EXPLICIT, RADIATION,
+                        CLAMPED):
+            continue
+        zn = _orient(z_new, side)
+        zo = _orient(z_old, side)
+        if kind == CLAMPED and side in data:
+            ghost = jnp.broadcast_to(data[side], zn[..., :, -1].shape)
+        elif kind == RADIATION:
+            ghost = _radiation_line(zn, zo, data=data.get(side), dt=dt2d)
+        else:
+            h_o = _orient(grid.h, side)
+            pm_o = _orient(grid.pm if side in ("west", "east")
+                           else grid.pn, side)
+            cff = dt2d * pm_o[..., :, -2]
+            cff1 = jnp.sqrt(g * (h_o[..., :, -2] + zo[..., :, -2]))
+            Cx = cff * cff1
+            if kind == CHAPMAN_IMPLICIT:
+                ghost = (zo[..., :, -1] + Cx * zn[..., :, -2]) / (1.0 + Cx)
+            else:
+                ghost = (1.0 - Cx) * zo[..., :, -1] + Cx * zo[..., :, -2]
+        z_new = _restore(zn.at[..., :, -1].set(ghost), side)
+    return z_new
+
+
+def u2dbc_flather(cfg: ModelConfig, grid, ubar_new, vbar_new,
+                  z_old, ub_old, vb_old, obc=None):
+    """Flather radiation for the normal barotropic velocity
+    (u2dbc_im.F:224-292 and v2dbc counterpart, no-tides branch):
+
+        u_b = u_data -/+ sqrt(g/D) * (zeta_avg - zeta_data)
+    """
+    obc = obc or {}
+    g = constants.g
+
+    def edge(f, vel_data, z_data, side, sign):
+        fo = _orient(f, side)
+        ho = _orient(grid.h, side)
+        zo = _orient(z_old, side)
+        D = 0.5 * (ho[..., :, -1] + zo[..., :, -1]
+                   + ho[..., :, -2] + zo[..., :, -2])
+        Cx = jnp.sqrt(g / D)
+        zavg = 0.5 * (zo[..., :, -1] + zo[..., :, -2])
+        ghost = vel_data + sign * Cx * (zavg - z_data)
+        return _restore(fo.at[..., :, -1].set(ghost), side)
+
+    zdat = obc.get("zeta", {})
+    udat = obc.get("ubar", {})
+    vdat = obc.get("vbar", {})
+    for side in ("west", "east"):
+        if getattr(cfg.bc.ubar, side) == FLATHER:
+            sign = +1.0 if side == "east" else -1.0
+            # NOTE west boundary U-point is column 1; the oriented frame
+            # puts it at the flipped last column which is column 0 (the
+            # dead ghost).  Write both the wall point and ghost.
+            ubar_new = edge(ubar_new, udat.get(side, 0.0),
+                            zdat.get(side, 0.0), side, sign)
+            if side == "west":
+                # copy ghost into the physical wall U-point (col 1)
+                ubar_new = ubar_new.at[..., :, 1].set(ubar_new[..., :, 0])
+    for side in ("south", "north"):
+        if getattr(cfg.bc.vbar, side) == FLATHER:
+            sign = +1.0 if side == "north" else -1.0
+            vbar_new = edge(vbar_new, vdat.get(side, 0.0),
+                            zdat.get(side, 0.0), side, sign)
+            if side == "south":
+                vbar_new = vbar_new.at[..., 1, :].set(vbar_new[..., 0, :])
+    return ubar_new, vbar_new
+
+
+def radiation_3d(cfg: ModelConfig, lbc: LBC, f_new, f_old, dt=None,
+                 data=None, stagger: str = "r"):
+    """Oblique radiation for 2-D/3-D fields (t3dbc_im.F / u3dbc_im.F /
+    v3dbc_im.F pattern), applied after the closed/gradient pass.
+
+    stagger: 'r' (rho/zeta/tracer), 'u', or 'v'.  For a U-field the
+    western boundary point is column 1 (the normal-flow wall point),
+    matching the reference's IstrU-1 indexing; likewise row 1 for a
+    V-field at the south.
+    """
+    data = data or {}
+    for side in ("west", "south", "east", "north"):
+        if getattr(lbc, side) != RADIATION:
+            continue
+        drop = (stagger == "u" and side == "west") or \
+               (stagger == "v" and side == "south")
+        fn = _orient(f_new, side)
+        fo = _orient(f_old, side)
+        if drop:
+            fn, fo = fn[..., :-1], fo[..., :-1]
+        ghost = _radiation_line(fn, fo, data=data.get(side), dt=dt)
+        if drop:
+            # boundary value lives at original index 1 of the edge axis
+            if side == "west":
+                f_new = f_new.at[..., :, 1].set(ghost)
+                f_new = f_new.at[..., :, 0].set(ghost)
+            else:
+                f_new = f_new.at[..., 1, :].set(ghost)
+                f_new = f_new.at[..., 0, :].set(ghost)
+        else:
+            f_new = _restore(fn.at[..., :, -1].set(ghost), side)
+    return f_new

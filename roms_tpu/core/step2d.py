@@ -34,7 +34,7 @@ from .. import constants
 from ..config import ModelConfig, PERIODIC
 from ..grid.grid import Grid
 from ..ops import stencil as st
-from . import boundary
+from . import boundary, obc as obc_mod
 
 
 class FastAverages(NamedTuple):
@@ -254,13 +254,30 @@ def _rhs2d_momentum(cfg: ModelConfig, grid: Grid, ubar, vbar,
     return rhs_u, rhs_v
 
 
-def _zeta_bc(cfg, f):
-    return boundary.bc_rho(f, cfg.bc.zeta)
+def _zeta_bc(cfg, f, grid=None, z_old=None, dt2d=None, obc=None):
+    f = boundary.bc_rho(f, cfg.bc.zeta)
+    if z_old is not None and _has_open(cfg.bc.zeta):
+        f = obc_mod.zetabc(cfg, grid, f, z_old, dt2d, obc)
+    return f
 
 
-def _uv_bc(cfg, u, v):
+def _has_open(lbc):
+    from ..config import (CHAPMAN_EXPLICIT, CHAPMAN_IMPLICIT, CLAMPED,
+                          FLATHER, RADIATION)
+    kinds = (CHAPMAN_EXPLICIT, CHAPMAN_IMPLICIT, CLAMPED, FLATHER,
+             RADIATION)
+    return any(getattr(lbc, s) in kinds
+               for s in ("west", "south", "east", "north"))
+
+
+def _uv_bc(cfg, grid, u, v, z_old=None, ub_old=None, vb_old=None,
+           obc=None):
     u = boundary.bc_u(u, cfg.bc.ubar, cfg.gamma2)
     v = boundary.bc_v(v, cfg.bc.vbar, cfg.gamma2)
+    if z_old is not None and (_has_open(cfg.bc.ubar)
+                              or _has_open(cfg.bc.vbar)):
+        u, v = obc_mod.u2dbc_flather(cfg, grid, u, v, z_old, ub_old,
+                                     vb_old, obc)
     return u, v
 
 
@@ -288,7 +305,7 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
     w2j = jnp.asarray(w2, dtype)
 
     def predictor(grid, iif, c: FastCarry, rhoS, rhoA, iic,
-                  ru0_prev2, rv0_prev2):
+                  ru0_prev2, rv0_prev2, obc):
         pmn = grid.pm * grid.pn
         pmn4_u = (grid.pm + st.im1(grid.pm)) * (grid.pn + st.im1(grid.pn))
         pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
@@ -321,7 +338,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
                          0.5 * (c.zeta + zeta_fe),
                          cff5 * c.zeta + cff4 * (c.zeta_prev + zeta_lf))
         gz, gz2, gzSA = _gzeta(cfg, rhoS, rhoA, zwrk, var_rho)
-        zeta_new = _zeta_bc(cfg, zeta_new)
+        dt2d_p = jnp.where(first, dtfast, 2.0 * dtfast)
+        zeta_new = _zeta_bc(cfg, zeta_new, grid, c.zeta, dt2d_p, obc)
         Dnew = zeta_new + grid.h
 
         # ---- momentum rhs at krhs = fast time m ----
@@ -359,13 +377,14 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         vbar_new = (vb_base * Dv_stp + pmn4_v * cffdt * rhs_v) / Dv_new
         ubar_new = ubar_new * grid.umask
         vbar_new = vbar_new * grid.vmask
-        ubar_new, vbar_new = _uv_bc(cfg, ubar_new, vbar_new)
+        ubar_new, vbar_new = _uv_bc(cfg, grid, ubar_new, vbar_new,
+                                    c.zeta, c.ubar, c.vbar, obc)
 
         return (zeta_new, ubar_new, vbar_new, rhs_zeta, rhs_u, rhs_v,
                 rufrc_c, rvfrc_c, avg)
 
     def corrector(grid, iif, c: FastCarry, zeta_p, ubar_p, vbar_p,
-                  rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA):
+                  rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA, obc):
         pmn = grid.pm * grid.pn
         pmn4_u = (grid.pm + st.im1(grid.pm)) * (grid.pn + st.im1(grid.pn))
         pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
@@ -391,7 +410,7 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
                          0.5 * (c.zeta + zeta_be),
                          cff5 * zeta_am3 + cff4 * zeta_p)
         gz, gz2, gzSA = _gzeta(cfg, rhoS, rhoA, zwrk, var_rho)
-        zeta_new = _zeta_bc(cfg, zeta_new)
+        zeta_new = _zeta_bc(cfg, zeta_new, grid, c.zeta, dtfast, obc)
         Dnew = zeta_new + grid.h
 
         # momentum rhs at krhs = predicted state
@@ -420,7 +439,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         vbar_new = (c.vbar * Dv_stp + pmn4_v * rhs_v_t) / Dv_new
         ubar_new = ubar_new * grid.umask
         vbar_new = vbar_new * grid.vmask
-        ubar_new, vbar_new = _uv_bc(cfg, ubar_new, vbar_new)
+        ubar_new, vbar_new = _uv_bc(cfg, grid, ubar_new, vbar_new,
+                                    c.zeta, c.ubar, c.vbar, obc)
 
         return FastCarry(
             zeta=zeta_new, zeta_prev=c.zeta,
@@ -431,7 +451,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
             ru0=c.ru0, rv0=c.rv0, avg=avg)
 
     def fast_loop(grid, zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
-                  ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic):
+                  ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic,
+                  obc=None):
         zeros = jnp.zeros_like(zeta0)
         avg0 = FastAverages(zeros, zeros, zeros, zeros, zeros)
         carry = FastCarry(
@@ -445,10 +466,12 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         def body(c, iif):
             (zeta_p, ubar_p, vbar_p, rz_m, ru_m, rv_m,
              rufrc_c, rvfrc_c, avg) = predictor(grid, iif, c, rhoS, rhoA,
-                                                iic, ru0_prev2, rv0_prev2)
+                                                iic, ru0_prev2, rv0_prev2,
+                                                obc)
             c = c._replace(avg=avg)
             c = corrector(grid, iif, c, zeta_p, ubar_p, vbar_p,
-                          rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA)
+                          rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA,
+                          obc)
             return c, None
 
         iifs = jnp.arange(1, nfast + 1, dtype=jnp.int32)

@@ -17,11 +17,11 @@ from ..config import ModelConfig
 from ..grid.grid import Grid
 from ..ops import stencil as st
 from ..ops.tridiag import implicit_vdiff_solve, spline_flux_solve
-from . import advection, boundary
+from . import advection, boundary, obc as obc_mod
 
 
 def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
-             Huon, Hvom, W, Hz, z_r, Akt):
+             Huon, Hvom, W, Hz, z_r, Akt, t_old=None, obc=None):
     """Returns t at n+1 (NT, N, Mj, Li).
 
     Hz/z_r: NEW depths; Huon/Hvom/W: time-centered corrected fluxes;
@@ -46,5 +46,10 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
             dz_inv = 1.0 / (z_r[1:] - z_r[:-1])
             tn = implicit_vdiff_solve(Hz, Ak, dz_inv, tn, dt)
         tn = boundary.bc_rho(tn, cfg.bc.t)
+        if t_old is not None:
+            tdat = (obc or {}).get("t")
+            tn = obc_mod.radiation_3d(
+                cfg, cfg.bc.t, tn, t_old[itrc], dt=cfg.dt,
+                data=None if tdat is None else tdat.get(itrc))
         out.append(tn)
     return jnp.stack(out)

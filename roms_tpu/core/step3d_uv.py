@@ -17,11 +17,12 @@ from ..config import ModelConfig
 from ..grid.grid import Grid
 from ..ops import stencil as st
 from ..ops.tridiag import implicit_vdiff_solve, spline_flux_solve
-from . import boundary
+from . import boundary, obc as obc_mod
 
 
 def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
-              Hz, z_r, Akv, avg, Huon_old, Hvom_old, iic):
+              Hz, z_r, Akv, avg, Huon_old, Hvom_old, iic,
+              u_old=None, v_old=None, obc=None):
     """Returns (u, v, ubar, vbar, Huon, Hvom) at time n+1.
 
     u_part/v_part: corrector seeds from pre_step3d (+uv3dmix), Hz*u units.
@@ -77,6 +78,11 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
     vn = correct_v(vn)
     un = boundary.bc_u(un, cfg.bc.u, cfg.gamma2)
     vn = boundary.bc_v(vn, cfg.bc.v, cfg.gamma2)
+    if u_old is not None:
+        un = obc_mod.radiation_3d(cfg, cfg.bc.u, un, u_old, dt=cfg.dt,
+                                  data=(obc or {}).get("u"), stagger="u")
+        vn = obc_mod.radiation_3d(cfg, cfg.bc.v, vn, v_old, dt=cfg.dt,
+                                  data=(obc or {}).get("v"), stagger="v")
     # Re-correct so BOUNDARY points also carry the exact barotropic mean
     # (interior is already exact; step3d_uv.F:1390-1470).
     un = correct_u(un)

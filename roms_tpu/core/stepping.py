@@ -50,7 +50,7 @@ class Model:
 
     def __init__(self, cfg: ModelConfig, grid: Grid,
                  forcing_fn: Callable, vmix_fn: Optional[Callable] = None,
-                 var_rho: bool = True):
+                 var_rho: bool = True, obc_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
@@ -59,6 +59,7 @@ class Model:
         self._forcing_takes_state = (
             len(inspect.signature(forcing_fn).parameters) > 1)
         self.vmix_fn = vmix_fn or default_vmix(cfg)
+        self.obc_fn = obc_fn
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
                                         var_rho=var_rho)
@@ -104,6 +105,7 @@ class Model:
         else:
             Akv, Akt = self.vmix_fn(state, grid, z_w)
         W = omega_mod.omega(cfg, grid, Huon, Hvom, z_w)
+        obc = self.obc_fn(state.time) if self.obc_fn else None
 
         # ---- predictor stage (rhs3d.F:80-189) ---------------------------
         t_half, t_part, u_part, v_part = pre_step3d(
@@ -129,7 +131,7 @@ class Model:
             grid, state.zeta, state.ubar, state.vbar, rufrc, rvfrc,
             rhoS, rhoA,
             state.ru0_prev, state.rv0_prev,
-            state.ru0_prev2, state.rv0_prev2, iic)
+            state.ru0_prev2, state.rv0_prev2, iic, obc)
 
         # ---- new depths from the filtered free surface (main3d.F:963) ---
         z_r2, z_w2, Hz2 = set_depth(grid, avg.Zt_avg1)
@@ -137,7 +139,7 @@ class Model:
         # ---- correctors (main3d.F:990-1045) -----------------------------
         un, vn, ubar, vbar, Huon2, Hvom2 = step3d_uv(
             cfg, grid, u_part, v_part, ru, rv, Hz2, z_r2, Akv, avg,
-            Huon, Hvom, iic)
+            Huon, Hvom, iic, u_old=state.u, v_old=state.v, obc=obc)
         W2 = omega_mod.omega(cfg, grid, Huon2, Hvom2, z_w2)
         if use_gls:
             # gls_corstep (main3d.F:1019-1021) runs before step3d_t so
@@ -152,7 +154,7 @@ class Model:
             mix_new = state.mix
             Akt_t = Akt
         tn = step3d_t(cfg, grid, t_half, t_part, Huon2, Hvom2, W2,
-                      Hz2, z_r2, Akt_t)
+                      Hz2, z_r2, Akt_t, t_old=state.t, obc=obc)
 
         return State(
             time=state.time + cfg.dt, iic=iic + 1,

@@ -1,0 +1,52 @@
+"""Open-boundary condition tests on the KELVIN case (ROMS/Include/
+kelvin.h): Chapman-implicit zeta + Flather 2D momentum at the west,
+oblique radiation at the east."""
+
+import numpy as np
+import pytest
+
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import kelvin
+
+
+@pytest.fixture(scope="module")
+def run_one_period():
+    cfg = kelvin.make_config()
+    grid = kelvin.make_grid(cfg)
+    state = kelvin.make_initial(cfg, grid)
+    model = Model(cfg, grid, kelvin.make_forcing_fn(cfg, grid),
+                  obc_fn=kelvin.make_obc_fn(cfg, grid))
+    s = model.run(state, 50)     # ~ one M2 period at dt=900s
+    return cfg, grid, s
+
+
+class TestKelvinOBC:
+    def test_wave_enters_and_stays_bounded(self, run_one_period):
+        cfg, grid, s = run_one_period
+        z = np.asarray(s.zeta)
+        assert np.isfinite(z).all()
+        # forced amplitude is 1 m; interior response must be substantial
+        # but not amplified (radiation must not reflect/blow up)
+        assert 0.1 < np.abs(z[1:-1, 1:-1]).max() < 1.5
+        assert np.isfinite(np.asarray(s.u)).all()
+        assert np.abs(np.asarray(s.u)).max() < 1.0
+
+    def test_kelvin_offshore_decay(self, run_one_period):
+        """Amplitude decays away from the southern coast like
+        exp(-f y / sqrt(gh))."""
+        cfg, grid, s = run_one_period
+        z = np.asarray(s.zeta)
+        inshore = np.abs(z[1:6, 2:20]).max()
+        offshore = np.abs(z[-6:-1, 2:20]).max()
+        assert offshore < 0.5 * inshore
+
+    def test_no_reflection_growth(self, run_one_period):
+        """Integrate one more period: energy must not grow unboundedly
+        (radiation boundary leaks the wave out)."""
+        cfg, grid, s = run_one_period
+        model = Model(cfg, grid, kelvin.make_forcing_fn(cfg, grid),
+                      obc_fn=kelvin.make_obc_fn(cfg, grid))
+        s2 = model.run(s, 50)
+        z2 = np.asarray(s2.zeta)
+        assert np.isfinite(z2).all()
+        assert np.abs(z2[1:-1, 1:-1]).max() < 2.0
