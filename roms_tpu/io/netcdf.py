@@ -1,0 +1,136 @@
+"""NetCDF output streams (history / quick / averages).
+
+The reference writes NetCDF through a rank-0 gather (def_his.F/wrt_his.F
+via nf_fwrite2d/3d + mp_gather, SURVEY.md 2.6).  Here device arrays are
+fetched once per record (a single device-to-host copy of the pytree) and
+appended to a classic NetCDF file via scipy.io.netcdf_file — dependency-
+free and readable by every ROMS post-processing tool.
+
+The CF-ish schema mirrors the reference: ocean_time unlimited record
+dimension, s_rho/s_w vertical coordinates with Vtransform/Vstretching
+attributes, staggered eta/xi dimensions per C-grid location.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.io import netcdf_file
+
+from ..config import ModelConfig
+from .varinfo import REGISTRY, dims_for
+
+
+class HistoryWriter:
+    """Append-per-record NetCDF writer (HIS/QCK streams).
+
+    fields: list of registry keys to write each record.  Tracer entries
+    'temp'/'salt' map to state.t[0]/t[1]; turbulence fields come from
+    state.mix when present.
+    """
+
+    def __init__(self, path: str, cfg: ModelConfig, grid,
+                 fields=("zeta", "ubar", "vbar", "u", "v", "temp",
+                         "salt")):
+        self.cfg = cfg
+        self.fields = fields
+        self.nrec = 0
+        Mj, Li = cfg.shape2d
+        N = cfg.N
+        f = netcdf_file(path, "w", version=2)
+        f.history = "roms_tpu history file"
+        f.type = "ROMS/TOMS history file"
+        f.Vtransform = cfg.vert.Vtransform
+        f.Vstretching = cfg.vert.Vstretching
+
+        # scipy's classic-format writer requires the record dimension
+        # to be defined first
+        f.createDimension("ocean_time", None)
+        f.createDimension("xi_rho", Li)
+        f.createDimension("xi_u", Li)
+        f.createDimension("xi_v", Li)
+        f.createDimension("eta_rho", Mj)
+        f.createDimension("eta_u", Mj)
+        f.createDimension("eta_v", Mj)
+        f.createDimension("s_rho", N)
+        f.createDimension("s_w", N + 1)
+
+        vt = f.createVariable("ocean_time", "d", ("ocean_time",))
+        vt.units = "seconds since initialization"
+        self._time = vt
+
+        for name in ("s_rho", "s_w", "Cs_r", "Cs_w"):
+            dim = "s_rho" if name.endswith("_r") or name == "s_rho" \
+                else "s_w"
+            v = f.createVariable(name, "d", (dim,))
+            src = {"s_rho": grid.sc_r, "s_w": grid.sc_w,
+                   "Cs_r": grid.Cs_r, "Cs_w": grid.Cs_w}[name]
+            v[:] = np.asarray(src, np.float64)
+
+        # static grid fields
+        for key in ("h", "f", "pm", "pn"):
+            info = REGISTRY[key]
+            v = f.createVariable(info.name, "d", dims_for(info.location, N))
+            v.long_name = info.long_name
+            v.units = info.units
+            v[:] = np.asarray(getattr(grid, key), np.float64)
+
+        self._vars = {}
+        for key in self.fields:
+            info = REGISTRY[key]
+            dims = ("ocean_time",) + dims_for(info.location, N)
+            v = f.createVariable(info.name, "f", dims)
+            v.long_name = info.long_name
+            v.units = info.units
+            self._vars[key] = v
+        self.f = f
+
+    def _extract(self, state, key):
+        if key == "temp":
+            return state.t[0]
+        if key == "salt":
+            return state.t[1]
+        if key in ("tke", "gls", "AKv"):
+            attr = {"tke": "tke", "gls": "gls", "AKv": "Akv"}[key]
+            return getattr(state.mix, attr)
+        if key == "AKt":
+            return state.mix.Akt[0]
+        return getattr(state, key)
+
+    def write(self, state, time=None):
+        i = self.nrec
+        t = float(np.asarray(state.time if time is None else time))
+        self._time[i] = t
+        for key in self.fields:
+            self._vars[key][i] = np.asarray(self._extract(state, key),
+                                            np.float32)
+        self.nrec += 1
+        self.f.flush()
+
+    def close(self):
+        self.f.close()
+
+
+class AverageAccumulator:
+    """Time-averaged output (set_avg.F / AVG stream): running mean of the
+    selected fields between writes."""
+
+    def __init__(self, cfg: ModelConfig, fields):
+        self.cfg = cfg
+        self.fields = fields
+        self.reset()
+
+    def reset(self):
+        self._sum = None
+        self._count = 0
+
+    def accumulate(self, extract_fn, state):
+        vals = {k: np.asarray(extract_fn(state, k)) for k in self.fields}
+        if self._sum is None:
+            self._sum = vals
+        else:
+            for k in self.fields:
+                self._sum[k] = self._sum[k] + vals[k]
+        self._count += 1
+
+    def mean(self):
+        return {k: v / self._count for k, v in self._sum.items()}

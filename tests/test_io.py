@@ -1,0 +1,66 @@
+"""I/O tests: NetCDF history stream and perfect restart."""
+
+import os
+
+import numpy as np
+import pytest
+
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import upwelling
+from roms_tpu.io.netcdf import HistoryWriter
+from roms_tpu.io.restart import load_checkpoint, save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def small():
+    cfg = upwelling.make_config(Lm=16, Mm=18, N=8, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    state = upwelling.make_initial(cfg, grid)
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  upwelling.make_vmix_fn(cfg))
+    return cfg, grid, state, model
+
+
+class TestHistory:
+    def test_write_and_readback(self, small, tmp_path):
+        cfg, grid, state, model = small
+        path = str(tmp_path / "his.nc")
+        w = HistoryWriter(path, cfg, grid)
+        s = state
+        for _ in range(3):
+            s = model.step(s)
+            w.write(s)
+        w.close()
+
+        from scipy.io import netcdf_file
+        f = netcdf_file(path, "r")
+        assert f.variables["ocean_time"].shape[0] == 3
+        z = f.variables["zeta"][:]
+        assert z.shape == (3,) + cfg.shape2d
+        np.testing.assert_allclose(z[-1], np.asarray(s.zeta), rtol=2e-7,
+                                   atol=1e-10)
+        assert f.variables["temp"].shape == (3, cfg.N) + cfg.shape2d
+        # vertical coordinate metadata round-trips
+        np.testing.assert_allclose(f.variables["Cs_w"][:],
+                                   np.asarray(grid.Cs_w))
+        f.close()
+
+
+class TestPerfectRestart:
+    def test_bitwise_restart(self, small, tmp_path):
+        """The regression methodology of the reference (PERFECT_RESTART,
+        SURVEY.md 4.4): stop/restart must be bit-identical."""
+        cfg, grid, state, model = small
+        s = model.run(state, 5)
+        path = str(tmp_path / "rst.npz")
+        save_checkpoint(path, s)
+
+        cont = model.run(s, 5)
+        restored = load_checkpoint(path, s)
+        resumed = model.run(restored, 5)
+
+        for name in ("zeta", "ubar", "vbar", "u", "v", "t", "t_prev",
+                     "ru_prev", "ru_prev2"):
+            a = np.asarray(getattr(cont, name))
+            b = np.asarray(getattr(resumed, name))
+            assert np.array_equal(a, b), name
