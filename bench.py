@@ -48,9 +48,10 @@ def main():
     state = benchmark.make_initial(cfg, grid)
     model = Model(cfg, grid, benchmark.make_forcing_fn(cfg, grid))
 
-    # Single-step jit with buffer donation: one compile, steady-state
-    # throughput measured over repeated calls.
-    step = jax.jit(model._step_grid, donate_argnums=0)
+    # Single-step jit: one compile, steady-state throughput measured
+    # over repeated calls.  (No buffer donation: the tunneled TPU
+    # backend rejects aliased buffers.)
+    step = jax.jit(model._step_grid)
     s = state
     for _ in range(args.warmup):
         s = step(s, grid)

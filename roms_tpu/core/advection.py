@@ -63,10 +63,12 @@ def hadv_flux(cfg: ModelConfig, grid: Grid, q, Huon, Hvom, scheme: str):
         return FX, FE
 
     if scheme == AKIMA4:
-        gx = jnp.where(2.0 * st.ip1(dqx) * dqx > _EPS,
-                       2.0 * st.ip1(dqx) * dqx / (st.ip1(dqx) + dqx), 0.0)
-        ge = jnp.where(2.0 * st.jp1(dqe) * dqe > _EPS,
-                       2.0 * st.jp1(dqe) * dqe / (st.jp1(dqe) + dqe), 0.0)
+        def _harm(a, b):
+            good = 2.0 * a * b > _EPS
+            den = jnp.where(good, a + b, 1.0)
+            return jnp.where(good, 2.0 * a * b / den, 0.0)
+        gx = _harm(st.ip1(dqx), dqx)
+        ge = _harm(st.jp1(dqe), dqe)
     elif scheme == CENTERED4:
         gx = 0.5 * (st.ip1(dqx) + dqx)
         ge = 0.5 * (st.jp1(dqe) + dqe)
@@ -122,8 +124,9 @@ def vadv_flux(cfg: ModelConfig, q, W, Hz, scheme: str):
     if scheme == AKIMA4:
         dq = q[1:] - q[:-1]                       # (N-1,...)
         dq = jnp.concatenate([dq[:1], dq, dq[-1:]], axis=0)   # (N+1,...)
-        CFk = jnp.where(2.0 * dq[1:] * dq[:-1] > _EPS,
-                        2.0 * dq[1:] * dq[:-1] / (dq[1:] + dq[:-1]), 0.0)
+        _g = 2.0 * dq[1:] * dq[:-1] > _EPS
+        _d = jnp.where(_g, dq[1:] + dq[:-1], 1.0)
+        CFk = jnp.where(_g, 2.0 * dq[1:] * dq[:-1] / _d, 0.0)
         third = 1.0 / 3.0
         FCi = W[1:-1] * 0.5 * (q[:-1] + q[1:]
                                - third * (CFk[1:] - CFk[:-1]))

@@ -21,9 +21,14 @@ _EPS = 1.0e-10
 
 
 def _harmonic(a, b):
-    """2ab/(a+b) where 2ab>eps else 0 (prsgrd32.h limiter)."""
+    """2ab/(a+b) where 2ab>eps else 0 (prsgrd32.h limiter).
+
+    The denominator is guarded so reverse-mode AD never sees 0/0 (the
+    unselected branch of jnp.where still propagates NaN cotangents)."""
     cff = 2.0 * a * b
-    return jnp.where(cff > _EPS, cff / (a + b), 0.0)
+    good = cff > _EPS
+    den = jnp.where(good, a + b, 1.0)
+    return jnp.where(good, cff / den, 0.0)
 
 
 def _harmonic_z(a, b):
@@ -74,10 +79,8 @@ def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz):
     if cfg.bc.ew_periodic:
         aux = st.periodic_x(aux)
         FC = st.periodic_x(FC)
-    dZx = jnp.where(2.0 * aux * st.ip1(aux) > _EPS,
-                    2.0 * aux * st.ip1(aux) / (aux + st.ip1(aux)), 0.0)
-    dRx = jnp.where(2.0 * FC * st.ip1(FC) > _EPS,
-                    2.0 * FC * st.ip1(FC) / (FC + st.ip1(FC)), 0.0)
+    dZx = _harmonic(aux, st.ip1(aux))
+    dRx = _harmonic(FC, st.ip1(FC))
     if cfg.bc.ew_periodic:
         dZx = st.periodic_x(dZx)
         dRx = st.periodic_x(dRx)
@@ -97,10 +100,8 @@ def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz):
     if cfg.bc.ns_periodic:
         auy = st.periodic_y(auy)
         FE = st.periodic_y(FE)
-    dZe = jnp.where(2.0 * auy * st.jp1(auy) > _EPS,
-                    2.0 * auy * st.jp1(auy) / (auy + st.jp1(auy)), 0.0)
-    dRe = jnp.where(2.0 * FE * st.jp1(FE) > _EPS,
-                    2.0 * FE * st.jp1(FE) / (FE + st.jp1(FE)), 0.0)
+    dZe = _harmonic(auy, st.jp1(auy))
+    dRe = _harmonic(FE, st.jp1(FE))
     if cfg.bc.ns_periodic:
         dZe = st.periodic_y(dZe)
         dRe = st.periodic_y(dRe)
