@@ -199,6 +199,7 @@ class ModelConfig:
     bc: BoundaryConfig = field(default_factory=BoundaryConfig)
 
     rho0: float = 1025.0
+    g: float = 9.81           # gravity; nondimensional apps override (SOLITON)
     gamma2: float = 1.0       # slipperiness (free slip = 1)
 
     # Tracer advection scheme selection per tracer family

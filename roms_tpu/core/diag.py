@@ -46,7 +46,7 @@ def diag(cfg: ModelConfig, grid: Grid, state, max_speed: float = 20.0,
     ke = 0.5 * (u_r * u_r + v_r * v_r)
     avgke = jnp.sum(ke * cell_vol) / volume
 
-    pe = 0.5 * constants.g * zeta * zeta
+    pe = 0.5 * cfg.g * zeta * zeta
     avgpe = jnp.sum(pe * omn) / jnp.sum((zeta + grid.h) * omn)
 
     speed = jnp.sqrt(u_r * u_r + v_r * v_r)

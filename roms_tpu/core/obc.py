@@ -96,7 +96,7 @@ def zetabc(cfg: ModelConfig, grid, z_new, z_old, dt2d, obc=None):
     closed/gradient/periodic pass of boundary.bc_rho.  Handles
     Chapman implicit/explicit, clamped-with-data, radiation."""
     data = (obc or {}).get("zeta", {})
-    g = constants.g
+    g = cfg.g
     for side in ("west", "south", "east", "north"):
         kind = getattr(cfg.bc.zeta, side)
         if kind not in (CHAPMAN_IMPLICIT, CHAPMAN_EXPLICIT, RADIATION,
@@ -131,7 +131,7 @@ def u2dbc_flather(cfg: ModelConfig, grid, ubar_new, vbar_new,
         u_b = u_data -/+ sqrt(g/D) * (zeta_avg - zeta_data)
     """
     obc = obc or {}
-    g = constants.g
+    g = cfg.g
 
     def edge(f, vel_data, z_data, side, sign):
         fo = _orient(f, side)

@@ -41,7 +41,7 @@ def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz):
 
     rho: density anomaly (N, Mj, Li); returns (ru, rv) in m4/s2.
     """
-    g = constants.g
+    g = cfg.g
     GRho = g / cfg.rho0
     HalfGRho = 0.5 * GRho
     OneFifth = 0.2

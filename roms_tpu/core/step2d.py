@@ -107,7 +107,7 @@ def _rhs2d_momentum(cfg: ModelConfig, grid: Grid, ubar, vbar,
     C4 advection: :1268-1392.  Coriolis: :1425-1444.  Harmonic
     viscosity: :1562-1652.
     """
-    g = constants.g
+    g = cfg.g
     h = grid.h
     ewp = cfg.bc.ew_periodic
     nsp = cfg.bc.ns_periodic

@@ -1,0 +1,85 @@
+"""Idealized application regression tests (the reference's analytical
+test-case battery, SURVEY.md 4.1): SOLITON, SEAMOUNT, GRAV_ADJ."""
+
+import numpy as np
+import pytest
+
+from roms_tpu.core.main2d import Model2D
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import idealized as ia
+
+
+class TestSoliton:
+    """Equatorial Rossby soliton (2D engine, nondimensional g=1)."""
+
+    def test_westward_propagation_and_shape(self):
+        cfg = ia.soliton_config()
+        grid = ia.soliton_grid(cfg)
+        s0 = ia.soliton_initial(cfg, grid)
+        m = Model2D(cfg, grid)
+        s = m.run(s0, 400)       # t = 20
+        z0 = np.asarray(s0.zeta)[1:-1, 1:-1]
+        z = np.asarray(s.zeta)[1:-1, 1:-1]
+        assert np.isfinite(z).all()
+        # Boyd soliton phase speed ~ -0.4: expect ~8 nondimensional units
+        # = 16 cells westward after t=20
+        _, i0 = np.unravel_index(np.argmax(z0), z0.shape)
+        _, i1 = np.unravel_index(np.argmax(z), z.shape)
+        shift = i0 - i1
+        assert 12 <= shift <= 20, shift
+        # amplitude approximately preserved (first-order soliton sheds
+        # a small tail)
+        assert 0.7 * z0.max() < z.max() <= 1.05 * z0.max()
+
+    def test_symmetry_about_equator(self):
+        """The soliton is symmetric in y; the solution must stay so."""
+        cfg = ia.soliton_config()
+        grid = ia.soliton_grid(cfg)
+        s0 = ia.soliton_initial(cfg, grid)
+        m = Model2D(cfg, grid)
+        s = m.run(s0, 100)
+        z = np.asarray(s.zeta)[1:-1, 1:-1]
+        assert np.allclose(z, z[::-1, :], atol=1e-10)
+
+
+class TestSeamount:
+    """Pressure-gradient error over steep topography must stay tiny with
+    the splines density Jacobian (SURVEY.md 7: SEAMOUNT is the acid
+    test for prsgrd32)."""
+
+    def test_spurious_velocity_small(self):
+        cfg = ia.seamount_config()
+        grid = ia.seamount_grid(cfg)
+        s0 = ia.seamount_initial(cfg, grid)
+        m = Model(cfg, grid, ia.zero_forcing(cfg))
+        s = m.run(s0, 30)
+        umax = np.abs(np.asarray(s.u)).max()
+        # resting stratified fluid over a 4500 m seamount: error
+        # currents must stay below 1 mm/s at 30 minutes
+        assert umax < 1.0e-3, umax
+        assert np.isfinite(np.asarray(s.u)).all()
+
+
+class TestGravAdj:
+    def test_lock_exchange(self):
+        cfg = ia.grav_adj_config(Lm=64, N=20)
+        grid = ia.grav_adj_grid(cfg)
+        s0 = ia.grav_adj_initial(cfg, grid)
+        m = Model(cfg, grid, ia.zero_forcing(cfg))
+        s = m.run(s0, 60)
+        a = np.asarray
+        u = a(s.u)
+        T = a(s.t[0])
+        assert np.isfinite(u).all()
+        # gravity current develops: dense water undercuts light water
+        assert 0.02 < np.abs(u).max() < 0.5
+        # baroclinic dipole at the front: dense (east) water flows west
+        # along the bottom, light water east along the surface
+        fr = slice(25, 42)
+        u_bot = u[0, 2, fr].min()
+        u_top = u[-1, 2, fr].max()
+        assert u_bot < -0.02 and u_top > 0.02
+        # temperature stays within the initial range (+ small UP3 over/
+        # undershoot)
+        assert T.min() > cfg.eos.T0 - 0.3
+        assert T.max() < cfg.eos.T0 + 5.3
