@@ -134,6 +134,12 @@ class MixingConfig:
     # Horizontal harmonic viscosity/diffusion (m2/s)
     visc2: float = 0.0              # VISC2 (roms_upwelling.in:316)
     tnu2: Tuple[float, ...] = (0.0, 0.0)   # TNU2 per tracer
+    # Horizontal biharmonic coefficients (m4/s); the kernels use their
+    # square roots, as in inp_par.F (visc4=sqrt(VISC4))
+    visc4: float = 0.0
+    tnu4: Tuple[float, ...] = (0.0, 0.0)
+    # Rotate harmonic tracer diffusion along geopotentials (MIX_GEO_TS)
+    mix_geo_ts: bool = False
     # Vertical background mixing
     akv_bak: float = 1.0e-5         # AKV_BAK
     akt_bak: Tuple[float, ...] = (1.0e-6, 1.0e-6)  # AKT_BAK per tracer

@@ -88,3 +88,183 @@ def uv3dmix2_s(cfg: ModelConfig, grid: Grid, u, v, u_part, v_part, Hz,
     rufrc = rufrc + jnp.sum(div_u, axis=0)
     rvfrc = rvfrc + jnp.sum(div_v, axis=0)
     return u_part, v_part, rufrc, rvfrc
+
+
+def _lap_bc(cfg: ModelConfig, lbc, Lap):
+    """Boundary treatment of the intermediate Laplacian for biharmonic
+    operators (t3dmix4_s.h:233-290): closed edges zero it, open/gradient
+    edges copy the interior; periodic edges wrap."""
+    from ..config import CLOSED
+    if cfg.bc.ew_periodic:
+        Lap = st.periodic_x(Lap)
+    else:
+        wv = 0.0 if lbc.west == CLOSED else Lap[..., :, 1]
+        ev = 0.0 if lbc.east == CLOSED else Lap[..., :, -2]
+        Lap = Lap.at[..., :, 0].set(wv).at[..., :, -1].set(ev)
+    if cfg.bc.ns_periodic:
+        Lap = st.periodic_y(Lap)
+    else:
+        sv = 0.0 if lbc.south == CLOSED else Lap[..., 1, :]
+        nv = 0.0 if lbc.north == CLOSED else Lap[..., -2, :]
+        Lap = Lap.at[..., 0, :].set(sv).at[..., -1, :].set(nv)
+    return Lap
+
+
+def t3dmix4_s(cfg: ModelConfig, grid: Grid, t, t_part, Hz):
+    """Biharmonic tracer mixing along s (t3dmix4_s.h): the harmonic
+    operator applied twice with sqrt(diff4) each pass."""
+    if all(d == 0.0 for d in cfg.mixing.tnu4):
+        return t_part
+    dt = cfg.dt
+    pmn = grid.pm * grid.pn
+    out = []
+    for itrc in range(cfg.NT):
+        d4 = grid.diff4[itrc]
+        cffx = 0.25 * (d4 + st.im1(d4)) * grid.pmon_u * grid.umask
+        cffe = 0.25 * (d4 + st.jm1(d4)) * grid.pnom_v * grid.vmask
+
+        def harm(q, with_hz_out):
+            FX = cffx * (Hz + st.im1(Hz)) * (q - st.im1(q))
+            FE = cffe * (Hz + st.jm1(Hz)) * (q - st.jm1(q))
+            if cfg.bc.ew_periodic:
+                FX = st.periodic_x(FX)
+            if cfg.bc.ns_periodic:
+                FE = st.periodic_y(FE)
+            div = st.dx_p(FX) + st.dy_p(FE)
+            return div
+
+        Lap = pmn * harm(t[itrc], False) / Hz
+        Lap = _lap_bc(cfg, cfg.bc.t, Lap)
+        out.append(t_part[itrc] - dt * pmn * harm(Lap, True))
+    return jnp.stack(out)
+
+
+def uv3dmix4_s(cfg: ModelConfig, grid: Grid, u, v, u_part, v_part, Hz,
+               rufrc, rvfrc):
+    """Biharmonic viscosity along s (uv3dmix4_s.h): harmonic stress
+    divergence applied twice; thickness weighting only on the second
+    pass (as in step2d's 2D biharmonic, 'D appears only in the second
+    operator')."""
+    if cfg.mixing.visc4 <= 0.0:
+        return u_part, v_part, rufrc, rvfrc
+    dt = cfg.dt
+    pn, pm = grid.pn, grid.pm
+    upn = pn + st.im1(pn)
+    upm = pm + st.im1(pm)
+    vpn = pn + st.jm1(pn)
+    vpm = pm + st.jm1(pm)
+    Hz_p = 0.25 * (Hz + st.im1(Hz) + st.jm1(Hz) + st.im1jm1(Hz))
+
+    def stress_div(uu, vv, with_hz):
+        wr = Hz if with_hz else 1.0
+        wp = Hz_p if with_hz else 1.0
+        cff_r = wr * 0.5 * (grid.pmon_r * st.dx_p(upn * uu)
+                            - grid.pnom_r * st.dy_p(vpm * vv)) \
+            * grid.visc4_r
+        cff_p = 0.5 * wp * (grid.pmon_p * st.dx_m(vpn * vv)
+                            + grid.pnom_p * st.dy_m(upm * uu)) \
+            * grid.visc4_p * grid.pmask
+        UFx = grid.on_r * grid.on_r * cff_r
+        VFe = grid.om_r * grid.om_r * cff_r
+        UFe = grid.om_p * grid.om_p * cff_p
+        VFx = grid.on_p * grid.on_p * cff_p
+        if cfg.bc.ew_periodic:
+            UFx, VFe = st.periodic_x(UFx), st.periodic_x(VFe)
+            UFe, VFx = st.periodic_x(UFe), st.periodic_x(VFx)
+        if cfg.bc.ns_periodic:
+            UFx, VFe = st.periodic_y(UFx), st.periodic_y(VFe)
+            UFe, VFx = st.periodic_y(UFe), st.periodic_y(VFx)
+        du = 0.5 * upn * st.dx_m(UFx) + 0.5 * upm * (st.jp1(UFe) - UFe)
+        dv = 0.5 * vpn * (st.ip1(VFx) - VFx) - 0.5 * vpm * st.dy_m(VFe)
+        return du, dv
+
+    LapU, LapV = stress_div(u, v, with_hz=False)
+    # convert to velocity-like Laplacians and clamp at boundaries
+    pmn_u = 0.25 * upm * upn
+    pmn_v = 0.25 * vpm * vpn
+    LapU = _lap_bc(cfg, cfg.bc.u, LapU * pmn_u)
+    LapV = _lap_bc(cfg, cfg.bc.v, LapV * pmn_v)
+    du, dv = stress_div(LapU, LapV, with_hz=True)
+    # biharmonic: subtract
+    u_part = u_part - dt * pmn_u * du
+    v_part = v_part - dt * pmn_v * dv
+    rufrc = rufrc - jnp.sum(du, axis=0)
+    rvfrc = rvfrc - jnp.sum(dv, axis=0)
+    return u_part, v_part, rufrc, rvfrc
+
+
+def t3dmix2_geo(cfg: ModelConfig, grid: Grid, t, t_part, Hz, z_r):
+    """Harmonic tracer diffusion rotated along geopotential surfaces
+    (t3dmix2_geo.h): triad scheme with min/max upwinding of the slope
+    terms; the vertical cross-flux FS closes the rotation."""
+    if all(d == 0.0 for d in cfg.mixing.tnu2):
+        return t_part
+    dt = cfg.dt
+    pmn = grid.pm * grid.pn
+    pm_u = 0.5 * (grid.pm + st.im1(grid.pm)) * grid.umask
+    pn_v = 0.5 * (grid.pn + st.jm1(grid.pn)) * grid.vmask
+
+    dZdx = pm_u * (z_r - st.im1(z_r))            # (N, Mj, Li) u pts
+    dZde = pn_v * (z_r - st.jm1(z_r))
+    if cfg.bc.ew_periodic:
+        dZdx = st.periodic_x(dZdx)
+    if cfg.bc.ns_periodic:
+        dZde = st.periodic_y(dZde)
+
+    out = []
+    for itrc in range(cfg.NT):
+        q = t[itrc]
+        d2 = grid.diff2[itrc]
+        cff_u = 0.25 * (d2 + st.im1(d2)) * grid.on_u
+        cff_v = 0.25 * (d2 + st.jm1(d2)) * grid.om_v
+        dTdx = pm_u * (q - st.im1(q))
+        dTde = pn_v * (q - st.jm1(q))
+        if cfg.bc.ew_periodic:
+            dTdx = st.periodic_x(dTdx)
+        if cfg.bc.ns_periodic:
+            dTde = st.periodic_y(dTde)
+        dTdz_i = (q[1:] - q[:-1]) / (z_r[1:] - z_r[:-1])
+        zz = jnp.zeros_like(dTdz_i[:1])
+        dTdz = jnp.concatenate([zz, dTdz_i, zz], axis=0)   # (N+1,...)
+
+        # horizontal fluxes with slope correction (t3dmix2_geo.h:205-245)
+        mnZ = jnp.minimum(dZdx, 0.0)
+        mxZ = jnp.maximum(dZdx, 0.0)
+        FX = cff_u * (Hz + st.im1(Hz)) * (
+            dTdx - 0.5 * (mnZ * (st.im1(dTdz)[:-1] + dTdz[1:])
+                          + mxZ * (st.im1(dTdz)[1:] + dTdz[:-1])))
+        mnZe = jnp.minimum(dZde, 0.0)
+        mxZe = jnp.maximum(dZde, 0.0)
+        FE = cff_v * (Hz + st.jm1(Hz)) * (
+            dTde - 0.5 * (mnZe * (st.jm1(dTdz)[:-1] + dTdz[1:])
+                          + mxZe * (st.jm1(dTdz)[1:] + dTdz[:-1])))
+        if cfg.bc.ew_periodic:
+            FX = st.periodic_x(FX)
+        if cfg.bc.ns_periodic:
+            FE = st.periodic_y(FE)
+
+        # vertical cross-flux at interior interfaces kk=1..N-1
+        # (t3dmix2_geo.h:248-278)
+        c = 0.5 * d2
+        dTz = dTdz[1:-1]                              # (N-1,...)
+        c1 = jnp.minimum(dZdx[:-1], 0.0)              # layer kk-1
+        c2 = jnp.minimum(st.ip1(dZdx)[1:], 0.0)       # layer kk, i+1
+        c3 = jnp.maximum(dZdx[1:], 0.0)
+        c4 = jnp.maximum(st.ip1(dZdx)[:-1], 0.0)
+        FS = c * (c1 * (c1 * dTz - dTdx[:-1])
+                  + c2 * (c2 * dTz - st.ip1(dTdx)[1:])
+                  + c3 * (c3 * dTz - dTdx[1:])
+                  + c4 * (c4 * dTz - st.ip1(dTdx)[:-1]))
+        e1 = jnp.minimum(dZde[:-1], 0.0)
+        e2 = jnp.minimum(st.jp1(dZde)[1:], 0.0)
+        e3 = jnp.maximum(dZde[1:], 0.0)
+        e4 = jnp.maximum(st.jp1(dZde)[:-1], 0.0)
+        FS = FS + c * (e1 * (e1 * dTz - dTde[:-1])
+                       + e2 * (e2 * dTz - st.jp1(dTde)[1:])
+                       + e3 * (e3 * dTz - dTde[1:])
+                       + e4 * (e4 * dTz - st.jp1(dTde)[:-1]))
+        FSfull = jnp.concatenate([zz, FS, zz], axis=0)
+
+        out.append(t_part[itrc] + dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
+                   + dt * (FSfull[1:] - FSfull[:-1]))
+    return jnp.stack(out)

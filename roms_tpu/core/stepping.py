@@ -21,8 +21,8 @@ from ..config import ModelConfig
 from ..grid.depth import set_depth, set_massflux
 from ..grid.grid import Grid
 from ..ops import stencil as st
-from . import (gls as gls_mod, hmix, lmd as lmd_mod, omega as omega_mod,
-               prsgrd, rhs3d, set_vbc)
+from . import (climatology as clm_mod, gls as gls_mod, hmix,
+               lmd as lmd_mod, omega as omega_mod, prsgrd, rhs3d, set_vbc)
 from .pre_step3d import pre_step3d
 from .rho_eos import rho_eos
 from .state import Forcing, State
@@ -50,7 +50,9 @@ class Model:
 
     def __init__(self, cfg: ModelConfig, grid: Grid,
                  forcing_fn: Callable, vmix_fn: Optional[Callable] = None,
-                 var_rho: bool = True, obc_fn: Optional[Callable] = None):
+                 var_rho: bool = True, obc_fn: Optional[Callable] = None,
+                 clm_fn: Optional[Callable] = None,
+                 bio_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
@@ -60,6 +62,8 @@ class Model:
             len(inspect.signature(forcing_fn).parameters) > 1)
         self.vmix_fn = vmix_fn or default_vmix(cfg)
         self.obc_fn = obc_fn
+        self.clm_fn = clm_fn
+        self.bio_fn = bio_fn
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
                                         var_rho=var_rho)
@@ -106,6 +110,7 @@ class Model:
             Akv, Akt = self.vmix_fn(state, grid, z_w)
         W = omega_mod.omega(cfg, grid, Huon, Hvom, z_w)
         obc = self.obc_fn(state.time) if self.obc_fn else None
+        clm = self.clm_fn(state.time) if self.clm_fn else None
 
         # ---- predictor stage (rhs3d.F:80-189) ---------------------------
         t_half, t_part, u_part, v_part = pre_step3d(
@@ -114,12 +119,24 @@ class Model:
             Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic,
             ghats=ghats_flux)
         ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz)
-        t_part = hmix.t3dmix2_s(cfg, grid, state.t, t_part, Hz)
+        if cfg.mixing.mix_geo_ts:
+            t_part = hmix.t3dmix2_geo(cfg, grid, state.t, t_part, Hz, z_r)
+        else:
+            t_part = hmix.t3dmix2_s(cfg, grid, state.t, t_part, Hz)
+        t_part = hmix.t3dmix4_s(cfg, grid, state.t, t_part, Hz)
+        if self.bio_fn is not None:
+            # ecosystem source/sink increment (main3d.F:1027, biology.F)
+            t_part = t_part + Hz[None] * self.bio_fn(state.t, Hz, z_w,
+                                                     forcing)
         ru, rv = rhs3d.rhs3d_momentum(cfg, grid, state.u, state.v, Hz,
                                       Huon, Hvom, W, ru, rv)
+        ru, rv = clm_mod.nudge_momentum_rhs(cfg, grid, clm, state.u,
+                                            state.v, Hz, ru, rv)
         rufrc, rvfrc = rhs3d.integrate_rufrc(cfg, grid, ru, rv, forcing,
                                              bustr, bvstr)
         u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_s(
+            cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc, rvfrc)
+        u_part, v_part, rufrc, rvfrc = hmix.uv3dmix4_s(
             cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc, rvfrc)
         if use_gls:
             # gls_prestep (main3d.F:634-636): AB2 advection of tke/psi
@@ -155,6 +172,7 @@ class Model:
             Akt_t = Akt
         tn = step3d_t(cfg, grid, t_half, t_part, Huon2, Hvom2, W2,
                       Hz2, z_r2, Akt_t, t_old=state.t, obc=obc)
+        tn = clm_mod.nudge_tracers(cfg, clm, tn)
 
         return State(
             time=state.time + cfg.dt, iic=iic + 1,

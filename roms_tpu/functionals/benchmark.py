@@ -16,9 +16,11 @@ Sources:
            Tcline=400, nonlinear EOS, quadratic drag rdrg2, VISC2=5000,
            TNU2=500, AKV_BAK=1e-4)
 
-Physics gaps vs the reference benchmark (tracked for later milestones):
-LMD-KPP vertical mixing (constant background used), COARE bulk fluxes
-(analytic stress used), MIX_GEO_TS rotated diffusion (along-s used).
+Full reference physics is available: vmix='lmd' (LMD-KPP), COARE bulk
+fluxes via make_bulk_forcing_fn, MIX_GEO_TS rotated diffusion, nonlinear
+EOS, quadratic drag.  The default config keeps vmix='constant' with the
+analytic stress for pure-throughput benchmarking; switch on the full
+physics with cfg.replace(mixing=...(vmix='lmd', solar_source=True)).
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ def make_config(Lm: int = 512, Mm: int = 64, N: int = 30,
         eos=EOSConfig(linear=False),
         mixing=MixingConfig(visc2=5000.0, tnu2=(500.0, 500.0),
                             akv_bak=1.0e-4, akt_bak=(1.0e-5, 1.0e-5),
-                            vmix="constant",
+                            vmix="constant", mix_geo_ts=True,
                             splines_vdiff=True, splines_vvisc=True),
         drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
         bc=BoundaryConfig.uniform(lbc),

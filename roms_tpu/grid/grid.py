@@ -44,6 +44,7 @@ class Grid:
         "rmask", "umask", "vmask", "pmask",
         "sc_r", "Cs_r", "sc_w", "Cs_w",
         "visc2_r", "visc2_p", "diff2",
+        "visc4_r", "visc4_p", "diff4",
     )
     AUX = ("hc", "Lm", "Mm", "N", "spherical", "Vtransform")
 
@@ -182,6 +183,11 @@ def build_grid(cfg: ModelConfig, *, h, pm, pn, f,
     visc2_r = jnp.full(shp, cfg.mixing.visc2, dtype)
     visc2_p = jnp.full(shp, cfg.mixing.visc2, dtype)
     diff2 = jnp.stack([jnp.full(shp, t, dtype) for t in cfg.mixing.tnu2])
+    # biharmonic kernels consume sqrt(coefficient) (inp_par.F semantics)
+    visc4_r = jnp.full(shp, cfg.mixing.visc4 ** 0.5, dtype)
+    visc4_p = jnp.full(shp, cfg.mixing.visc4 ** 0.5, dtype)
+    diff4 = jnp.stack([jnp.full(shp, t ** 0.5, dtype)
+                       for t in cfg.mixing.tnu4])
 
     return Grid(
         h=h, pm=pm, pn=pn, f=f, angler=angler,
@@ -196,6 +202,7 @@ def build_grid(cfg: ModelConfig, *, h, pm, pn, f,
         sc_r=jnp.asarray(sc_r_, dtype), Cs_r=jnp.asarray(Cs_r_, dtype),
         sc_w=jnp.asarray(sc_w_, dtype), Cs_w=jnp.asarray(Cs_w_, dtype),
         visc2_r=visc2_r, visc2_p=visc2_p, diff2=diff2,
+        visc4_r=visc4_r, visc4_p=visc4_p, diff4=diff4,
         hc=hc, Lm=cfg.Lm, Mm=cfg.Mm, N=cfg.N, spherical=spherical,
         Vtransform=cfg.vert.Vtransform,
     )

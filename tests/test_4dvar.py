@@ -1,0 +1,59 @@
+"""Incremental 4D-Var twin experiment (the reference's I4D-Var driver,
+Drivers/i4dvar.F): observations generated from a 'true' run must pull a
+perturbed background toward the truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roms_tpu.assim.i4dvar import Control, Observations, i4dvar
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import upwelling
+
+
+@pytest.mark.slow
+def test_i4dvar_twin_experiment():
+    cfg = upwelling.make_config(Lm=12, Mm=14, N=6, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  upwelling.make_vmix_fn(cfg))
+
+    x0 = model.run(upwelling.make_initial(cfg, grid), 3)
+
+    # truth = background + smooth temperature anomaly
+    key = jax.random.PRNGKey(7)
+    bump = 0.5 * jnp.exp(
+        -((jnp.arange(cfg.shape2d[0])[:, None] - 7.0) ** 2
+          + (jnp.arange(cfg.shape2d[1])[None, :] - 6.0) ** 2) / 8.0)
+    t_true = x0.t.at[0].add(bump[None])
+    x_true = x0._replace(t=t_true)
+
+    nsteps, obs_step = 4, 4
+    # observe temperature everywhere in the interior at the final step
+    jj, ii = np.meshgrid(np.arange(1, cfg.shape2d[0] - 1),
+                         np.arange(1, cfg.shape2d[1] - 1), indexing="ij")
+    kk = np.full_like(jj, cfg.N - 1)
+    idx = jnp.asarray(np.stack([kk.ravel(), jj.ravel(), ii.ravel()],
+                               axis=1))
+
+    from roms_tpu.assim.i4dvar import observe_trajectory
+    obs_field = "temp"
+    y = observe_trajectory(model, grid,
+                           x_true, Observations(obs_step, obs_field, idx,
+                                                None, 0.1), nsteps)
+    obs = Observations(step=obs_step, field=obs_field, indices=idx,
+                       values=y, error=0.05)
+
+    sig = Control(zeta=0.01, u=0.01, v=0.01, t=0.3)
+    x_a, stats = i4dvar(model, grid, x0, obs, nsteps, sig,
+                        n_inner=8, n_outer=1)
+
+    # analysis fits the observations much better than the background
+    assert stats["rms_innovation_a"] < 0.35 * stats["rms_innovation_b"]
+    # and the analysis increment points toward the true anomaly
+    dT = np.asarray(x_a.t[0, -1] - x0.t[0, -1])
+    truth = np.asarray(bump)
+    corr = np.corrcoef(dT[1:-1, 1:-1].ravel(),
+                       truth[1:-1, 1:-1].ravel())[0, 1]
+    assert corr > 0.6, corr

