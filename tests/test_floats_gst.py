@@ -1,0 +1,89 @@
+"""Floats, GST, stations, profiler tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from roms_tpu.core.floats import Floats, step_floats
+from roms_tpu.core.gst import lanczos_singular_vectors, power_iteration_fte
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import upwelling
+from roms_tpu.io.stations import StationRecorder
+from roms_tpu.utils.profiler import Profiler
+
+
+def _small_model():
+    cfg = upwelling.make_config(Lm=12, Mm=14, N=6, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    state = upwelling.make_initial(cfg, grid)
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  upwelling.make_vmix_fn(cfg))
+    return cfg, grid, state, model
+
+
+class TestFloats:
+    def test_advection_by_uniform_flow(self):
+        cfg, grid, state, model = _small_model()
+        u = jnp.full_like(state.u, 0.2)         # uniform eastward 0.2 m/s
+        v = jnp.zeros_like(state.v)
+        W = jnp.zeros_like(state.z_w)
+        flt = Floats(x=jnp.asarray([5.0, 7.0]),
+                     y=jnp.asarray([6.0, 8.0]),
+                     s=jnp.asarray([-0.5, -0.2]),
+                     bounded=jnp.asarray([True, True]))
+        f1 = step_floats(cfg, grid, flt, u, v, W, state.Hz, grid.sc_r)
+        # dx = u*pm*dt = 0.2/1000*300 = 0.06 cells
+        np.testing.assert_allclose(np.asarray(f1.x - flt.x), 0.06,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(f1.y), np.asarray(flt.y),
+                                   atol=1e-12)
+
+    def test_floats_follow_model_flow(self):
+        cfg, grid, state, model = _small_model()
+        s = model.run(state, 20)
+        flt = Floats(x=jnp.asarray([6.0]), y=jnp.asarray([7.0]),
+                     s=jnp.asarray([-0.1]),
+                     bounded=jnp.asarray([True]))
+        for _ in range(5):
+            W = jnp.zeros_like(s.z_w)
+            flt = step_floats(cfg, grid, flt, s.u, s.v, W, s.Hz,
+                              grid.sc_r)
+        assert bool(flt.bounded[0])
+        assert np.isfinite(np.asarray(flt.x)).all()
+
+
+class TestGST:
+    def test_singular_values_positive_and_ordered(self):
+        cfg, grid, state, model = _small_model()
+        base = model.run(state, 2)
+
+        def traj(dx):
+            s = base._replace(zeta=base.zeta + dx["zeta"],
+                              t=base.t + dx["t"])
+            for _ in range(2):
+                s = model.step_impl(s, grid)
+            return {"zeta": s.zeta, "t": s.t}
+
+        x0 = {"zeta": jnp.zeros_like(base.zeta),
+              "t": jnp.zeros_like(base.t)}
+        sigma, vecs = lanczos_singular_vectors(traj, x0, nvec=2, niter=6)
+        assert np.all(np.isfinite(sigma))
+        assert sigma[0] >= sigma[1] > 0.0
+        lam, mode = power_iteration_fte(traj, x0, niter=8)
+        assert np.isfinite(lam) and lam > 0.0
+
+
+class TestStationsProfiler:
+    def test_station_record(self):
+        cfg, grid, state, model = _small_model()
+        rec = StationRecorder(cfg, [(5, 5), (8, 3)])
+        prof = Profiler()
+        s = state
+        for _ in range(3):
+            with prof.region("step"):
+                s = model.step(s)
+            rec.record(s)
+        out = rec.arrays()
+        assert out["zeta"].shape == (3, 2)
+        assert out["temp"].shape == (3, cfg.N, 2)
+        assert "step" in prof.report()
