@@ -206,6 +206,9 @@ class ModelConfig:
 
     rho0: float = 1025.0
     g: float = 9.81           # gravity; nondimensional apps override (SOLITON)
+    # Wetting and drying (WET_DRY): cells with depth < Dcrit are masked
+    wetdry: bool = False
+    Dcrit: float = 0.10       # m
     gamma2: float = 1.0       # slipperiness (free slip = 1)
 
     # Tracer advection scheme selection per tracer family

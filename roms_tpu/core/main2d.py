@@ -20,7 +20,7 @@ from jax import lax
 from ..config import ModelConfig
 from ..grid.grid import Grid
 from ..ops import stencil as st
-from . import step2d as s2d
+from . import step2d as s2d, wetdry as wd
 
 
 class State2D(NamedTuple):
@@ -108,6 +108,9 @@ class Model2D:
         zeta_fe = s.zeta + pmn * dtfast * rhs_zeta
         zeta_lf = s.zeta_prev + pmn * (2.0 * dtfast) * rhs_zeta
         zeta_p = jnp.where(first, zeta_fe, zeta_lf) * grid.rmask
+        if cfg.wetdry:
+            zeta_p = wd.clamp_dry_zeta(cfg, grid, zeta_p)
+            wm = wd.compute_wet_masks(cfg, grid, s.zeta)
         cff4, cff5 = 4.0 / 25.0, 1.0 - 8.0 / 25.0
         zwrk = jnp.where(first, 0.5 * (s.zeta + zeta_fe),
                          cff5 * s.zeta + cff4 * (s.zeta_prev + zeta_lf))
@@ -129,6 +132,9 @@ class Model2D:
                   + pmn4_u * cffdt * rhs_u) / (Dnew + st.im1(Dnew))
         vbar_p = (vb_base * (Dstp + st.jm1(Dstp))
                   + pmn4_v * cffdt * rhs_v) / (Dnew + st.jm1(Dnew))
+        if cfg.wetdry:
+            ubar_p = wd.mask_momentum(ubar_p, wm.umask_wet)
+            vbar_p = wd.mask_momentum(vbar_p, wm.vmask_wet)
         ubar_p, vbar_p = s2d._uv_bc(cfg, grid, ubar_p * grid.umask,
                                     vbar_p * grid.vmask)
         rz_m, ru_m, rv_m = rhs_zeta, rhs_u, rhs_v
@@ -142,6 +148,9 @@ class Model2D:
                                    + (8.0 / 12.0) * dtfast * rz_m
                                    - (1.0 / 12.0) * dtfast * s.rzeta_prev)
         zeta_n = jnp.where(first, zeta_be, zeta_am3) * grid.rmask
+        if cfg.wetdry:
+            zeta_n = wd.clamp_dry_zeta(cfg, grid, zeta_n)
+            wm = wd.compute_wet_masks(cfg, grid, zeta_p)
         cff4, cff5 = 2.0 / 5.0, 3.0 / 5.0
         zwrk = jnp.where(first, 0.5 * (s.zeta + zeta_be),
                          cff5 * zeta_am3 + cff4 * zeta_p)
@@ -169,6 +178,9 @@ class Model2D:
             (Dnew + st.im1(Dnew))
         vbar_n = (s.vbar * (Dstp + st.jm1(Dstp)) + pmn4_v * rhs_v_t) / \
             (Dnew + st.jm1(Dnew))
+        if cfg.wetdry:
+            ubar_n = wd.mask_momentum(ubar_n, wm.umask_wet)
+            vbar_n = wd.mask_momentum(vbar_n, wm.vmask_wet)
         ubar_n, vbar_n = s2d._uv_bc(cfg, grid, ubar_n * grid.umask,
                                     vbar_n * grid.vmask)
 
