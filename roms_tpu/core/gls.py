@@ -307,9 +307,20 @@ def gls_corstep(cfg: ModelConfig, grid: Grid, mix: MixState,
 
     # implicit dissipation + negative-production terms on the diagonal
     diss = gls0 ** (-gls_exp1) * cmu_fac2 * tke0 ** tke_exp2
+    # k-kl (MY2.5: p=0, m=1, n=1) wall-proximity function
+    # (gls_corstep.F:612-624, Lmy25 branch)
+    lmy25 = (p_ == 0.0 and m_ == 1.0 and n_ == 1.0)
+    if lmy25:
+        Lsc = gls0 ** gls_exp1 * cmu_fac1 * tke0s ** (-tke_exp1)
+        d_bot = jnp.maximum(z_w[1:-1] - z_w[:1], _EPS)
+        d_top = jnp.maximum(z_w[-1:] - z_w[1:-1], _EPS)
+        wall_fac = 1.0 + _GLS_E2 / (vonKar * vonKar) * (Lsc / d_bot) ** 2 \
+            + 0.25 / (vonKar * vonKar) * (Lsc / d_top) ** 2
+    else:
+        wall_fac = 1.0
     BCK_d = Hz_w * (1.0 + dt * diss
                     + dt * jnp.where(neg_K, buoy2_a * akt_ex / tke0s, 0.0))
-    BCP_d = Hz_w * (1.0 + dt * m.gls_c2 * diss
+    BCP_d = Hz_w * (1.0 + dt * m.gls_c2 * wall_fac * diss
                     + dt * jnp.where(neg_P,
                                      gls_c3 * buoy2_a * akt_ex / tke0s,
                                      0.0))

@@ -41,19 +41,28 @@ def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
     # ------------------------------------------------------------------
     # Tracer predictor -> t_half (tracer units at n+1/2)
     # ------------------------------------------------------------------
-    Gamma = 1.0 / 6.0
+    from ..config import HSIMT
+    hsimt = cfg.hadv == HSIMT
+    Gamma = 0.5 if hsimt else 1.0 / 6.0      # tadv Gamma staging
     cff = jnp.where(iic == 0, 0.5 * dt, (1.0 - Gamma) * dt)
     cff1 = jnp.where(iic == 0, 1.0, 0.5 + Gamma)
     cff2 = jnp.where(iic == 0, 0.0, 0.5 - Gamma)
 
     t_half = []
     for itrc in range(NT):
-        FX, FE = advection.hadv_flux(cfg, grid, t[itrc], Huon, Hvom,
-                                     cfg.hadv)
+        if hsimt:
+            FX, FE = advection.hadv_flux_hsimt(cfg, grid, t[itrc],
+                                               Huon, Hvom, Hz)
+        else:
+            FX, FE = advection.hadv_flux(cfg, grid, t[itrc], Huon, Hvom,
+                                         cfg.hadv)
         th = Hz * (cff1 * t[itrc] + cff2 * t_prev[itrc]) - \
             cff * pmn * (st.dx_p(FX) + st.dy_p(FE))
         # vertical advection + implied new thickness (pre_step3d.F:655-686)
-        FC = advection.vadv_flux(cfg, t[itrc], W, Hz, cfg.vadv)
+        if cfg.vadv == HSIMT:
+            FC = advection.vadv_flux_hsimt(cfg, grid, t[itrc], W, z_r)
+        else:
+            FC = advection.vadv_flux(cfg, t[itrc], W, Hz, cfg.vadv)
         DC = 1.0 / (Hz - cff * pmn * (st.dx_p(Huon) + st.dy_p(Hvom)
                                       + (W[1:] - W[:-1])))
         th = DC * (th - cff * pmn * (FC[1:] - FC[:-1]))

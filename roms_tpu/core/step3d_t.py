@@ -31,11 +31,20 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
     pmn = grid.pm * grid.pn
     NAT = Akt.shape[0]
     out = []
+    from ..config import HSIMT
     for itrc in range(cfg.NT):
-        FX, FE = advection.hadv_flux(cfg, grid, t_half[itrc], Huon, Hvom,
-                                     cfg.hadv)
+        if cfg.hadv == HSIMT:
+            FX, FE = advection.hadv_flux_hsimt(cfg, grid, t_half[itrc],
+                                               Huon, Hvom, Hz)
+        else:
+            FX, FE = advection.hadv_flux(cfg, grid, t_half[itrc], Huon,
+                                         Hvom, cfg.hadv)
         tn = t_part[itrc] - dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
-        FC = advection.vadv_flux(cfg, t_half[itrc], W, Hz, cfg.vadv)
+        if cfg.vadv == HSIMT:
+            FC = advection.vadv_flux_hsimt(cfg, grid, t_half[itrc], W,
+                                           z_r)
+        else:
+            FC = advection.vadv_flux(cfg, t_half[itrc], W, Hz, cfg.vadv)
         tn = tn - dt * pmn * (FC[1:] - FC[:-1])
 
         Ak = Akt[min(itrc, NAT - 1)]
