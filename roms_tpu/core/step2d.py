@@ -305,7 +305,7 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
     w2j = jnp.asarray(w2, dtype)
 
     def predictor(grid, iif, c: FastCarry, rhoS, rhoA, iic,
-                  ru0_prev2, rv0_prev2, obc):
+                  ru0_prev2, rv0_prev2, obc, sources=None):
         pmn = grid.pm * grid.pn
         pmn4_u = (grid.pm + st.im1(grid.pm)) * (grid.pn + st.im1(grid.pn))
         pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
@@ -332,6 +332,9 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         zeta_fe = c.zeta + pmn * dtfast * rhs_zeta
         zeta_lf = c.zeta_prev + pmn * (2.0 * dtfast) * rhs_zeta
         zeta_new = jnp.where(first, zeta_fe, zeta_lf) * grid.rmask
+        if sources is not None:
+            # LwSrc vertical volume influx (step2d_LF_AM3.h:1020-1036)
+            zeta_new = zeta_new + sources.qbar * pmn * dtfast
         cff4 = 4.0 / 25.0
         cff5 = 1.0 - 2.0 * cff4
         zwrk = jnp.where(first,
@@ -384,7 +387,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
                 rufrc_c, rvfrc_c, avg)
 
     def corrector(grid, iif, c: FastCarry, zeta_p, ubar_p, vbar_p,
-                  rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA, obc):
+                  rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA, obc,
+                  sources=None):
         pmn = grid.pm * grid.pn
         pmn4_u = (grid.pm + st.im1(grid.pm)) * (grid.pn + st.im1(grid.pn))
         pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
@@ -404,6 +408,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
                                    + (8.0 / 12.0) * dtfast * rz_m
                                    - (1.0 / 12.0) * dtfast * c.rzeta_prev)
         zeta_new = jnp.where(first, zeta_be, zeta_am3) * grid.rmask
+        if sources is not None:
+            zeta_new = zeta_new + sources.qbar * pmn * dtfast
         cff4 = 2.0 / 5.0
         cff5 = 1.0 - cff4
         zwrk = jnp.where(first,
@@ -452,7 +458,7 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
 
     def fast_loop(grid, zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
                   ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic,
-                  obc=None):
+                  obc=None, sources=None):
         zeros = jnp.zeros_like(zeta0)
         avg0 = FastAverages(zeros, zeros, zeros, zeros, zeros)
         carry = FastCarry(
@@ -467,11 +473,11 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
             (zeta_p, ubar_p, vbar_p, rz_m, ru_m, rv_m,
              rufrc_c, rvfrc_c, avg) = predictor(grid, iif, c, rhoS, rhoA,
                                                 iic, ru0_prev2, rv0_prev2,
-                                                obc)
+                                                obc, sources)
             c = c._replace(avg=avg)
             c = corrector(grid, iif, c, zeta_p, ubar_p, vbar_p,
                           rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA,
-                          obc)
+                          obc, sources)
             return c, None
 
         iifs = jnp.arange(1, nfast + 1, dtype=jnp.int32)

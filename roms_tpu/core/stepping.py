@@ -52,7 +52,8 @@ class Model:
                  forcing_fn: Callable, vmix_fn: Optional[Callable] = None,
                  var_rho: bool = True, obc_fn: Optional[Callable] = None,
                  clm_fn: Optional[Callable] = None,
-                 bio_fn: Optional[Callable] = None):
+                 bio_fn: Optional[Callable] = None,
+                 sources=None):
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
@@ -64,6 +65,7 @@ class Model:
         self.obc_fn = obc_fn
         self.clm_fn = clm_fn
         self.bio_fn = bio_fn
+        self.sources = sources
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
                                         var_rho=var_rho)
@@ -128,6 +130,11 @@ class Model:
             # ecosystem source/sink increment (main3d.F:1027, biology.F)
             t_part = t_part + Hz[None] * self.bio_fn(state.t, Hz, z_w,
                                                      forcing)
+        if self.sources is not None and self.sources.qsrc is not None:
+            # LwSrc tracer mass injection (step3d_t.F:1500-1520)
+            pmn_ = grid.pm * grid.pn
+            t_part = t_part + cfg.dt * pmn_[None, None] * \
+                self.sources.qsrc[None] * self.sources.tsrc
         ru, rv = rhs3d.rhs3d_momentum(cfg, grid, state.u, state.v, Hz,
                                       Huon, Hvom, W, ru, rv)
         ru, rv = clm_mod.nudge_momentum_rhs(cfg, grid, clm, state.u,
@@ -148,7 +155,8 @@ class Model:
             grid, state.zeta, state.ubar, state.vbar, rufrc, rvfrc,
             rhoS, rhoA,
             state.ru0_prev, state.rv0_prev,
-            state.ru0_prev2, state.rv0_prev2, iic, obc)
+            state.ru0_prev2, state.rv0_prev2, iic, obc,
+            self.sources)
 
         # ---- new depths from the filtered free surface (main3d.F:963) ---
         z_r2, z_w2, Hz2 = set_depth(grid, avg.Zt_avg1)
