@@ -187,3 +187,130 @@ def zero_forcing(cfg: ModelConfig):
                        btflx=zerosT, srflx=zeros)
 
     return forcing
+
+
+# ---------------------------------------------------------------------------
+# BASIN — big flat closed basin, wind-driven double gyre spin-up
+# (ana_grid.h:237-242, ana_initial.h:559-569, ana_smflux.h:141-152)
+# ---------------------------------------------------------------------------
+
+def basin_config(Lm: int = 60, Mm: int = 50, N: int = 10,
+                 dt: float = 1800.0, ndtfast: int = 30,
+                 dtype: str = "float64") -> ModelConfig:
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=0.001, theta_b=0.0, Tcline=1e16),
+        eos=EOSConfig(linear=True, R0=1028.0, T0=0.0, S0=35.0,
+                      Tcoef=1.0e-4, Scoef=0.0),
+        mixing=MixingConfig(visc2=1300.0, tnu2=(1300.0, 1300.0),
+                            akv_bak=1.0e-5, akt_bak=(1.0e-6, 1.0e-6)),
+        drag=BottomDragConfig(kind="linear", rdrg=3.0e-4),
+        bc=BoundaryConfig(),
+        rho0=1025.0, gamma2=1.0,
+        hadv=UPSTREAM3, vadv=CENTERED4,
+        uv_hadv="up3", uv_vadv="c4_sw",
+        uv_cor=True, uv_adv=True, curvgrid=False,
+        dtype=dtype,
+    )
+
+
+def basin_grid(cfg: ModelConfig) -> Grid:
+    return _plane_grid(cfg, 3600.0e3, 2800.0e3, 5000.0, f0=1.0e-4,
+                       beta=2.0e-11)
+
+
+def basin_initial(cfg: ModelConfig, grid: Grid) -> State:
+    from ..grid.depth import set_depth
+    zeta = jnp.zeros(cfg.shape2d, cfg.dtype)
+    z_r, _, _ = set_depth(grid, zeta)
+    val1 = (44.69 / 39.382) ** 2
+    val2 = val1 * (cfg.rho0 * 800.0 / 9.81) * \
+        (5.0e-5 / ((42.689 / 44.69) ** 2))
+    T = val2 * jnp.exp(z_r / 800.0) * (0.6 - 0.4 * jnp.tanh(z_r / 800.0))
+    S = jnp.full_like(T, cfg.eos.S0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def basin_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """Ramped sinusoidal zonal wind (ana_smflux.h:141-152)."""
+    import math
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    Esize = 2800.0e3
+    dy = Esize / cfg.Mm
+    yr = jnp.asarray((dy * (np.arange(Mj) - 0.5))[:, None]
+                     + np.zeros((1, Li)), dtype)
+    val2 = 2.0 * math.pi / Esize
+    zeros = jnp.zeros((Mj, Li), dtype)
+    zerosT = jnp.zeros((cfg.NT, Mj, Li), dtype)
+
+    def forcing(time):
+        val1 = 5.0e-5 * (1.0 + jnp.tanh((time - 6.0 * 86400.0)
+                                        / (3.0 * 86400.0)))
+        sustr = -val1 * jnp.cos(val2 * yr)
+        return Forcing(sustr=sustr.astype(dtype), svstr=zeros,
+                       stflx=zerosT, btflx=zerosT, srflx=zeros)
+
+    return forcing
+
+
+# ---------------------------------------------------------------------------
+# DOUBLE_GYRE (ana_grid.h:273-278, ana_initial.h:631-645,
+# ana_smflux.h:198-209)
+# ---------------------------------------------------------------------------
+
+def double_gyre_config(Lm: int = 50, Mm: int = 100, N: int = 10,
+                       dt: float = 1800.0, ndtfast: int = 30,
+                       dtype: str = "float64") -> ModelConfig:
+    cfg = basin_config(Lm=Lm, Mm=Mm, N=N, dt=dt, ndtfast=ndtfast,
+                       dtype=dtype)
+    return cfg.replace(
+        eos=EOSConfig(linear=True, R0=1027.0, T0=14.0, S0=34.5,
+                      Tcoef=1.7e-4, Scoef=0.0),
+        mixing=MixingConfig(visc2=800.0, tnu2=(800.0, 800.0),
+                            akv_bak=1.0e-5, akt_bak=(1.0e-6, 1.0e-6)))
+
+
+def double_gyre_grid(cfg: ModelConfig) -> Grid:
+    return _plane_grid(cfg, 1000.0e3, 2000.0e3, 500.0, f0=7.3e-5,
+                       beta=2.0e-11)
+
+
+def double_gyre_initial(cfg: ModelConfig, grid: Grid) -> State:
+    from ..grid.depth import set_depth
+    zeta = jnp.zeros(cfg.shape2d, cfg.dtype)
+    z_r, _, _ = set_depth(grid, zeta)
+    Mj, Li = cfg.shape2d
+    Esize = 2000.0e3
+    dy = Esize / cfg.Mm
+    yr = jnp.asarray((dy * (np.arange(Mj) - 0.5))[:, None]
+                     + np.zeros((1, Li)), cfg.dtype)
+    val1 = (44.69 / 39.382) ** 2
+    val2 = val1 * (cfg.rho0 * 100.0 / 9.81) * \
+        (5.0e-5 / ((42.689 / 44.69) ** 2))
+    val4 = yr / Esize
+    T = cfg.eos.T0 + val2 * jnp.exp(z_r / 100.0) * \
+        (10.0 - 0.4 * jnp.tanh(z_r / 100.0)) - 3.0 * val4[None]
+    S = 34.5 - 0.001 * z_r - val4[None]
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def double_gyre_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """sustr = -(0.05/rho0) cos(2 pi y/L) (ana_smflux.h:198-209)."""
+    import math
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    Esize = 2000.0e3
+    dy = Esize / cfg.Mm
+    yr = (dy * (np.arange(Mj) - 0.5))[:, None] + np.zeros((1, Li))
+    sustr = jnp.asarray(-0.05 / cfg.rho0
+                        * np.cos(2.0 * math.pi * yr / Esize), dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    zerosT = jnp.zeros((cfg.NT, Mj, Li), dtype)
+
+    def forcing(time):
+        return Forcing(sustr=sustr, svstr=zeros, stflx=zerosT,
+                       btflx=zerosT, srflx=zeros)
+
+    return forcing

@@ -14,22 +14,22 @@ from roms_tpu.functionals import upwelling
 
 @pytest.mark.slow
 def test_i4dvar_twin_experiment():
-    cfg = upwelling.make_config(Lm=12, Mm=14, N=6, dtype="float64")
+    cfg = upwelling.make_config(Lm=10, Mm=10, N=5, dtype="float64")
     grid = upwelling.make_grid(cfg)
     model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
                   upwelling.make_vmix_fn(cfg))
 
-    x0 = model.run(upwelling.make_initial(cfg, grid), 3)
+    x0 = model.run(upwelling.make_initial(cfg, grid), 2)
 
     # truth = background + smooth temperature anomaly
     key = jax.random.PRNGKey(7)
     bump = 0.5 * jnp.exp(
-        -((jnp.arange(cfg.shape2d[0])[:, None] - 7.0) ** 2
-          + (jnp.arange(cfg.shape2d[1])[None, :] - 6.0) ** 2) / 8.0)
+        -((jnp.arange(cfg.shape2d[0])[:, None] - 5.0) ** 2
+          + (jnp.arange(cfg.shape2d[1])[None, :] - 5.0) ** 2) / 8.0)
     t_true = x0.t.at[0].add(bump[None])
     x_true = x0._replace(t=t_true)
 
-    nsteps, obs_step = 4, 4
+    nsteps, obs_step = 3, 3
     # observe temperature everywhere in the interior at the final step
     jj, ii = np.meshgrid(np.arange(1, cfg.shape2d[0] - 1),
                          np.arange(1, cfg.shape2d[1] - 1), indexing="ij")
@@ -47,7 +47,7 @@ def test_i4dvar_twin_experiment():
 
     sig = Control(zeta=0.01, u=0.01, v=0.01, t=0.3)
     x_a, stats = i4dvar(model, grid, x0, obs, nsteps, sig,
-                        n_inner=8, n_outer=1)
+                        n_inner=5, n_outer=1)
 
     # analysis fits the observations much better than the background
     assert stats["rms_innovation_a"] < 0.35 * stats["rms_innovation_b"]

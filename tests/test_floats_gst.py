@@ -55,7 +55,7 @@ class TestFloats:
 class TestGST:
     def test_singular_values_positive_and_ordered(self):
         cfg, grid, state, model = _small_model()
-        base = model.run(state, 2)
+        base = model.run(state, 1)
 
         def traj(dx):
             s = base._replace(zeta=base.zeta + dx["zeta"],
@@ -66,10 +66,10 @@ class TestGST:
 
         x0 = {"zeta": jnp.zeros_like(base.zeta),
               "t": jnp.zeros_like(base.t)}
-        sigma, vecs = lanczos_singular_vectors(traj, x0, nvec=2, niter=6)
+        sigma, vecs = lanczos_singular_vectors(traj, x0, nvec=2, niter=4)
         assert np.all(np.isfinite(sigma))
         assert sigma[0] >= sigma[1] > 0.0
-        lam, mode = power_iteration_fte(traj, x0, niter=8)
+        lam, mode = power_iteration_fte(traj, x0, niter=3)
         assert np.isfinite(lam) and lam > 0.0
 
 

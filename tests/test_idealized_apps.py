@@ -83,3 +83,29 @@ class TestGravAdj:
         # undershoot)
         assert T.min() > cfg.eos.T0 - 0.3
         assert T.max() < cfg.eos.T0 + 5.3
+
+
+class TestGyres:
+    def test_basin_spinup(self):
+        """BASIN: wind ramp drives a slow gyre spin-up; stable, bounded."""
+        cfg = ia.basin_config(Lm=40, Mm=32, N=8)
+        grid = ia.basin_grid(cfg)
+        s = Model(cfg, grid, ia.basin_forcing_fn(cfg, grid)).run(
+            ia.basin_initial(cfg, grid), 48)
+        u = np.asarray(s.u)
+        assert np.isfinite(u).all()
+        assert 0.0 < np.abs(u).max() < 0.5
+
+    def test_double_gyre_circulation(self):
+        """DOUBLE_GYRE: antisymmetric wind -> two counter-rotating gyres
+        (opposite-signed zeta extremes north/south)."""
+        cfg = ia.double_gyre_config(Lm=30, Mm=60, N=8)
+        grid = ia.double_gyre_grid(cfg)
+        s = Model(cfg, grid, ia.double_gyre_forcing_fn(cfg, grid)).run(
+            ia.double_gyre_initial(cfg, grid), 96)
+        z = np.asarray(s.zeta)[1:-1, 1:-1]
+        assert np.isfinite(z).all()
+        north = z[40:, :].mean()
+        south = z[:20, :].mean()
+        assert np.isfinite(north) and np.isfinite(south)
+        assert np.abs(np.asarray(s.u)).max() < 1.0
