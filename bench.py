@@ -34,6 +34,11 @@ def main():
     args = p.parse_args()
 
     import jax
+    # persistent compile cache: repeated bench invocations (and the
+    # driver's end-of-round run) skip the multi-minute remote compile
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
