@@ -70,6 +70,9 @@ class BoundaryConfig:
     v: LBC = field(default_factory=LBC)
     t: LBC = field(default_factory=LBC)   # all tracers share one spec for now
     tke: LBC = field(default_factory=LBC)
+    # Enforce integral volume conservation across these open edges
+    # (VolCons switches of obc_volcons.F)
+    volcons: Tuple[str, ...] = ()
 
     @property
     def ew_periodic(self) -> bool:
@@ -147,6 +150,8 @@ class MixingConfig:
     vmix: str = "constant"
     # Penetrative shortwave heating (SOLAR_SOURCE)
     solar_source: bool = False
+    # Bottom boundary layer KPP (LMD_BKPP), used with vmix == 'lmd'
+    bkpp: bool = False
     # GLS parameters (roms_*.in GLS_*), used when vmix == 'gls'
     gls_p: float = 3.0
     gls_m: float = 1.5

@@ -345,3 +345,153 @@ def lmd_skpp(cfg: ModelConfig, grid: Grid, t, u, v, pden, bvf, Hz,
 
     return Akv_new, Akt_new, ghats, hsbl
 
+
+
+def lmd_bkpp(cfg: ModelConfig, grid: Grid, t, u, v, pden, bvf, Hz,
+             z_r, z_w, forcing, bustr, bvstr, Akv, Akt, ksbl_guard=None,
+             jwtype: int = 1):
+    """Bottom boundary layer KPP (lmd_bkpp.F) — the mirror of lmd_skpp
+    with depth measured up from the bottom and the bottom-stress
+    friction velocity.  Inside the surface boundary layer the bottom
+    profile only RAISES the coefficients (MAX), else it replaces them
+    (lmd_bkpp.F:536-552).
+    """
+    g = constants.g
+    vonKar = constants.vonKar
+    N = cfg.N
+    NAT = cfg.NAT
+    gorho0 = g / cfg.rho0
+    Vtc = LMD_CV * jnp.sqrt(-LMD_BETAT) / \
+        (jnp.sqrt(LMD_CS * LMD_EPSILON) * LMD_RIC * vonKar ** 2)
+
+    taux_r = 0.5 * (bustr + st.ip1(bustr))
+    tauy_r = 0.5 * (bvstr + st.jp1(bvstr))
+    Ustar = (taux_r ** 2 + tauy_r ** 2) ** 0.25
+
+    alpha, beta = _alpha_beta(cfg, t)
+    btflx = forcing.btflx
+    if cfg.NT > 1:
+        Bo = g * (alpha * btflx[0] - beta * btflx[1])
+    else:
+        Bo = g * alpha * btflx[0]
+    Bosol = g * alpha * forcing.srflx
+    depth_sfc = z_w[-1][None] - z_w
+    Bflux = Bo[None] + Bosol[None] * (1.0 - swdk_frac(depth_sfc, jwtype))
+
+    dR_i = spline_ddz(6.0 * (pden[1:] - pden[:-1]), Hz)
+    dU_i = spline_ddz(3.0 * ((u[1:] - u[:-1])
+                             + (st.ip1(u)[1:] - st.ip1(u)[:-1])), Hz)
+    dV_i = spline_ddz(3.0 * ((v[1:] - v[:-1])
+                             + (st.jp1(v)[1:] - st.jp1(v)[:-1])), Hz)
+    zz = jnp.zeros_like(dR_i[:1])
+    dR = jnp.concatenate([zz, dR_i, zz], axis=0)
+    dU = jnp.concatenate([zz, dU_i, zz], axis=0)
+    dV = jnp.concatenate([zz, dV_i, zz], axis=0)
+
+    c3, c6 = 1.0 / 3.0, 1.0 / 6.0
+    u_r = 0.5 * (u + st.ip1(u))
+    v_r = 0.5 * (v + st.jp1(v))
+    # bottom reference values (lmd_bkpp.F:268-276)
+    Rref = pden[0] - Hz[0] * (c3 * dR[0] + c6 * dR[1])
+    Uref = u_r[0] - Hz[0] * (c3 * dU[0] + c6 * dU[1])
+    Vref = v_r[0] - Hz[0] * (c3 * dV[0] + c6 * dV[1])
+
+    # bulk Richardson at interfaces k=1..N; depth up from the bottom
+    depth_k = z_w[1:] - z_w[:1]                       # (N,...)
+    Bf_k = Bflux[1:]
+    sigma = jnp.where(Bf_k < 0.0,
+                      jnp.minimum(LMD_EPSILON * depth_k, depth_k),
+                      depth_k)
+    wm_k, ws_k = _wscale(Ustar[None], vonKar * sigma * Bf_k, vonKar)
+    Rk = pden + Hz * (c3 * dR[1:] + c6 * dR[:-1])
+    Uk = u_r + Hz * (c3 * dU[1:] + c6 * dU[:-1])
+    Vk = v_r + Hz * (c3 * dV[1:] + c6 * dV[:-1])
+    Ritop = -gorho0 * (Rk - Rref[None]) * depth_k
+    Ribot = (Uk - Uref[None]) ** 2 + (Vk - Vref[None]) ** 2 + \
+        Vtc * depth_k * ws_k * jnp.sqrt(jnp.abs(bvf[1:]))
+    FC = Ritop / (Ribot + _EPS)                       # interfaces 1..N
+    FCfull = jnp.concatenate([jnp.zeros_like(FC[:1]), FC], axis=0)
+
+    # first upward crossing: smallest k with FC[k-1]<Ric<=FC[k]
+    karr = jnp.arange(1, N + 1)[:, None, None]
+    cond = (FCfull[:-1] < LMD_RIC) & (FCfull[1:] >= LMD_RIC)
+    big = N + 1
+    kcross = jnp.min(jnp.where(cond, karr, big), axis=0)
+    found = kcross <= N
+    kb = jnp.minimum(kcross, N)
+
+    def gather_k(f, idx):
+        return jnp.take_along_axis(f, idx[None], axis=0)[0]
+
+    FCk = gather_k(FCfull, kb)
+    FCkm1 = gather_k(FCfull, kb - 1)
+    zwk = gather_k(z_w, kb)
+    zwkm1 = gather_k(z_w, kb - 1)
+    hbbl_x = ((LMD_RIC - FCkm1) * zwk + (FCk - LMD_RIC) * zwkm1) / \
+        (FCk - FCkm1 + _SMALL)
+    hbbl = jnp.where(found, hbbl_x, z_w[-1])
+
+    # Ekman cap from the bottom (lmd_bkpp.F:365-371)
+    hekman = LMD_CEKMAN * Ustar / jnp.maximum(jnp.abs(grid.f), _EPS) \
+        - grid.h
+    hbbl = jnp.minimum(hbbl, hekman)
+    hbbl = jnp.clip(hbbl, z_w[0], z_w[-1])
+
+    kbbl = jnp.maximum(
+        N - jnp.sum((z_w[1:] > hbbl[None]).astype(jnp.int32), axis=0)
+        + 1, 1)
+    kbbl = jnp.minimum(kbbl, N)
+
+    zbl = hbbl - z_w[0]
+    bl_dpth = LMD_EPSILON * zbl
+    swdk_bl = swdk_frac(z_w[-1] - hbbl, jwtype)
+    Bfbot = Bo + Bosol * (1.0 - swdk_bl)
+    sig_bl = jnp.where(Bfbot > 0.0, zbl, LMD_EPSILON * zbl)
+    wm_bl, ws_bl = _wscale(Ustar, vonKar * sig_bl * Bfbot, vonKar)
+    f1 = 5.0 * jnp.maximum(0.0, Bfbot) * vonKar / (Ustar ** 4 + _EPS)
+
+    zw_kb = gather_k(z_w, kbbl)
+    zw_kbm1 = gather_k(z_w, kbbl - 1)
+    cffk = 1.0 / (zw_kb - zw_kbm1)
+    cff_dn = cffk * (hbbl - zw_kbm1)
+    cff_up = cffk * (zw_kb - hbbl)
+
+    def match(K, w):
+        K_bl = cff_dn * gather_k(K, kbbl) + cff_up * gather_k(K, kbbl - 1)
+        dK_bl = -cffk * (gather_k(K, kbbl) - gather_k(K, kbbl - 1))
+        G1 = K_bl / (zbl * w + _EPS)
+        dG1 = jnp.minimum(0.0, K_bl * f1 - dK_bl / (w + _EPS))
+        return G1, dG1
+
+    Gm1, dGm1 = match(Akv, wm_bl)
+    Gt1s = [match(Akt[it], ws_bl) for it in range(NAT)]
+
+    kif = jnp.arange(1, N)[:, None, None]
+    inside = z_w[1:-1] < hbbl[None]
+    depth_i = z_w[1:-1] - z_w[:1]
+    Bf_i = Bflux[1:-1]
+    sigma_i = jnp.where(Bf_i < 0.0,
+                        jnp.minimum(bl_dpth[None], depth_i), depth_i)
+    wm_i, ws_i = _wscale(Ustar[None], vonKar * sigma_i * Bf_i, vonKar)
+    sig = depth_i / (zbl[None] + _EPS)
+    a1 = sig - 2.0
+    a2 = 3.0 - 2.0 * sig
+    a3 = sig - 1.0
+    Gm = a1 + a2 * Gm1[None] + a3 * dGm1[None]
+    Akv_bl = depth_i * wm_i * (1.0 + sig * Gm)
+    # inside the surface boundary layer only raise; else replace
+    in_sbl = (ksbl_guard[None] < kif) if ksbl_guard is not None \
+        else jnp.zeros_like(inside)
+    newKv = jnp.where(in_sbl, jnp.maximum(Akv[1:-1], Akv_bl), Akv_bl)
+    Akv_new = Akv.at[1:-1].set(jnp.where(inside, newKv, Akv[1:-1]))
+
+    Akt_new = []
+    for it in range(NAT):
+        G1, dG1 = Gt1s[it]
+        Gt = a1 + a2 * G1[None] + a3 * dG1[None]
+        Akt_bl = depth_i * ws_i * (1.0 + sig * Gt)
+        newKt = jnp.where(in_sbl, jnp.maximum(Akt[it][1:-1], Akt_bl),
+                          Akt_bl)
+        Akt_new.append(Akt[it].at[1:-1].set(
+            jnp.where(inside, newKt, Akt[it][1:-1])))
+    return Akv_new, jnp.stack(Akt_new), hbbl

@@ -200,3 +200,58 @@ def radiation_3d(cfg: ModelConfig, lbc: LBC, f_new, f_old, dt=None,
         else:
             f_new = _restore(fn.at[..., :, -1].set(ghost), side)
     return f_new
+
+
+def obc_volcons(cfg: ModelConfig, grid, zeta, ubar, vbar, Drhs,
+                DUon, DVom):
+    """Integral volume conservation across open boundaries
+    (obc_volcons.F): compute the net boundary flux per unit boundary
+    area and remove it from the boundary mass fluxes.
+
+    Edges come from cfg.bc.volcons; zeta/ubar/vbar at the krhs state.
+    """
+    edges = cfg.bc.volcons
+    if not edges:
+        return DUon, DVom
+    area = 0.0
+    flux = 0.0
+    h = grid.h
+    if "west" in edges:
+        cff = 0.5 * (zeta[1:-1, 0] + h[1:-1, 0]
+                     + zeta[1:-1, 1] + h[1:-1, 1]) * grid.on_u[1:-1, 1]             * grid.umask[1:-1, 1]
+        area = area + jnp.sum(cff)
+        flux = flux + jnp.sum(cff * ubar[1:-1, 1])
+    if "east" in edges:
+        cff = 0.5 * (zeta[1:-1, -2] + h[1:-1, -2]
+                     + zeta[1:-1, -1] + h[1:-1, -1])             * grid.on_u[1:-1, -1] * grid.umask[1:-1, -1]
+        area = area + jnp.sum(cff)
+        flux = flux - jnp.sum(cff * ubar[1:-1, -1])
+    if "south" in edges:
+        cff = 0.5 * (zeta[0, 1:-1] + h[0, 1:-1]
+                     + zeta[1, 1:-1] + h[1, 1:-1]) * grid.om_v[1, 1:-1]             * grid.vmask[1, 1:-1]
+        area = area + jnp.sum(cff)
+        flux = flux + jnp.sum(cff * vbar[1, 1:-1])
+    if "north" in edges:
+        cff = 0.5 * (zeta[-2, 1:-1] + h[-2, 1:-1]
+                     + zeta[-1, 1:-1] + h[-1, 1:-1])             * grid.om_v[-1, 1:-1] * grid.vmask[-1, 1:-1]
+        area = area + jnp.sum(cff)
+        flux = flux - jnp.sum(cff * vbar[-1, 1:-1])
+    xs = flux / area
+
+    if "west" in edges:
+        DUon = DUon.at[1:-1, 1].set(
+            0.5 * (Drhs[1:-1, 1] + Drhs[1:-1, 0])
+            * (ubar[1:-1, 1] - xs) * grid.on_u[1:-1, 1])
+    if "east" in edges:
+        DUon = DUon.at[1:-1, -1].set(
+            0.5 * (Drhs[1:-1, -1] + Drhs[1:-1, -2])
+            * (ubar[1:-1, -1] + xs) * grid.on_u[1:-1, -1])
+    if "south" in edges:
+        DVom = DVom.at[1, 1:-1].set(
+            0.5 * (Drhs[1, 1:-1] + Drhs[0, 1:-1])
+            * (vbar[1, 1:-1] - xs) * grid.om_v[1, 1:-1])
+    if "north" in edges:
+        DVom = DVom.at[-1, 1:-1].set(
+            0.5 * (Drhs[-1, 1:-1] + Drhs[-2, 1:-1])
+            * (vbar[-1, 1:-1] + xs) * grid.om_v[-1, 1:-1])
+    return DUon, DVom

@@ -81,6 +81,10 @@ def _flux_state(cfg: ModelConfig, grid: Grid, zeta, ubar, vbar):
         Drhs = st.periodic_y(Drhs)
         DUon = st.periodic_y(DUon)
         DVom = st.periodic_y(DVom)
+    if bc.volcons:
+        # integral volume conservation (obc_volcons.F set_DUV_bc)
+        DUon, DVom = obc_mod.obc_volcons(cfg, grid, zeta, ubar, vbar,
+                                         Drhs, DUon, DVom)
     return Drhs, DUon, DVom
 
 

@@ -107,6 +107,13 @@ class Model:
             Akv, Akt, ghats, hsbl = lmd_mod.lmd_skpp(
                 cfg, grid, state.t, state.u, state.v, pden, bvf, Hz,
                 z_r, z_w, forcing, Akv, Akt)
+            if cfg.mixing.bkpp:
+                ksbl = jnp.maximum(jnp.sum(
+                    (z_w[:-1] < hsbl[None]).astype(jnp.int32), axis=0), 1)
+                Akv, Akt, hbbl = lmd_mod.lmd_bkpp(
+                    cfg, grid, state.t, state.u, state.v, pden, bvf, Hz,
+                    z_r, z_w, forcing, bustr, bvstr, Akv, Akt,
+                    ksbl_guard=ksbl)
             ghats_flux = Akt * ghats
         else:
             Akv, Akt = self.vmix_fn(state, grid, z_w)

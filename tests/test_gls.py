@@ -46,3 +46,21 @@ class TestGLS:
                       gls_sigp=2.0)
         assert np.isfinite(np.asarray(s.mix.tke)).all()
         assert np.isfinite(np.asarray(s.u)).all()
+
+
+def test_bkpp_full_physics():
+    """LMD surface+bottom KPP with COARE fluxes and OBC volume guard:
+    the complete BENCHMARK physics column integrates stably."""
+    import dataclasses
+    import numpy as np
+    from roms_tpu.functionals import benchmark
+    from roms_tpu.core.stepping import Model
+    cfg = benchmark.make_config(Lm=32, Mm=16, N=12, dtype="float64")
+    cfg = cfg.replace(mixing=dataclasses.replace(
+        cfg.mixing, vmix="lmd", solar_source=True, bkpp=True))
+    grid = benchmark.make_grid(cfg)
+    st = benchmark.make_initial(cfg, grid)
+    m = Model(cfg, grid, benchmark.make_bulk_forcing_fn(cfg, grid))
+    s = m.run(st, 8)
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert np.isfinite(np.asarray(s.t)).all()

@@ -50,3 +50,21 @@ class TestKelvinOBC:
         z2 = np.asarray(s2.zeta)
         assert np.isfinite(z2).all()
         assert np.abs(z2[1:-1, 1:-1]).max() < 2.0
+
+
+def test_volume_conservation_enforced():
+    """obc_volcons: with VolCons on both open edges the basin volume is
+    invariant despite boundary forcing."""
+    import dataclasses
+    cfg = kelvin.make_config(Lm=30, Mm=16, N=6)
+    cfg = cfg.replace(bc=dataclasses.replace(cfg.bc,
+                                             volcons=("west", "east")))
+    grid = kelvin.make_grid(cfg)
+    st = kelvin.make_initial(cfg, grid)
+    m = Model(cfg, grid, kelvin.make_forcing_fn(cfg, grid),
+              obc_fn=kelvin.make_obc_fn(cfg, grid))
+    s = m.run(st, 50)
+    omn = 1.0 / np.asarray(grid.pm * grid.pn)
+    vol = (np.asarray(s.zeta)[1:-1, 1:-1] * omn[1:-1, 1:-1]).sum()
+    assert abs(vol) < 1.0e-3          # m3, vs ~1e9 without VolCons
+    assert np.isfinite(np.asarray(s.zeta)).all()
