@@ -67,10 +67,12 @@ class State(NamedTuple):
 
     # Optional turbulence-closure state (GLS/MY25), None otherwise.
     mix: Any = None
+    # Optional sediment bed state, None otherwise.
+    sed: Any = None
 
 
 def initial_state(cfg: ModelConfig, grid: Grid, *, zeta=None, u=None, v=None,
-                  t=None, time0: float = 0.0, mix=None) -> State:
+                  t=None, time0: float = 0.0, mix=None, sed=None) -> State:
     """Build the initial state (cold start, reference initial.F semantics).
 
     ubar/vbar are the vertical averages of u/v (ini_fields.F:340-400);
@@ -111,5 +113,5 @@ def initial_state(cfg: ModelConfig, grid: Grid, *, zeta=None, u=None, v=None,
         ru0_prev=zeros2, rv0_prev=zeros2,
         ru0_prev2=zeros2, rv0_prev2=zeros2,
         z_r=z_r, z_w=z_w, Hz=Hz,
-        mix=mix,
+        mix=mix, sed=sed,
     )

@@ -53,7 +53,7 @@ class Model:
                  var_rho: bool = True, obc_fn: Optional[Callable] = None,
                  clm_fn: Optional[Callable] = None,
                  bio_fn: Optional[Callable] = None,
-                 sources=None):
+                 sources=None, sed_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
@@ -66,6 +66,7 @@ class Model:
         self.clm_fn = clm_fn
         self.bio_fn = bio_fn
         self.sources = sources
+        self.sed_fn = sed_fn
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
                                         var_rho=var_rho)
@@ -137,6 +138,12 @@ class Model:
             # ecosystem source/sink increment (main3d.F:1027, biology.F)
             t_part = t_part + Hz[None] * self.bio_fn(state.t, Hz, z_w,
                                                      forcing)
+        sed_new = state.sed
+        if self.sed_fn is not None:
+            # sediment column processes (Sediment/sed_settling+sed_fluxes)
+            sed_inc, sed_new = self.sed_fn(state.t, state.sed, Hz,
+                                           bustr, bvstr)
+            t_part = t_part + Hz[None] * sed_inc
         if self.sources is not None and self.sources.qsrc is not None:
             # LwSrc tracer mass injection (step3d_t.F:1500-1520)
             pmn_ = grid.pm * grid.pn
@@ -197,7 +204,7 @@ class Model:
             ru_prev2=state.ru_prev, rv_prev2=state.rv_prev,
             ru0_prev=rufrc_eff, rv0_prev=rvfrc_eff,
             ru0_prev2=state.ru0_prev, rv0_prev2=state.rv0_prev,
-            z_r=z_r2, z_w=z_w2, Hz=Hz2, mix=mix_new)
+            z_r=z_r2, z_w=z_w2, Hz=Hz2, mix=mix_new, sed=sed_new)
 
     def step(self, state: State) -> State:
         return self._step_jit(state, self.grid)
