@@ -143,6 +143,10 @@ class MixingConfig:
     tnu4: Tuple[float, ...] = (0.0, 0.0)
     # Rotate harmonic tracer diffusion along geopotentials (MIX_GEO_TS)
     mix_geo_ts: bool = False
+    # Smagorinsky deformation-dependent horizontal mixing
+    # (UV_SMAGORINSKY / TS_SMAGORINSKY, hmixing.F)
+    smagorinsky: bool = False
+    smagor_coef: float = 0.1
     # Vertical background mixing
     akv_bak: float = 1.0e-5         # AKV_BAK
     akt_bak: Tuple[float, ...] = (1.0e-6, 1.0e-6)  # AKT_BAK per tracer

@@ -18,15 +18,16 @@ from ..grid.grid import Grid
 from ..ops import stencil as st
 
 
-def t3dmix2_s(cfg: ModelConfig, grid: Grid, t, t_part, Hz):
+def t3dmix2_s(cfg: ModelConfig, grid: Grid, t, t_part, Hz,
+              diff3d_r=None):
     """Add dt * harmonic diffusion of t(nrhs) to t_part (Hz*t units)."""
-    if all(d == 0.0 for d in cfg.mixing.tnu2):
+    if all(d == 0.0 for d in cfg.mixing.tnu2) and diff3d_r is None:
         return t_part
     dt = cfg.dt
     pmn = grid.pm * grid.pn
     out = []
     for itrc in range(cfg.NT):
-        diff2 = grid.diff2[itrc]
+        diff2 = grid.diff2[itrc] if diff3d_r is None else diff3d_r
         cffx = 0.25 * (diff2 + st.im1(diff2)) * grid.pmon_u
         cffe = 0.25 * (diff2 + st.jm1(diff2)) * grid.pnom_v
         FX = cffx * (Hz + st.im1(Hz)) * (t[itrc] - st.im1(t[itrc])) \
@@ -42,14 +43,14 @@ def t3dmix2_s(cfg: ModelConfig, grid: Grid, t, t_part, Hz):
 
 
 def uv3dmix2_s(cfg: ModelConfig, grid: Grid, u, v, u_part, v_part, Hz,
-               rufrc, rvfrc):
+               rufrc, rvfrc, visc3d_r=None):
     """Harmonic viscosity along s (uv3dmix2_s.h:120-222).
 
     Updates the momentum corrector seeds (Hz*u units) with
     dt*pmn_u*(stress divergence) and accumulates the same divergence
     into rufrc/rvfrc.  Returns (u_part, v_part, rufrc, rvfrc).
     """
-    if cfg.mixing.visc2 <= 0.0:
+    if cfg.mixing.visc2 <= 0.0 and visc3d_r is None:
         return u_part, v_part, rufrc, rvfrc
     dt = cfg.dt
     pn, pm = grid.pn, grid.pm
@@ -58,17 +59,25 @@ def uv3dmix2_s(cfg: ModelConfig, grid: Grid, u, v, u_part, v_part, Hz,
     vpn = pn + st.jm1(pn)
     vpm = pm + st.jm1(pm)
 
+    if visc3d_r is None:
+        vr, vp = grid.visc2_r, grid.visc2_p
+    else:
+        # DIFF_3DCOEF branches of uv3dmix2_s.h: psi value is the 4-point
+        # average of the rho coefficients
+        vr = visc3d_r
+        vp = 0.25 * (visc3d_r + st.im1(visc3d_r) + st.jm1(visc3d_r)
+                     + st.im1jm1(visc3d_r))
     # rho-point stress (diagonal)
     cff_r = Hz * 0.5 * (grid.pmon_r * st.dx_p(upn * u)
                         - grid.pnom_r * st.dy_p(vpm * v))
-    UFx = grid.on_r * grid.on_r * grid.visc2_r * cff_r
-    VFe = grid.om_r * grid.om_r * grid.visc2_r * cff_r
+    UFx = grid.on_r * grid.on_r * vr * cff_r
+    VFe = grid.om_r * grid.om_r * vr * cff_r
     # psi-point stress (off-diagonal)
     Hz_p = 0.25 * (Hz + st.im1(Hz) + st.jm1(Hz) + st.im1jm1(Hz))
     cff_p = 0.5 * Hz_p * (grid.pmon_p * st.dx_m(vpn * v)
                           + grid.pnom_p * st.dy_m(upm * u)) * grid.pmask
-    UFe = grid.om_p * grid.om_p * grid.visc2_p * cff_p
-    VFx = grid.on_p * grid.on_p * grid.visc2_p * cff_p
+    UFe = grid.om_p * grid.om_p * vp * cff_p
+    VFx = grid.on_p * grid.on_p * vp * cff_p
     if cfg.bc.ew_periodic:
         UFx = st.periodic_x(UFx)
         VFe = st.periodic_x(VFe)
@@ -268,3 +277,29 @@ def t3dmix2_geo(cfg: ModelConfig, grid: Grid, t, t_part, Hz, z_r):
         out.append(t_part[itrc] + dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
                    + dt * (FSfull[1:] - FSfull[:-1]))
     return jnp.stack(out)
+
+
+def smagorinsky_coef(cfg: ModelConfig, grid: Grid, u, v):
+    """Deformation-rate-dependent 3-D mixing coefficients
+    (hmixing.F:288-320, UV_VIS2 branch):
+
+        DefRate = sqrt((du/dx)^2 + (dv/dy)^2 + 0.5*(dv/dx + du/dy)^2)
+        visc3d  = visc2 + SmagorCoef * dx*dy * DefRate
+
+    Returns (visc3d_r, diff3d_r) at rho points (N, Mj, Li)."""
+    pm, pn = grid.pm, grid.pn
+    dudx = (st.ip1(u) - u) * pm[None]
+    dvdy = (st.jp1(v) - v) * pn[None]
+    cross = (0.25 * pn[None] * (st.jp1(u) + st.ip1(st.jp1(u))
+                                - st.jm1(u) - st.ip1(st.jm1(u)))
+             + 0.25 * pm[None] * (st.ip1(v) + st.ip1(st.jp1(v))
+                                  - st.im1(v) - st.im1(st.jp1(v))))
+    Def = jnp.sqrt(dudx ** 2 + dvdy ** 2 + 0.5 * cross ** 2)
+    if cfg.bc.ew_periodic:
+        Def = st.periodic_x(Def)
+    if cfg.bc.ns_periodic:
+        Def = st.periodic_y(Def)
+    add = cfg.mixing.smagor_coef * (1.0 / (pm * pn))[None] * Def
+    visc3d = cfg.mixing.visc2 + add
+    diff3d = cfg.mixing.tnu2[0] + add
+    return visc3d * grid.rmask[None], diff3d * grid.rmask[None]

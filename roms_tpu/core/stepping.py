@@ -129,10 +129,16 @@ class Model:
             Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic,
             ghats=ghats_flux)
         ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz)
+        if cfg.mixing.smagorinsky:
+            visc3d_r, diff3d_r = hmix.smagorinsky_coef(cfg, grid,
+                                                       state.u, state.v)
+        else:
+            visc3d_r = diff3d_r = None
         if cfg.mixing.mix_geo_ts:
             t_part = hmix.t3dmix2_geo(cfg, grid, state.t, t_part, Hz, z_r)
         else:
-            t_part = hmix.t3dmix2_s(cfg, grid, state.t, t_part, Hz)
+            t_part = hmix.t3dmix2_s(cfg, grid, state.t, t_part, Hz,
+                                    diff3d_r=diff3d_r)
         t_part = hmix.t3dmix4_s(cfg, grid, state.t, t_part, Hz)
         if self.bio_fn is not None:
             # ecosystem source/sink increment (main3d.F:1027, biology.F)
@@ -156,7 +162,8 @@ class Model:
         rufrc, rvfrc = rhs3d.integrate_rufrc(cfg, grid, ru, rv, forcing,
                                              bustr, bvstr)
         u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_s(
-            cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc, rvfrc)
+            cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc,
+            rvfrc, visc3d_r=visc3d_r)
         u_part, v_part, rufrc, rvfrc = hmix.uv3dmix4_s(
             cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc, rvfrc)
         if use_gls:
