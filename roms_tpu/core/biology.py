@@ -139,3 +139,176 @@ def make_npzd_hook(cfg: ModelConfig, bio: NPZDConfig, grid: Grid):
     def hook(t, Hz, z_w, forcing):
         return npzd_powell(cfg, bio, grid, t, Hz, z_w, forcing.srflx)
     return hook
+
+
+# ===========================================================================
+# Fennel et al. (2006) nitrogen-cycle ecosystem model
+# (ROMS/Nonlinear/Biology/fennel.h, nitrogen core without CARBON/OXYGEN)
+# Tracer order after the NAT tracers: (NO3, NH4, Chlo, Phyt, Zoop,
+# LDeN, SDeN) — idbio of fennel_mod.h.
+# ===========================================================================
+
+IFNO3, IFNH4, IFCHL, IFPHY, IFZOO, IFLDN, IFSDN = range(7)
+
+
+@dataclass(frozen=True)
+class FennelConfig:
+    """bio_Fennel.in defaults."""
+    BioIter: int = 1
+    PARfrac: float = 0.43
+    AttSW: float = 0.04
+    AttChl: float = 0.02486
+    Vp0: float = 1.0
+    PhyIS: float = 0.025
+    K_NO3: float = 2.0         # inverse half-saturation (1/(mmol/m3))
+    K_NH4: float = 2.0
+    K_Phy: float = 2.0
+    Chl2C_m: float = 0.0535
+    ChlMin: float = 0.001
+    PhyCN: float = 6.625
+    PhyMin: float = 0.001
+    PhyMR: float = 0.15
+    ZooAE_N: float = 0.75
+    ZooBM: float = 0.1
+    ZooER: float = 0.1
+    ZooGR: float = 0.6
+    ZooMin: float = 0.001
+    ZooMR: float = 0.025
+    NitriR: float = 0.05
+    I_thNH4: float = 0.0095
+    D_p5NH4: float = 0.1
+    CoagR: float = 0.005
+    SDeRRN: float = 0.03
+    LDeRRN: float = 0.01
+    wPhy: float = 0.1          # m/day
+    wSDet: float = 0.1
+    wLDet: float = 1.0
+    MinVal: float = 1.0e-6
+
+
+def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
+           Hz, z_w, srflx):
+    """One dt of Fennel nitrogen-cycle sources/sinks; returns the tracer
+    increment stack (zeros in the physical-tracer slots)."""
+    nb = cfg.NAT
+    eps = 1.0e-20
+    dtdays = cfg.dt * constants.sec2day / max(bio.BioIter, 1)
+    temp = t[0]
+
+    f0 = [jnp.maximum(t[nb + i], bio.MinVal) for i in range(7)]
+    NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN = f0
+    PARsur = bio.PARfrac * srflx * cfg.rho0 * constants.Cp
+
+    for _ in range(max(bio.BioIter, 1)):
+        # ---- light + production + chlorophyll (fennel.h ITER_LOOP) ----
+        Att = (bio.AttSW + bio.AttChl * Chl) * Hz
+        atn_above = jnp.cumsum(Att[::-1], axis=0)[::-1] - Att
+        ExpAtt = jnp.exp(-Att)
+        Itop = PARsur[None] * jnp.exp(-atn_above)
+        PAR = Itop * (1.0 - ExpAtt) / Att
+        day = PARsur[None] > 0.0
+
+        Chl2C = jnp.minimum(Chl / (Phy * bio.PhyCN * 12.0 + eps),
+                            bio.Chl2C_m)
+        Vp = bio.Vp0 * 0.59 * (1.066 ** temp)
+        fac1 = PAR * bio.PhyIS
+        Epp = Vp / jnp.sqrt(Vp * Vp + fac1 * fac1)
+        t_PPmax = Epp * fac1
+        cff1 = NH4 * bio.K_NH4
+        cff2 = NO3 * bio.K_NO3
+        inhNH4 = 1.0 / (1.0 + cff1)
+        LTOT = cff2 * inhNH4 / (1.0 + cff2) + cff1 / (1.0 + cff1)
+        facP = dtdays * t_PPmax
+        cff4 = jnp.where(day, facP * bio.K_NO3 * inhNH4 / (1.0 + cff2)
+                         * Phy, 0.0)
+        cff5 = jnp.where(day, facP * bio.K_NH4 / (1.0 + cff1) * Phy, 0.0)
+        NO3 = NO3 / (1.0 + cff4)
+        NH4 = NH4 / (1.0 + cff5)
+        newP = NO3 * cff4
+        regP = NH4 * cff5
+        Phy = Phy + newP + regP
+        Chl = Chl + jnp.where(
+            day,
+            (dtdays * t_PPmax * t_PPmax * LTOT * LTOT * bio.Chl2C_m
+             * Chl) / (bio.PhyIS * jnp.maximum(Chl2C, eps) * PAR + eps),
+            0.0)
+
+        # light-inhibited nitrification (fennel.h:NitriR block)
+        cffi = (PAR - bio.I_thNH4) / \
+            (bio.D_p5NH4 + PAR - 2.0 * bio.I_thNH4)
+        inhib = jnp.where(day, 1.0 - jnp.maximum(0.0, cffi), 1.0)
+        cff3 = dtdays * bio.NitriR * inhib
+        NH4 = NH4 / (1.0 + cff3)
+        NO3 = NO3 + NH4 * cff3
+
+        # ---- grazing + phytoplankton mortality ----
+        cff1g = dtdays * bio.ZooGR * Zoo * Phy / \
+            (bio.K_Phy + Phy * Phy)
+        cff3g = 1.0 / (1.0 + cff1g)
+        Phy = cff3g * Phy
+        Chl = cff3g * Chl
+        assim = cff1g * Phy * bio.ZooAE_N
+        egest = Phy * cff1g * (1.0 - bio.ZooAE_N)
+        Zoo = Zoo + assim
+        SDeN = SDeN + egest
+        pmort = dtdays * bio.PhyMR * jnp.maximum(Phy - bio.PhyMin, 0.0)
+        Phy = Phy - pmort
+        Chl = Chl - dtdays * bio.PhyMR * \
+            jnp.maximum(Chl - bio.ChlMin, 0.0)
+        SDeN = SDeN + pmort
+
+        # ---- zooplankton excretion / mortality / metabolism ----
+        fac1z = dtdays * bio.ZooER * Phy * Phy / (bio.K_Phy + Phy * Phy)
+        cff2z = dtdays * bio.ZooMR * Zoo
+        cff3z = fac1z * bio.ZooAE_N
+        Zoo = Zoo / (1.0 + cff2z + cff3z)
+        zmort = cff2z * Zoo
+        zexc = cff3z * Zoo
+        NH4 = NH4 + zexc
+        SDeN = SDeN + zmort
+        zmet = dtdays * bio.ZooBM * jnp.maximum(Zoo - bio.ZooMin, 0.0)
+        Zoo = Zoo - zmet
+        NH4 = NH4 + zmet
+
+        # ---- coagulation to large detritus ----
+        cffc = dtdays * bio.CoagR * (SDeN + Phy)
+        cff2c = 1.0 / (1.0 + cffc)
+        Phy = Phy * cff2c
+        Chl = Chl * cff2c
+        SDeN = SDeN * cff2c
+        LDeN = LDeN + Phy * cffc + SDeN * cffc
+
+        # ---- remineralization ----
+        cffs = dtdays * bio.SDeRRN
+        SDeN = SDeN / (1.0 + cffs)
+        NH4 = NH4 + SDeN * cffs
+        cffl = dtdays * bio.LDeRRN
+        LDeN = LDeN / (1.0 + cffl)
+        NH4 = NH4 + LDeN * cffl
+
+        # ---- sinking (upwind, CFL-limited) ----
+        def sink(q, w_mday):
+            if w_mday == 0.0:
+                return q
+            w = w_mday / 86400.0 * cfg.dt / max(bio.BioIter, 1)
+            flux = jnp.minimum(w, 0.9 * Hz[1:]) * q[1:]
+            dq = jnp.concatenate([flux, jnp.zeros_like(q[:1])], axis=0) \
+                - jnp.concatenate([jnp.zeros_like(q[:1]), flux], axis=0)
+            return q + dq / Hz
+
+        Phy = sink(Phy, bio.wPhy)
+        Chl = sink(Chl, bio.wPhy)
+        SDeN = sink(SDeN, bio.wSDet)
+        LDeN = sink(LDeN, bio.wLDet)
+
+    inc = jnp.zeros_like(t)
+    for i, (new, old) in enumerate(zip(
+            (NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN), f0)):
+        inc = inc.at[nb + i].set(new - old)
+    return inc
+
+
+def make_fennel_hook(cfg: ModelConfig, bio: FennelConfig, grid: Grid):
+    def hook(t, Hz, z_w, forcing):
+        return fennel(cfg, bio, grid, t, Hz, z_w, forcing.srflx)
+    return hook

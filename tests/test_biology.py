@@ -67,3 +67,53 @@ class TestNPZD:
         assert a(s.t[2][-1]).mean() < a(st.t[2][-1]).mean()
         # everything stays positive (the implicit source staging)
         assert a(s.t[2:]).min() > -1e-6
+
+
+class TestFennel:
+    def _setup(self):
+        import jax.numpy as jnp
+        from roms_tpu.core.biology import FennelConfig, make_fennel_hook
+        cfg = upwelling.make_config(Lm=12, Mm=12, N=10,
+                                    dtype="float64").replace(NT=9)
+        grid = upwelling.make_grid(cfg)
+        st = upwelling.make_initial(cfg, grid)
+        z = st.z_r
+        NO3 = 17.0 / (1 + jnp.exp((z + 100.0) / 6.5)) + 1.0
+        small = jnp.full_like(NO3, 0.05)
+        t9 = jnp.stack([st.t[0], st.t[1], NO3, 0.1 * small,
+                        small * 0.5, small, small * 0.5,
+                        small * 0.2, small * 0.2])
+        st = initial_state(cfg, grid, t=t9)
+        return cfg, grid, st, FennelConfig(), make_fennel_hook
+
+    def test_nitrogen_conservation(self):
+        """Without sinking, the full fennel web conserves total N."""
+        from roms_tpu.core.biology import FennelConfig, fennel
+        import dataclasses
+        cfg, grid, st, bio, _ = self._setup()
+        bio = dataclasses.replace(bio, wPhy=0.0, wSDet=0.0, wLDet=0.0)
+        srflx = jnp.full(cfg.shape2d, 2.0e-4)
+        inc = fennel(cfg, bio, grid, st.t, st.Hz, st.z_w, srflx)
+        # N compartments: NO3, NH4, Phy, Zoo, LDeN, SDeN (chl is not N)
+        totN = np.asarray(inc[2] + inc[3] + inc[5] + inc[6]
+                          + inc[7] + inc[8])
+        assert np.abs(totN).max() < 1e-12
+
+    def test_fennel_coupled_bloom(self):
+        cfg, grid, st, bio, make_hook = self._setup()
+        base = upwelling.make_forcing_fn(cfg, grid)
+
+        def forcing(time):
+            f = base(time)
+            return f._replace(srflx=jnp.full(cfg.shape2d, 2.0e-4))
+
+        model = Model(cfg, grid, forcing, upwelling.make_vmix_fn(cfg),
+                      bio_fn=make_hook(cfg, bio, grid))
+        s = model.run(st, 30)
+        a = np.asarray
+        assert np.isfinite(a(s.t)).all()
+        # photosynthesis: surface phytoplankton and chlorophyll grow
+        assert a(s.t[5][-1]).mean() > a(st.t[5][-1]).mean()
+        assert a(s.t[4][-1]).mean() > a(st.t[4][-1]).mean()
+        # all biological fields stay non-negative
+        assert a(s.t[2:]).min() > -1e-6
