@@ -1,0 +1,94 @@
+"""File-based forcing ingest and time interpolation.
+
+The reference reads time-snapshot forcing from NetCDF (get_data.F) and
+linearly interpolates to the model clock every step (set_data.F).  Here
+snapshots are loaded host-side into device arrays once, and the
+interpolation happens inside the jitted step as a pure function of the
+model time — no per-step host I/O, no retracing.
+
+Cyclic (climatological) time axes are supported like the reference's
+cycle_length logic.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..core.state import Forcing
+
+
+class TimeSeriesField:
+    """A (T, ...) field with a time axis, interpolated under jit."""
+
+    def __init__(self, times, values, cycle: Optional[float] = None):
+        self.times = jnp.asarray(np.asarray(times, np.float64))
+        self.values = jnp.asarray(values)
+        self.cycle = cycle
+
+    def at(self, time):
+        t = time
+        if self.cycle:
+            t = jnp.mod(t, self.cycle)
+        idx = jnp.clip(jnp.searchsorted(self.times, t) - 1, 0,
+                       self.times.shape[0] - 2)
+        t0 = self.times[idx]
+        t1 = self.times[idx + 1]
+        w = jnp.clip((t - t0) / (t1 - t0), 0.0, 1.0)
+        return (1.0 - w) * self.values[idx] + w * self.values[idx + 1]
+
+
+def load_forcing_netcdf(path: str, names: Dict[str, str],
+                        time_name: str = "ocean_time",
+                        cycle: Optional[float] = None):
+    """Read forcing snapshots from a classic NetCDF file into
+    TimeSeriesFields; names maps forcing slots ('sustr', 'svstr',
+    'shflux', 'swrad', ...) to file variable names."""
+    from scipy.io import netcdf_file
+    f = netcdf_file(path, "r", mmap=False)
+    # scipy returns big-endian views; force native-endian copies for jax
+    times = np.ascontiguousarray(f.variables[time_name][:],
+                                 dtype=np.float64)
+    fields = {}
+    for slot, var in names.items():
+        vals = np.ascontiguousarray(f.variables[var][:], dtype=np.float64)
+        fields[slot] = TimeSeriesField(times, vals, cycle=cycle)
+    f.close()
+    return fields
+
+
+def make_file_forcing_fn(cfg: ModelConfig, fields: Dict[str,
+                                                        TimeSeriesField]):
+    """Build forcing(time) -> Forcing from TimeSeriesFields.  Heat and
+    freshwater fluxes are converted to kinematic tracer fluxes:
+    stflx[T] = shflux/(rho0*Cp), stflx[S] = ssflux (already m/s * S)."""
+    from .. import constants
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+
+    def get(slot, default):
+        fld = fields.get(slot)
+        return (lambda t: fld.at(t).astype(dtype)) if fld else \
+            (lambda t: default)
+
+    f_sustr = get("sustr", zeros)
+    f_svstr = get("svstr", zeros)
+    f_shflux = get("shflux", zeros)
+    f_ssflux = get("ssflux", zeros)
+    f_swrad = get("swrad", zeros)
+    oHcp = 1.0 / (cfg.rho0 * constants.Cp)
+
+    def forcing(time):
+        stT = f_shflux(time) * oHcp
+        srf = f_swrad(time) * oHcp
+        stS = f_ssflux(time)
+        stflx = jnp.stack([stT, stS] + [zeros] * (cfg.NT - 2))
+        return Forcing(sustr=f_sustr(time), svstr=f_svstr(time),
+                       stflx=stflx, btflx=jnp.zeros_like(stflx),
+                       srflx=srf)
+
+    return forcing
