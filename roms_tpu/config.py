@@ -226,6 +226,10 @@ class ModelConfig:
     vadv: str = CENTERED4     # reference default for UPWELLING is CENTERED4
     # (actually SPLINES via ana config; see apps)
 
+    # Pressure-gradient scheme: 'djs' (splines density Jacobian,
+    # DJ_GRADPS default) or 'sj' (standard Jacobian, prsgrd31).
+    prsgrd: str = "djs"
+
     # Momentum advection: 'up3' (default UV_ADV), 'c2', 'c4', or None.
     uv_hadv: str = "up3"
     uv_vadv: str = "c4_sw"    # 4th-order stencil with 4th-order W (rhs3d.F default)

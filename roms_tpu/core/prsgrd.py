@@ -116,3 +116,36 @@ def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz):
                              - OneTwelfth * (dRe + st.jm1(dRe))))))
 
     return ru, rv
+
+
+def prsgrd31(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz):
+    """Standard density Jacobian (prsgrd31.h, non-WJ_GRADP branch):
+    downward accumulation of the geopotential gradient phix/phie with
+    the discrete Jacobian correction.  Alternative to prsgrd32."""
+    g = cfg.g
+    fac1 = 0.5 * g / cfg.rho0
+    fac3 = 0.25 * g / cfg.rho0
+
+    def one_dir(shift_m):
+        drho = rho - shift_m(rho)                # at u/v points, all k
+        dzr = z_r - shift_m(z_r)
+        dzw_t = (z_w[-1] - z_r[-1]) + (shift_m(z_w)[-1] - shift_m(z_r)[-1])
+        # surface slab (prsgrd31.h:150-175)
+        phi_top = fac1 * drho[-1] * dzw_t
+        # interior increments between k+1 and k (N-1 of them, top-down)
+        cff1 = drho[1:] + drho[:-1]
+        cff2 = (rho[1:] + shift_m(rho)[1:]) - (rho[:-1] + shift_m(rho)[:-1])
+        cff3 = (z_r[1:] + shift_m(z_r)[1:]) - (z_r[:-1] + shift_m(z_r)[:-1])
+        cff4 = dzr[1:] + dzr[:-1]
+        dphi = fac3 * (cff1 * cff3 - cff2 * cff4)
+        # phi[k] = phi_top + sum_{m=k}^{N-2} dphi[m]
+        csum = jnp.cumsum(dphi[::-1], axis=0)[::-1]
+        phi = jnp.concatenate([phi_top[None] + csum, phi_top[None]],
+                              axis=0)
+        return phi
+
+    phix = one_dir(st.im1)
+    phie = one_dir(st.jm1)
+    ru = -0.5 * (Hz + st.im1(Hz)) * phix * grid.on_u[None]
+    rv = -0.5 * (Hz + st.jm1(Hz)) * phie * grid.om_v[None]
+    return ru, rv

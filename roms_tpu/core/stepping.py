@@ -128,7 +128,10 @@ class Model:
             state.ru_prev, state.rv_prev, state.ru_prev2, state.rv_prev2,
             Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic,
             ghats=ghats_flux)
-        ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz)
+        if cfg.prsgrd == "sj":
+            ru, rv = prsgrd.prsgrd31(cfg, grid, rho, z_r, z_w, Hz)
+        else:
+            ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz)
         if cfg.mixing.smagorinsky:
             visc3d_r, diff3d_r = hmix.smagorinsky_coef(cfg, grid,
                                                        state.u, state.v)

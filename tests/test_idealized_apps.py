@@ -59,6 +59,19 @@ class TestSeamount:
         assert umax < 1.0e-3, umax
         assert np.isfinite(np.asarray(s.u)).all()
 
+    def test_standard_jacobian_scheme(self):
+        """prsgrd31 (standard density Jacobian) also keeps pressure-
+        gradient error currents bounded; it is less accurate than the
+        splines scheme but must stay well below 1 cm/s."""
+        cfg = ia.seamount_config().replace(prsgrd="sj")
+        grid = ia.seamount_grid(cfg)
+        s0 = ia.seamount_initial(cfg, grid)
+        m = Model(cfg, grid, ia.zero_forcing(cfg))
+        s = m.run(s0, 30)
+        umax = np.abs(np.asarray(s.u)).max()
+        assert umax < 1.0e-2, umax
+        assert np.isfinite(np.asarray(s.u)).all()
+
 
 class TestGravAdj:
     def test_lock_exchange(self):
