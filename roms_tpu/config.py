@@ -100,6 +100,7 @@ SPLINES = "splines"
 SPLIT_U3 = "split_u3"
 HSIMT = "hsimt"
 MPDATA = "mpdata"
+MPDATA = "mpdata"
 
 
 @dataclass(frozen=True)

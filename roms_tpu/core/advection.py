@@ -56,6 +56,14 @@ def hadv_flux(cfg: ModelConfig, grid: Grid, q, Huon, Hvom, scheme: str):
     ewp = cfg.bc.ew_periodic
     nsp = cfg.bc.ns_periodic
 
+    if scheme == "upwind1":
+        # first-order donor cell (pre_step3d.F:376-397, MPDATA/HSIMT
+        # predictor fluxes)
+        FX = jnp.maximum(Huon, 0.0) * st.im1(q) + \
+            jnp.minimum(Huon, 0.0) * q
+        FE = jnp.maximum(Hvom, 0.0) * st.jm1(q) + \
+            jnp.minimum(Hvom, 0.0) * q
+        return FX, FE
     if scheme == CENTERED2:
         FX = Huon * 0.5 * (q + st.im1(q))
         FE = Hvom * 0.5 * (q + st.jm1(q))
@@ -143,6 +151,12 @@ def vadv_flux(cfg: ModelConfig, q, W, Hz, scheme: str):
     N = q.shape[0]
     zeros = jnp.zeros_like(q[:1])
 
+    if scheme == "upwind1":
+        # first-order upwind vertical flux (pre_step3d.F:745-760)
+        Wi = W[1:-1]
+        FCi = jnp.maximum(Wi, 0.0) * q[:-1] + jnp.minimum(Wi, 0.0) * q[1:]
+        z = jnp.zeros_like(FCi[:1])
+        return jnp.concatenate([z, FCi, z], axis=0)
     if scheme == CENTERED2:
         FCi = W[1:-1] * 0.5 * (q[:-1] + q[1:])
         return jnp.concatenate([zeros, FCi, zeros], axis=0)

@@ -41,9 +41,10 @@ def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
     # ------------------------------------------------------------------
     # Tracer predictor -> t_half (tracer units at n+1/2)
     # ------------------------------------------------------------------
-    from ..config import HSIMT
+    from ..config import HSIMT, MPDATA
     hsimt = cfg.hadv == HSIMT
-    Gamma = 0.5 if hsimt else 1.0 / 6.0      # tadv Gamma staging
+    mpdata = cfg.hadv == MPDATA
+    Gamma = 0.5 if (hsimt or mpdata) else 1.0 / 6.0  # tadv Gamma staging
     cff = jnp.where(iic == 0, 0.5 * dt, (1.0 - Gamma) * dt)
     cff1 = jnp.where(iic == 0, 1.0, 0.5 + Gamma)
     cff2 = jnp.where(iic == 0, 0.0, 0.5 - Gamma)
@@ -53,6 +54,9 @@ def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
         if hsimt:
             FX, FE = advection.hadv_flux_hsimt(cfg, grid, t[itrc],
                                                Huon, Hvom, Hz)
+        elif mpdata:
+            FX, FE = advection.hadv_flux(cfg, grid, t[itrc], Huon, Hvom,
+                                         "upwind1")
         else:
             FX, FE = advection.hadv_flux(cfg, grid, t[itrc], Huon, Hvom,
                                          cfg.hadv)
@@ -61,6 +65,8 @@ def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
         # vertical advection + implied new thickness (pre_step3d.F:655-686)
         if cfg.vadv == HSIMT:
             FC = advection.vadv_flux_hsimt(cfg, grid, t[itrc], W, z_r)
+        elif cfg.vadv == MPDATA:
+            FC = advection.vadv_flux(cfg, t[itrc], W, Hz, "upwind1")
         else:
             FC = advection.vadv_flux(cfg, t[itrc], W, Hz, cfg.vadv)
         DC = 1.0 / (Hz - cff * pmn * (st.dx_p(Huon) + st.dy_p(Hvom)

@@ -31,21 +31,31 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
     pmn = grid.pm * grid.pn
     NAT = Akt.shape[0]
     out = []
-    from ..config import HSIMT
+    from ..config import HSIMT, MPDATA
     for itrc in range(cfg.NT):
-        if cfg.hadv == HSIMT:
-            FX, FE = advection.hadv_flux_hsimt(cfg, grid, t_half[itrc],
-                                               Huon, Hvom, Hz)
+        if cfg.hadv == MPDATA:
+            # monotone two-pass MPDATA replaces the centered corrector
+            # advection entirely (step3d_t.F:873-1481)
+            from . import mpdata as mpdata_mod
+            tn = mpdata_mod.mpdata_step(cfg, grid, t_half[itrc],
+                                        t_part[itrc], Huon, Hvom, W,
+                                        Hz, z_r)
         else:
-            FX, FE = advection.hadv_flux(cfg, grid, t_half[itrc], Huon,
-                                         Hvom, cfg.hadv)
-        tn = t_part[itrc] - dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
-        if cfg.vadv == HSIMT:
-            FC = advection.vadv_flux_hsimt(cfg, grid, t_half[itrc], W,
-                                           z_r)
-        else:
-            FC = advection.vadv_flux(cfg, t_half[itrc], W, Hz, cfg.vadv)
-        tn = tn - dt * pmn * (FC[1:] - FC[:-1])
+            if cfg.hadv == HSIMT:
+                FX, FE = advection.hadv_flux_hsimt(cfg, grid,
+                                                   t_half[itrc],
+                                                   Huon, Hvom, Hz)
+            else:
+                FX, FE = advection.hadv_flux(cfg, grid, t_half[itrc],
+                                             Huon, Hvom, cfg.hadv)
+            tn = t_part[itrc] - dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
+            if cfg.vadv == HSIMT:
+                FC = advection.vadv_flux_hsimt(cfg, grid, t_half[itrc],
+                                               W, z_r)
+            else:
+                FC = advection.vadv_flux(cfg, t_half[itrc], W, Hz,
+                                         cfg.vadv)
+            tn = tn - dt * pmn * (FC[1:] - FC[:-1])
 
         Ak = Akt[min(itrc, NAT - 1)]
         if cfg.mixing.splines_vdiff:

@@ -1,0 +1,76 @@
+"""roms.in standard-input reader (inp_par.F / read_phypar.F format)."""
+
+import numpy as np
+
+from roms_tpu import config as C
+from roms_tpu.io.roms_in import parse_roms_in, to_config
+
+SAMPLE = """
+! sample in reference standard-input format (read_phypar.F keywords)
+          Lm == 41            ! I-direction INTERIOR RHO-points
+          Mm == 80            ! J-direction INTERIOR RHO-points
+           N == 16            ! vertical levels
+
+   LBC(isFsur) ==   Per     Clo     Per     Clo         ! free-surface
+   LBC(isUvel) ==   Per     Clo     Per     Clo         ! 3D U-momentum
+
+          DT == 300.0d0
+     NDTFAST == 30
+
+        TNU2 == 0.0d0  0.0d0                    ! m2/s
+        TNU4 == 2*0.0d0                         ! m4/s
+       VISC2 == 5.0d0                           ! m2/s
+
+        RDRG == 3.0d-04                    ! m/s
+       RDRG2 == 3.0d-03                    ! nondimensional
+         Zob == 0.02d0                     ! m
+
+  Vtransform == 2
+ Vstretching == 4
+     THETA_S == 3.0d0
+     THETA_B == 0.0d0
+      TCLINE == 25.0d0
+
+        RHO0 == 1025.0d0
+          R0 == 1027.0d0
+          T0 == 14.0d0
+       TCOEF == 1.7d-4
+      GAMMA2 == 1.0d0
+"""
+
+
+class TestRomsIn:
+    def test_parse_values(self):
+        p = parse_roms_in(SAMPLE)
+        assert p["Lm"] == 41 and p["Mm"] == 80 and p["N"] == 16
+        assert p["DT"] == 300.0
+        assert p["TNU4"] == [0.0, 0.0]          # 2*0.0d0 expansion
+        assert p["RDRG"] == 3.0e-4              # d-exponent
+        assert p["LBC(isFsur)"] == ["Per", "Clo", "Per", "Clo"]
+
+    def test_to_config(self):
+        cfg = to_config(parse_roms_in(SAMPLE))
+        assert (cfg.Lm, cfg.Mm, cfg.vert.N) == (41, 80, 16)
+        assert cfg.dt == 300.0 and cfg.ndtfast == 30
+        assert cfg.mixing.visc2 == 5.0
+        assert cfg.vert.theta_s == 3.0 and cfg.vert.Tcline == 25.0
+        assert cfg.bc.zeta.west == C.PERIODIC
+        assert cfg.bc.zeta.south == C.CLOSED
+        assert cfg.bc.u.east == C.PERIODIC
+        assert cfg.drag.rdrg2 == 3.0e-3
+
+    def test_parsed_config_runs(self):
+        """A config built from the .in text drives the model end to
+        end (tiny grid override for speed)."""
+        from roms_tpu.core.stepping import Model
+        from roms_tpu.functionals import upwelling
+        cfg = to_config(parse_roms_in(SAMPLE), Lm=16, Mm=18,
+                        dtype="float64")
+        import dataclasses
+        cfg = cfg.replace(vert=dataclasses.replace(cfg.vert, N=8))
+        grid = upwelling.make_grid(cfg)
+        s0 = upwelling.make_initial(cfg, grid)
+        m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg))
+        s = m.run(s0, 3)
+        assert np.isfinite(np.asarray(s.zeta)).all()
