@@ -227,6 +227,10 @@ class ModelConfig:
     vadv: str = CENTERED4     # reference default for UPWELLING is CENTERED4
     # (actually SPLINES via ana config; see apps)
 
+    # Adaptive Courant-limited implicit vertical advection
+    # (OMEGA_IMPLICIT, omega.F:184-345 + step3d_*.F solves)
+    omega_implicit: bool = False
+
     # Pressure-gradient scheme: 'djs' (splines density Jacobian,
     # DJ_GRADPS default) or 'sj' (standard Jacobian, prsgrd31).
     prsgrd: str = "djs"

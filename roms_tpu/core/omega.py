@@ -35,6 +35,51 @@ def omega(cfg: ModelConfig, grid, Huon, Hvom, z_w):
     return W
 
 
+def omega_split(cfg: ModelConfig, grid, Huon, Hvom, z_w):
+    """OMEGA_IMPLICIT partition (omega.F:184-345, Shchepetkin 2015):
+    split the vertical mass flux into an explicit part We whose vertical
+    Courant number stays below amax (minus what horizontal advection
+    already used), and an implicit remainder Wi handled by an upwind
+    backward-Euler solve in the correctors.  Uses variant (1): Courant
+    number and dz taken from the vertically-upstream cell.
+
+    Returns (We, Wi), both (N+1, Mj, Li) with zero top/bottom rows.
+    """
+    amax = 0.75                          # omega.F:189
+    amin = 0.60                          # omega.F:190
+    cmnx_ratio = amin / amax
+    cutoff = 2.0 - cmnx_ratio
+    r4cmx = 1.0 / (4.0 - 4.0 * cmnx_ratio)
+
+    W = omega(cfg, grid, Huon, Hvom, z_w)
+    # horizontal outflux sum per cell (omega.F:235-239)
+    Cu = (jnp.maximum(st.ip1(Huon), 0.0) - jnp.minimum(Huon, 0.0) +
+          jnp.maximum(st.jp1(Hvom), 0.0) - jnp.minimum(Hvom, 0.0))
+    dtpmn = (cfg.dt * grid.pm * grid.pn)[None]
+
+    Wf = W[1:-1]                          # interior interfaces 1..N-1
+    up = Wf >= 0.0
+    c2d = jnp.where(up, Cu[:-1], Cu[1:])
+    dh = jnp.where(up, z_w[1:-1] - z_w[:-2], z_w[2:] - z_w[1:-1])
+    cw_max = amax * dh - c2d * dtpmn
+    cw_max2 = cw_max * cw_max
+    cw_min = cw_max * cmnx_ratio
+    cw = jnp.abs(Wf) * dtpmn
+    cff = jnp.where(cw <= cw_min, cw_max2,
+                    jnp.where(cw <= cutoff * cw_max,
+                              cw_max2 + r4cmx * (cw - cw_min) ** 2,
+                              cw_max * cw))
+    We_i = jnp.where((cw_max >= 0.0) & (cff > 0.0),
+                     cw_max2 * Wf / jnp.where(cff > 0.0, cff, 1.0), 0.0)
+    Wi_i = Wf - We_i
+    z0 = jnp.zeros_like(We_i[:1])
+    We = jnp.concatenate([z0, We_i, z0], axis=0)
+    Wi = jnp.concatenate([z0, Wi_i, z0], axis=0)
+    We = boundary.bc_rho(We, cfg.bc.zeta)
+    Wi = boundary.bc_rho(Wi, cfg.bc.zeta)
+    return We, Wi
+
+
 def wvelocity(cfg: ModelConfig, grid, u, v, W, z_r, z_w,
               DU_avg1, DV_avg1):
     """True vertical velocity for output (ROMS/Nonlinear/wvelocity.F).

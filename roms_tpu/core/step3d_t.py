@@ -21,7 +21,8 @@ from . import advection, boundary, obc as obc_mod
 
 
 def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
-             Huon, Hvom, W, Hz, z_r, Akt, t_old=None, obc=None):
+             Huon, Hvom, W, Hz, z_r, Akt, t_old=None, obc=None,
+             Wi=None):
     """Returns t at n+1 (NT, N, Mj, Li).
 
     Hz/z_r: NEW depths; Huon/Hvom/W: time-centered corrected fluxes;
@@ -57,6 +58,12 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
                                          cfg.vadv)
             tn = tn - dt * pmn * (FC[1:] - FC[:-1])
 
+        if Wi is not None:
+            # OMEGA_IMPLICIT: upwind-implicit solve with the vertical
+            # remainder before diffusion (step3d_t.F:1553-1680)
+            from ..ops.tridiag import implicit_adv_solve
+            FCw = dt * pmn[None] * Wi
+            tn = implicit_adv_solve(Hz, FCw, tn) * Hz
         Ak = Akt[min(itrc, NAT - 1)]
         if cfg.mixing.splines_vdiff:
             tn = tn / Hz

@@ -22,7 +22,7 @@ from . import boundary, obc as obc_mod
 
 def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
               Hz, z_r, Akv, avg, Huon_old, Hvom_old, iic,
-              u_old=None, v_old=None, obc=None):
+              u_old=None, v_old=None, obc=None, Wi=None):
     """Returns (u, v, ubar, vbar, Huon, Hvom) at time n+1.
 
     u_part/v_part: corrector seeds from pre_step3d (+uv3dmix), Hz*u units.
@@ -59,6 +59,20 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
         dz_v = (z_r[1:] + st.jm1(z_r[1:])) - (z_r[:-1] + st.jm1(z_r[:-1]))
         un = implicit_vdiff_solve(Hz_u, 2.0 * AKu, 1.0 / dz_u, un, dt)
         vn = implicit_vdiff_solve(Hz_v, 2.0 * AKv_, 1.0 / dz_v, vn, dt)
+
+    if Wi is not None:
+        # adaptive implicit vertical advection (step3d_uv.F:507-600):
+        # upwind solve with the implicit remainder Wi averaged to
+        # momentum points, after the viscosity solve.
+        from ..ops.tridiag import implicit_adv_solve
+        pmn_u = ((grid.pm + st.im1(grid.pm)) *
+                 (grid.pn + st.im1(grid.pn)))[None] * 0.25
+        pmn_v = ((grid.pm + st.jm1(grid.pm)) *
+                 (grid.pn + st.jm1(grid.pn)))[None] * 0.25
+        FCu = dt * pmn_u * 0.5 * (Wi + st.im1(Wi))
+        FCv = dt * pmn_v * 0.5 * (Wi + st.jm1(Wi))
+        un = implicit_adv_solve(Hz_u, FCu, un * Hz_u)
+        vn = implicit_adv_solve(Hz_v, FCv, vn * Hz_v)
 
     # ---- couple to barotropic mode (step3d_uv.F:595-700) ----------------
     D_u = jnp.sum(Hz_u, axis=0)

@@ -118,7 +118,12 @@ class Model:
             ghats_flux = Akt * ghats
         else:
             Akv, Akt = self.vmix_fn(state, grid, z_w)
-        W = omega_mod.omega(cfg, grid, Huon, Hvom, z_w)
+        if cfg.omega_implicit:
+            # OMEGA_IMPLICIT: explicit part drives all explicit
+            # advection; Wi is folded into the corrector solves.
+            W, Wi = omega_mod.omega_split(cfg, grid, Huon, Hvom, z_w)
+        else:
+            W, Wi = omega_mod.omega(cfg, grid, Huon, Hvom, z_w), None
         obc = self.obc_fn(state.time) if self.obc_fn else None
         clm = self.clm_fn(state.time) if self.clm_fn else None
 
@@ -188,8 +193,14 @@ class Model:
         # ---- correctors (main3d.F:990-1045) -----------------------------
         un, vn, ubar, vbar, Huon2, Hvom2 = step3d_uv(
             cfg, grid, u_part, v_part, ru, rv, Hz2, z_r2, Akv, avg,
-            Huon, Hvom, iic, u_old=state.u, v_old=state.v, obc=obc)
-        W2 = omega_mod.omega(cfg, grid, Huon2, Hvom2, z_w2)
+            Huon, Hvom, iic, u_old=state.u, v_old=state.v, obc=obc,
+            Wi=Wi)
+        if cfg.omega_implicit:
+            W2, Wi2 = omega_mod.omega_split(cfg, grid, Huon2, Hvom2,
+                                            z_w2)
+        else:
+            W2, Wi2 = omega_mod.omega(cfg, grid, Huon2, Hvom2,
+                                      z_w2), None
         if use_gls:
             # gls_corstep (main3d.F:1019-1021) runs before step3d_t so
             # tracers diffuse with the updated Akt.
@@ -203,7 +214,7 @@ class Model:
             mix_new = state.mix
             Akt_t = Akt
         tn = step3d_t(cfg, grid, t_half, t_part, Huon2, Hvom2, W2,
-                      Hz2, z_r2, Akt_t, t_old=state.t, obc=obc)
+                      Hz2, z_r2, Akt_t, t_old=state.t, obc=obc, Wi=Wi2)
         tn = clm_mod.nudge_tracers(cfg, clm, tn)
 
         return State(

@@ -112,3 +112,22 @@ def implicit_vdiff_solve(Hzk, AK, dz_inv, q_times_Hz, dt, lam=1.0):
     lower = FC[:-1]
     upper = FC[1:]
     return tridiag_solve(lower, diag, upper, q_times_Hz)
+
+
+def implicit_adv_solve(Hzk, FC, rhs_hzw):
+    """Upwind backward-implicit vertical advection (step3d_t.F:1553-1680,
+    step3d_uv.F:507-600, OMEGA_IMPLICIT).
+
+    Solves, per column,
+        (Hz_k + FCmax_{k+1/2} - FCmin_{k-1/2}) x_k
+          + FCmin_{k+1/2} x_{k+1} - FCmax_{k-1/2} x_{k-1} = rhs_k
+    where FC = dt*pm*pn*Wi at interfaces ((N+1, ...), zero rows top and
+    bottom) and rhs is the Hz-weighted field.  Returns the concentration
+    x (NOT Hz-weighted).
+    """
+    FCmax = jnp.maximum(FC, 0.0)
+    FCmin = jnp.minimum(FC, 0.0)
+    diag = Hzk + FCmax[1:] - FCmin[:-1]
+    upper = FCmin[1:]
+    lower = -FCmax[:-1]
+    return tridiag_solve(lower, diag, upper, rhs_hzw)
