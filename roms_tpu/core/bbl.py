@@ -1,0 +1,273 @@
+"""Wave-current bottom boundary layer closures.
+
+Implements the MB (Meinte Blaas / Soulsby) parametric closure of the
+reference's BBL family (ROMS/Nonlinear/BBL/mb_bbl.h):
+
+    tauCW    = tauC * [1 + 1.2*(tauW/(tauC+tauW))^3.2]       (Soulsby 97
+    tauCWmax = sqrt((tauCW + tauW cos(phiCW))^2                eqs 69-70)
+                    + (tauW sin(phiCW))^2)
+
+with optional bedload-layer roughness (MB_Z0BL, Li & Amos 2001),
+sandy-ripple predictor (MB_Z0RIP, Li & Amos 2001) and biogenic silty
+ripples (MB_Z0BIO, Harris & Wiberg 2001).  Wave orbital velocity at the
+bed comes either from linear theory via the Dean & Dalrymple (1991)
+6th-degree wave-number polynomial (MB_CALC_UB) or directly from a
+supplied Uwave_rms field.
+
+The SG (Styles & Glenn) and SSW (Sherwood/Signell/Warner) closures
+share this module's interface and follow in a later round.
+
+All IF-trees become jnp.where ladders over whole arrays; ripple
+geometry (rlen, rhgt) is prognostic state threaded by the caller.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..grid.grid import Grid
+from ..ops import stencil as st
+
+_VONKAR = 0.41          # mod_scalars.F:469
+_EPS = 1.0e-10          # mb_bbl.h:229
+# Dean & Dalrymple wave-number polynomial (mb_bbl.h:222-227)
+_K1, _K2, _K3 = 0.6666666666, 0.3555555555, 0.1608465608
+_K4, _K5, _K6 = 0.0632098765, 0.0217540484, 0.0065407983
+# Soulsby (1995) wave friction coefficients (mb_bbl.h:230-234)
+_SCF1 = 0.5 * 1.39
+_SCF2 = 0.52
+_SCF3 = 2.0 - _SCF2
+_SCF4 = 1.2
+_SCF5 = 3.2
+
+
+@dataclass(frozen=True)
+class BBLConfig:
+    """Sediment/bed parameters for the BBL closure (sediment.in +
+    ana_sediment defaults)."""
+    d50: float = 2.0e-4          # median grain diameter (m)
+    srho: float = 2650.0         # grain density (kg/m3)
+    tau_cb: float = 1.44e-4      # critical stress (m2/s2, kinematic)
+    wsed: float = 0.01           # settling velocity (m/s)
+    calc_ub: bool = True         # MB_CALC_UB: Ub from Hwave via
+    #                              linear theory, else Uwave_rms given
+    z0bl: bool = True            # MB_Z0BL bedload roughness
+    z0rip: bool = True           # MB_Z0RIP sandy ripple predictor
+    z0bio: bool = False          # MB_Z0BIO biogenic ripples
+    Cdb_min: float = 1.0e-6
+    Cdb_max: float = 0.5
+
+
+class BBLState(NamedTuple):
+    rlen: jnp.ndarray            # ripple length (m)
+    rhgt: jnp.ndarray            # ripple height (m)
+
+
+class BBLOut(NamedTuple):
+    bustr: jnp.ndarray           # kinematic bottom stress (m2/s2), u-pt
+    bvstr: jnp.ndarray
+    tauCWmax: jnp.ndarray        # max combined skin stress for sediment
+    Ab: jnp.ndarray              # orbital excursion amplitude (m)
+    state: BBLState
+
+
+def initial_bbl(cfg: ModelConfig, rlen0: float = 0.10,
+                rhgt0: float = 0.01) -> BBLState:
+    shp = cfg.shape2d
+    return BBLState(rlen=jnp.full(shp, rlen0, cfg.dtype),
+                    rhgt=jnp.full(shp, rhgt0, cfg.dtype))
+
+
+def mb_bbl(cfg: ModelConfig, bblc: BBLConfig, grid: Grid, bstate,
+           u, v, rho1, z_r, z_w, Hwave, Dwave, Pwave,
+           Uwave_rms=None):
+    """MB wave-current BBL (mb_bbl.h:236-620).
+
+    u, v: 3D velocities (bottom level used); rho1: bottom-level density
+    anomaly; Hwave/Dwave/Pwave: significant height (m), direction
+    (radians), bottom period (s).  Returns BBLOut.
+    """
+    g = cfg.g
+    twopi = 2.0 * jnp.pi
+    rlen0, rhgt0 = bstate.rlen, bstate.rhgt
+
+    Zr = z_r[0] - z_w[0]
+    rhoW = rho1 + 1000.0
+    visc = 0.0013 / rhoW
+
+    # ---- wave orbital velocity at the bed (mb_bbl.h:305-330) -----------
+    Fw = twopi / jnp.maximum(Pwave, 0.05)
+    if bblc.calc_ub or Uwave_rms is None:
+        h = grid.h
+        Kdh = h * Fw * Fw / g
+        Kbh2 = Kdh * Kdh + Kdh / (
+            1.0 + Kdh * (_K1 + Kdh * (_K2 + Kdh * (
+                _K3 + Kdh * (_K4 + Kdh * (_K5 + _K6 * Kdh))))))
+        Kbh = jnp.sqrt(Kbh2)
+        Ab = 0.5 * Hwave / jnp.sinh(Kbh) + _EPS
+        Ub = Fw * Ab
+    else:
+        Ub = Uwave_rms
+        Ab = Ub / Fw + _EPS
+
+    # ---- bottom current at rho points (mb_bbl.h:333-349) ---------------
+    Ucur = 0.5 * (u[0] + st.ip1(u[0]))
+    Vcur = 0.5 * (v[0] + st.jp1(v[0]))
+    Umag = jnp.sqrt(Ucur ** 2 + Vcur ** 2) + _EPS
+    phiC = jnp.arctan2(Vcur, Ucur)
+    angler = getattr(grid, "angler", None)
+    ang = angler if angler is not None else jnp.zeros_like(Umag)
+    phiCW = 1.5 * jnp.pi - Dwave - phiC - ang
+
+    # ---- roughness & critical stresses (mb_bbl.h:352-380) --------------
+    d50 = bblc.d50
+    rhoSed = bblc.srho / rhoW
+    tau_cb = bblc.tau_cb
+    tau_up = 0.172 * (rhoSed - 1.0) * g * d50 ** 0.624
+    tau_bf = 0.79 * visc ** (-0.6) * \
+        ((rhoSed - 1.0) * g) ** 0.3 * d50 ** 0.9 * tau_cb
+    ZnotC0 = d50 / 12.0
+    Znot = jnp.maximum(cfg.drag.Zob, ZnotC0)
+
+    def log_drag(z0):
+        c = _VONKAR / jnp.log(Zr / z0)
+        return c * c
+
+    # current-only stresses (mb_bbl.h:383-391)
+    tauC = jnp.clip(log_drag(Znot), bblc.Cdb_min, bblc.Cdb_max) * \
+        Umag ** 2
+    tau_cs = log_drag(ZnotC0) * Umag ** 2
+
+    def soulsby(tw, tc):
+        """tauCW and tauCWmax (Soulsby 97 eqs 69-70)."""
+        tcw = tc * (1.0 + _SCF4 * (tw / (tw + tc + _EPS)) ** _SCF5)
+        tmax = jnp.sqrt((tcw + tw * jnp.cos(phiCW)) ** 2 +
+                        (tw * jnp.sin(phiCW)) ** 2)
+        return tcw, tmax
+
+    def tau_wave(z0):
+        return _SCF1 * (z0 * Fw) ** _SCF2 * Ub ** _SCF3
+
+    # ---- wave-current branch (mb_bbl.h:398-540) ------------------------
+    tau_w_skin = tau_wave(ZnotC0)
+    _, tau_cws = soulsby(tau_w_skin, tau_cs)
+    tauCWmax = tau_cws
+    ZnotC = ZnotC0
+
+    if bblc.z0bl:
+        # bedload-layer roughness (Li & Amos 2001; mb_bbl.h:420-446)
+        tau_ex = jnp.maximum(tau_cws - tau_cb, 0.0)
+        cffb = 1.0 / ((rhoSed - 1.0) * g * d50)
+        ZnotC = ZnotC + 17.4 * d50 * (cffb * tau_ex) ** 0.75
+        tau_c_bl = log_drag(ZnotC) * Umag ** 2
+        tau_wb = tau_wave(ZnotC)
+        _, tau_cwb = soulsby(tau_wb, tau_c_bl)
+        tauCWmax = tau_cwb
+    else:
+        tau_cwb = tau_cws
+
+    rlen, rhgt = rlen0, rhgt0
+    if bblc.z0rip:
+        # sandy ripple predictor (Li & Amos 2001; mb_bbl.h:449-491)
+        RHmin, RLmin = 0.001, 0.01
+        RHmax = 0.8 * rlen0 / jnp.pi
+        rh = jnp.clip(rhgt0, RHmin, RHmax)
+        tau_en = jnp.maximum(
+            tau_cws, tau_cws * (rlen0 / (rlen0 - jnp.pi * rh)) ** 2)
+        rh_loc = (19.6 * jnp.sqrt(tau_cws / tau_cb) + 20.9) * d50
+        rh_eq = (22.15 * jnp.sqrt(tau_cwb / tau_cb) + 6.38) * d50
+        rl_brk = 535.0 * d50
+        rh_brk = 0.15 * rl_brk * \
+            (jnp.sqrt(tau_up) - jnp.sqrt(tau_cwb)) / \
+            (jnp.sqrt(tau_up) - jnp.sqrt(tau_bf) + _EPS)
+        cond_loc = (tau_cws < tau_cb) & (tau_en >= tau_cb)
+        cond_eq = (tau_cws >= tau_cb) & (tau_cwb < tau_bf)
+        cond_brk = (tau_cwb >= tau_bf) & (tau_cwb < tau_up)
+        cond_sheet = tau_cwb >= tau_up
+        rhgt = jnp.where(
+            cond_loc, rh_loc,
+            jnp.where(cond_eq, rh_eq,
+                      jnp.where(cond_brk, rh_brk,
+                                jnp.where(cond_sheet, 0.0, rhgt0))))
+        rlen = jnp.where(
+            cond_loc, rh_loc / 0.12,
+            jnp.where(cond_eq, rh_eq / 0.12,
+                      jnp.where(cond_brk, rl_brk,
+                                jnp.where(cond_sheet, 0.0, rlen0))))
+        if d50 < 0.000063:       # predictor only for sandy beds
+            rlen, rhgt = rlen0, rhgt0
+
+    if bblc.z0bio and bblc.d50 < 0.000063:
+        # biogenic ripples for silt (Harris & Wiberg 2001;
+        # mb_bbl.h:494-512)
+        RLbio = 0.1
+        RHbiofac = 1.0 / jnp.exp(4.11)
+        thetw = tau_cws / ((rhoSed - 1.0) * g * d50)
+        rhgt = jnp.minimum(thetw ** (-1.67) * RLbio * RHbiofac, 0.006)
+        rlen = jnp.full_like(rhgt, RLbio)
+
+    if bblc.z0rip or bblc.z0bio:
+        # Grant & Madsen (1982) ripple roughness (mb_bbl.h:519-523)
+        ZnotC = ZnotC + 0.92 * rhgt * rhgt / jnp.maximum(rlen, 0.01)
+
+    # total-roughness flow stresses (mb_bbl.h:525-546)
+    tau_c_tot = log_drag(ZnotC) * Umag ** 2
+    tau_w_tot = tau_wave(ZnotC)
+    tauCW_wave, _ = soulsby(tau_w_tot, tau_c_tot)
+
+    # ---- current-only branch (mb_bbl.h:548-580) ------------------------
+    if bblc.z0rip:
+        # current-only ripple regimes (Yalin 1964; mb_bbl.h:558-572)
+        rl_y = 1000.0 * d50
+        rh_y = 0.0308 * rl_y ** 1.19
+        sheet_c = tau_cs > tau_up
+        calm_c = tau_cs < tau_cb
+        rlen_cur = jnp.where(sheet_c, 0.0,
+                             jnp.where(calm_c, rlen0, rl_y))
+        rhgt_cur = jnp.where(sheet_c, 0.0,
+                             jnp.where(calm_c, rhgt0, rh_y))
+        ZnotC_cur = ZnotC0 + 0.92 * rhgt_cur ** 2 / \
+            jnp.maximum(rlen_cur, 0.01)
+    else:
+        rlen_cur, rhgt_cur = rlen0, rhgt0
+        ZnotC_cur = ZnotC0
+    tauCW_cur = jnp.clip(log_drag(ZnotC_cur), bblc.Cdb_min,
+                         bblc.Cdb_max) * Umag ** 2
+    waves = Ub > 0.01
+    tauCW = jnp.where(waves, tauCW_wave, tauCW_cur)
+    tauCWmax = jnp.where(waves, tauCWmax, tauC)
+    rlen = jnp.where(waves, rlen, rlen_cur)
+    rhgt = jnp.where(waves, rhgt, rhgt_cur)
+
+    # ---- stress components at u/v points (mb_bbl.h:590-620) ------------
+    angleC_u = u[0] / (0.5 * (st.im1(Umag) + Umag))
+    bustr = 0.5 * (st.im1(tauCW) + tauCW) * angleC_u
+    angleC_v = v[0] / (0.5 * (st.jm1(Umag) + Umag))
+    bvstr = 0.5 * (st.jm1(tauCW) + tauCW) * angleC_v
+    if cfg.wetdry:
+        lim_u = 0.75 * 0.5 * ((z_w[1] + st.im1(z_w[1])) -
+                              (z_w[0] + st.im1(z_w[0]))) / cfg.dt
+        bustr = jnp.sign(bustr) * jnp.minimum(
+            jnp.abs(bustr), jnp.abs(u[0]) * lim_u)
+        lim_v = 0.75 * 0.5 * ((z_w[1] + st.jm1(z_w[1])) -
+                              (z_w[0] + st.jm1(z_w[0]))) / cfg.dt
+        bvstr = jnp.sign(bvstr) * jnp.minimum(
+            jnp.abs(bvstr), jnp.abs(v[0]) * lim_v)
+
+    return BBLOut(bustr=bustr, bvstr=bvstr, tauCWmax=tauCWmax, Ab=Ab,
+                  state=BBLState(rlen=rlen, rhgt=rhgt))
+
+
+def make_bbl_fn(cfg: ModelConfig, bblc: BBLConfig, grid: Grid,
+                wave_fn):
+    """Wrap mb_bbl as a bottom-stress hook: wave_fn(time) must return
+    (Hwave, Dwave, Pwave) fields."""
+    def fn(time, bstate, u, v, rho1, z_r, z_w):
+        Hw, Dw, Pw = wave_fn(time)
+        return mb_bbl(cfg, bblc, grid, bstate, u, v, rho1, z_r, z_w,
+                      Hw, Dw, Pw)
+    return fn

@@ -69,6 +69,8 @@ class State(NamedTuple):
     mix: Any = None
     # Optional sediment bed state, None otherwise.
     sed: Any = None
+    # BBL prognostic ripple geometry (core/bbl.py BBLState)
+    bbl: Any = None
 
 
 def initial_state(cfg: ModelConfig, grid: Grid, *, zeta=None, u=None, v=None,

@@ -53,7 +53,8 @@ class Model:
                  var_rho: bool = True, obc_fn: Optional[Callable] = None,
                  clm_fn: Optional[Callable] = None,
                  bio_fn: Optional[Callable] = None,
-                 sources=None, sed_fn: Optional[Callable] = None):
+                 sources=None, sed_fn: Optional[Callable] = None,
+                 bbl_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
@@ -67,6 +68,7 @@ class Model:
         self.bio_fn = bio_fn
         self.sources = sources
         self.sed_fn = sed_fn
+        self.bbl_fn = bbl_fn
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
                                         var_rho=var_rho)
@@ -94,8 +96,17 @@ class Model:
                                       rho[-1])
         else:
             forcing = self.forcing_fn(state.time)
-        bustr, bvstr = set_vbc.bottom_drag(cfg, grid, state.u, state.v,
-                                           Hz, z_r, z_w)
+        if self.bbl_fn is not None:
+            # wave-current BBL closure replaces the plain drag law
+            # (bbl.F dispatch; mb_bbl.h)
+            bblout = self.bbl_fn(state.time, state.bbl, state.u,
+                                 state.v, rho[0], z_r, z_w)
+            bustr, bvstr = bblout.bustr, bblout.bvstr
+            bbl_new = bblout.state
+        else:
+            bustr, bvstr = set_vbc.bottom_drag(cfg, grid, state.u,
+                                               state.v, Hz, z_r, z_w)
+            bbl_new = state.bbl
         use_gls = cfg.mixing.vmix == "gls"
         ghats_flux = None
         if use_gls:
@@ -225,7 +236,8 @@ class Model:
             ru_prev2=state.ru_prev, rv_prev2=state.rv_prev,
             ru0_prev=rufrc_eff, rv0_prev=rvfrc_eff,
             ru0_prev2=state.ru0_prev, rv0_prev2=state.rv0_prev,
-            z_r=z_r2, z_w=z_w2, Hz=Hz2, mix=mix_new, sed=sed_new)
+            z_r=z_r2, z_w=z_w2, Hz=Hz2, mix=mix_new, sed=sed_new,
+            bbl=bbl_new)
 
     def step(self, state: State) -> State:
         return self._step_jit(state, self.grid)
