@@ -144,6 +144,8 @@ class MixingConfig:
     tnu4: Tuple[float, ...] = (0.0, 0.0)
     # Rotate harmonic tracer diffusion along geopotentials (MIX_GEO_TS)
     mix_geo_ts: bool = False
+    # Rotate along isopycnals instead (MIX_ISO_TS, t3dmix2_iso.h)
+    mix_iso_ts: bool = False
     # Smagorinsky deformation-dependent horizontal mixing
     # (UV_SMAGORINSKY / TS_SMAGORINSKY, hmixing.F)
     smagorinsky: bool = False

@@ -153,7 +153,10 @@ class Model:
                                                        state.u, state.v)
         else:
             visc3d_r = diff3d_r = None
-        if cfg.mixing.mix_geo_ts:
+        if cfg.mixing.mix_iso_ts:
+            t_part = hmix.t3dmix2_iso(cfg, grid, state.t, t_part, Hz,
+                                      z_r, pden)
+        elif cfg.mixing.mix_geo_ts:
             t_part = hmix.t3dmix2_geo(cfg, grid, state.t, t_part, Hz, z_r)
         else:
             t_part = hmix.t3dmix2_s(cfg, grid, state.t, t_part, Hz,
