@@ -22,8 +22,10 @@ from . import advection, boundary, obc as obc_mod
 
 def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
              Huon, Hvom, W, Hz, z_r, Akt, t_old=None, obc=None,
-             Wi=None):
-    """Returns t at n+1 (NT, N, Mj, Li).
+             Wi=None, collect_diag: bool = False):
+    """Returns t at n+1 (NT, N, Mj, Li); with collect_diag also a dict
+    of per-term Hz-weighted increments (DIAGNOSTICS_TS, set_diags.F:
+    iThadv/iTvadv/iTvdif conventions, Tunits m per step).
 
     Hz/z_r: NEW depths; Huon/Hvom/W: time-centered corrected fluxes;
     Akt: (NAT, N+1, Mj, Li) interface diffusivities.
@@ -32,6 +34,7 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
     pmn = grid.pm * grid.pn
     NAT = Akt.shape[0]
     out = []
+    dia = {"hadv": [], "vadv": [], "vdif": []}
     from ..config import HSIMT, MPDATA
     for itrc in range(cfg.NT):
         if cfg.hadv == MPDATA:
@@ -41,6 +44,8 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
             tn = mpdata_mod.mpdata_step(cfg, grid, t_half[itrc],
                                         t_part[itrc], Huon, Hvom, W,
                                         Hz, z_r)
+            dia["hadv"].append(tn - t_part[itrc])   # lumped 3D adv
+            dia["vadv"].append(jnp.zeros_like(tn))
         else:
             if cfg.hadv == HSIMT:
                 FX, FE = advection.hadv_flux_hsimt(cfg, grid,
@@ -49,21 +54,29 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
             else:
                 FX, FE = advection.hadv_flux(cfg, grid, t_half[itrc],
                                              Huon, Hvom, cfg.hadv)
-            tn = t_part[itrc] - dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
+            hadv_inc = -dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
+            tn = t_part[itrc] + hadv_inc
+            dia["hadv"].append(hadv_inc)
             if cfg.vadv == HSIMT:
                 FC = advection.vadv_flux_hsimt(cfg, grid, t_half[itrc],
                                                W, z_r)
             else:
                 FC = advection.vadv_flux(cfg, t_half[itrc], W, Hz,
                                          cfg.vadv)
-            tn = tn - dt * pmn * (FC[1:] - FC[:-1])
+            vadv_inc = -dt * pmn * (FC[1:] - FC[:-1])
+            tn = tn + vadv_inc
+            dia["vadv"].append(vadv_inc)
 
         if Wi is not None:
             # OMEGA_IMPLICIT: upwind-implicit solve with the vertical
             # remainder before diffusion (step3d_t.F:1553-1680)
             from ..ops.tridiag import implicit_adv_solve
             FCw = dt * pmn[None] * Wi
-            tn = implicit_adv_solve(Hz, FCw, tn) * Hz
+            tn_new = implicit_adv_solve(Hz, FCw, tn) * Hz
+            if collect_diag:
+                dia["vadv"][-1] = dia["vadv"][-1] + (tn_new - tn)
+            tn = tn_new
+        pre_solve = tn                     # Hz-weighted, pre-diffusion
         Ak = Akt[min(itrc, NAT - 1)]
         if cfg.mixing.splines_vdiff:
             tn = tn / Hz
@@ -71,6 +84,7 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
         else:
             dz_inv = 1.0 / (z_r[1:] - z_r[:-1])
             tn = implicit_vdiff_solve(Hz, Ak, dz_inv, tn, dt)
+        dia["vdif"].append(tn * Hz - pre_solve)
         tn = boundary.bc_rho(tn, cfg.bc.t)
         if t_old is not None:
             tdat = (obc or {}).get("t")
@@ -78,4 +92,6 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
                 cfg, cfg.bc.t, tn, t_old[itrc], dt=cfg.dt,
                 data=None if tdat is None else tdat.get(itrc))
         out.append(tn)
+    if collect_diag:
+        return jnp.stack(out), {k: jnp.stack(v) for k, v in dia.items()}
     return jnp.stack(out)

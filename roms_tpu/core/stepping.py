@@ -77,7 +77,8 @@ class Model:
     def _step_grid(self, state: State, grid: Grid) -> State:
         return self.step_impl(state, grid)
 
-    def step_impl(self, state: State, grid: Optional[Grid] = None) -> State:
+    def step_impl(self, state: State, grid: Optional[Grid] = None,
+                  collect_diag: bool = False):
         cfg = self.cfg
         grid = self.grid if grid is None else grid
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
@@ -227,11 +228,31 @@ class Model:
         else:
             mix_new = state.mix
             Akt_t = Akt
-        tn = step3d_t(cfg, grid, t_half, t_part, Huon2, Hvom2, W2,
-                      Hz2, z_r2, Akt_t, t_old=state.t, obc=obc, Wi=Wi2)
+        if collect_diag:
+            tn, tdia = step3d_t(cfg, grid, t_half, t_part, Huon2,
+                                Hvom2, W2, Hz2, z_r2, Akt_t,
+                                t_old=state.t, obc=obc, Wi=Wi2,
+                                collect_diag=True)
+        else:
+            tn = step3d_t(cfg, grid, t_half, t_part, Huon2, Hvom2, W2,
+                          Hz2, z_r2, Akt_t, t_old=state.t, obc=obc,
+                          Wi=Wi2)
+        tn_pre_nudge = tn
         tn = clm_mod.nudge_tracers(cfg, clm, tn)
 
-        return State(
+        if collect_diag:
+            # DIAGNOSTICS_TS budget (set_diags.F): Hz-weighted
+            # per-step increments; forc lumps surface fluxes, hmix,
+            # biology, sediment and point sources from the predictor.
+            diag = {
+                "rate": Hz2[None] * tn - state.Hz[None] * state.t,
+                "forc": t_part - state.Hz[None] * state.t,
+                "hadv": tdia["hadv"],
+                "vadv": tdia["vadv"],
+                "vdif": tdia["vdif"],
+                "nudg": Hz2[None] * (tn - tn_pre_nudge),
+            }
+        new_state = State(
             time=state.time + cfg.dt, iic=iic + 1,
             zeta=avg.Zt_avg1, ubar=ubar, vbar=vbar,
             u=un, v=vn, t=tn, t_prev=state.t,
@@ -241,9 +262,20 @@ class Model:
             ru0_prev2=state.ru0_prev, rv0_prev2=state.rv0_prev,
             z_r=z_r2, z_w=z_w2, Hz=Hz2, mix=mix_new, sed=sed_new,
             bbl=bbl_new)
+        if collect_diag:
+            return new_state, diag
+        return new_state
 
     def step(self, state: State) -> State:
         return self._step_jit(state, self.grid)
+
+    def step_diag(self, state: State):
+        """One step returning (new_state, DIAGNOSTICS_TS budget dict of
+        Hz-weighted per-step increments): rate = forc + hadv + vadv +
+        vdif + nudg, closing to roundoff in the interior."""
+        fn = jax.jit(lambda s, g: self.step_impl(s, g,
+                                                 collect_diag=True))
+        return fn(state, self.grid)
 
     def run(self, state: State, nsteps: int) -> State:
         """Advance nsteps inside a single jitted scan."""

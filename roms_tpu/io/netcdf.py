@@ -85,6 +85,11 @@ class HistoryWriter:
         self.f = f
 
     def _extract(self, state, key):
+        if key.endswith("_sur"):
+            base = key[:-4]
+            f3 = {"temp": state.t[0], "salt": state.t[1],
+                  "u": state.u, "v": state.v}[base]
+            return f3[-1]
         if key == "temp":
             return state.t[0]
         if key == "salt":
@@ -134,3 +139,47 @@ class AverageAccumulator:
 
     def mean(self):
         return {k: v / self._count for k, v in self._sum.items()}
+
+
+class DiagWriter:
+    """DIA output stream (def_diags.F/wrt_diags.F): per-term tracer
+    budget fields, one variable per (tracer, term)."""
+
+    TERMS = ("rate", "forc", "hadv", "vadv", "vdif", "nudg")
+
+    def __init__(self, path: str, cfg: ModelConfig, grid,
+                 tracers=("temp", "salt")):
+        self.cfg = cfg
+        self.tracers = tracers
+        self.nrec = 0
+        Mj, Li = cfg.shape2d
+        f = netcdf_file(path, "w", version=2)
+        f.type = "ROMS/TOMS diagnostics file"
+        f.createDimension("ocean_time", None)
+        f.createDimension("xi_rho", Li)
+        f.createDimension("eta_rho", Mj)
+        f.createDimension("s_rho", cfg.N)
+        vt = f.createVariable("ocean_time", "d", ("ocean_time",))
+        vt.units = "seconds since initialization"
+        self._time = vt
+        self._vars = {}
+        dims = ("ocean_time", "s_rho", "eta_rho", "xi_rho")
+        for it, trc in enumerate(tracers):
+            for term in self.TERMS:
+                v = f.createVariable(f"{trc}_{term}", "f", dims)
+                v.long_name = f"{trc} {term} term, Hz-weighted " \
+                    "increment per step"
+                v.units = "meter" if trc == "salt" else "Celsius meter"
+                self._vars[(it, term)] = v
+        self.f = f
+
+    def write(self, diag, time):
+        i = self.nrec
+        self._time[i] = float(np.asarray(time))
+        for (it, term), v in self._vars.items():
+            v[i] = np.asarray(diag[term][it], np.float32)
+        self.nrec += 1
+        self.f.flush()
+
+    def close(self):
+        self.f.close()

@@ -23,6 +23,14 @@ class VarInfo:
 # Keyed by State attribute (or derived-field key).
 REGISTRY = {
     "zeta": VarInfo("zeta", "free-surface", "meter", "r2"),
+    # quicksave (QCK) surface slices (wrt_quick.F surface switches)
+    "temp_sur": VarInfo("temp_sur", "surface temperature", "Celsius",
+                        "r2"),
+    "salt_sur": VarInfo("salt_sur", "surface salinity", "", "r2"),
+    "u_sur": VarInfo("u_sur", "surface u-momentum", "meter second-1",
+                     "u2"),
+    "v_sur": VarInfo("v_sur", "surface v-momentum", "meter second-1",
+                     "v2"),
     "ubar": VarInfo("ubar", "vertically integrated u-momentum component",
                     "meter second-1", "u2"),
     "vbar": VarInfo("vbar", "vertically integrated v-momentum component",
