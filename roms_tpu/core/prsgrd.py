@@ -36,7 +36,8 @@ def _harmonic_z(a, b):
     return 2.0 * a * b / (a + b)
 
 
-def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz):
+def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
+             eq_tide=None):
     """Splines density-Jacobian pressure gradient (prsgrd32.h:158-378).
 
     rho: density anomaly (N, Mj, Li); returns (ru, rv) in m4/s2.
@@ -61,6 +62,10 @@ def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz):
     cff1 = 1.0 / (z_r[-1] - z_r[-2])
     cff2 = 0.5 * (rho[-1] - rho[-2]) * (z_w[-1] - z_r[-1]) * cff1
     P_top = g * z_w[-1] + GRho * (rho[-1] + cff2) * (z_w[-1] - z_r[-1])
+    if eq_tide is not None:
+        # tide generating body force enters as a surface pressure
+        # deficit (TIDE_GENERATING_FORCES, prsgrd32.h:286)
+        P_top = P_top - g * eq_tide
     # increments between levels k+1 and k (N-1 of them, top-down)
     dP = HalfGRho * ((rho[1:] + rho[:-1]) * (z_r[1:] - z_r[:-1])
                      - OneFifth * ((dRm[1:] - dRm[:-1])

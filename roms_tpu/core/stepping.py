@@ -54,7 +54,8 @@ class Model:
                  clm_fn: Optional[Callable] = None,
                  bio_fn: Optional[Callable] = None,
                  sources=None, sed_fn: Optional[Callable] = None,
-                 bbl_fn: Optional[Callable] = None):
+                 bbl_fn: Optional[Callable] = None,
+                 eq_tide_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
@@ -69,6 +70,7 @@ class Model:
         self.sources = sources
         self.sed_fn = sed_fn
         self.bbl_fn = bbl_fn
+        self.eq_tide_fn = eq_tide_fn
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
                                         var_rho=var_rho)
@@ -145,10 +147,12 @@ class Model:
             state.ru_prev, state.rv_prev, state.ru_prev2, state.rv_prev2,
             Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic,
             ghats=ghats_flux)
+        eqt = self.eq_tide_fn(state.time) if self.eq_tide_fn else None
         if cfg.prsgrd == "sj":
             ru, rv = prsgrd.prsgrd31(cfg, grid, rho, z_r, z_w, Hz)
         else:
-            ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz)
+            ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz,
+                                     eq_tide=eqt)
         if cfg.mixing.smagorinsky:
             visc3d_r, diff3d_r = hmix.smagorinsky_coef(cfg, grid,
                                                        state.u, state.v)

@@ -1,0 +1,78 @@
+"""Equilibrium tide body force (TIDE_GENERATING_FORCES,
+equilibrium_tide.F + prsgrd32.h:286)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from roms_tpu.core import tides
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import benchmark
+
+
+def _lonlat(cfg):
+    dx, dy = 360.0 / cfg.Lm, 20.0 / cfg.Mm
+    Mj, Li = cfg.shape2d
+    i = np.arange(1, Li + 1)
+    j = np.arange(1, Mj + 1)
+    lon = (dx * (i - 0.5))[None, :] + np.zeros((Mj, 1))
+    lat = (-70.0 + dy * (j - 0.5))[:, None] + np.zeros((1, Li))
+    return jnp.asarray(lon), jnp.asarray(lat)
+
+
+class TestEquilibriumTide:
+    def test_synthesis_amplitude_and_period(self):
+        """Amplitude bounded by the sum of constituent Afl products;
+        the dominant M2 signal nearly repeats after one M2 period."""
+        lon = jnp.linspace(0.0, 360.0, 64)[None, :] * jnp.ones((8, 1))
+        lat = jnp.zeros((8, 1)) + jnp.linspace(-10, 10, 8)[:, None]
+        fn = tides.make_eq_tide_fn(lon, lat)
+        e0 = np.asarray(fn(0.0))
+        assert np.abs(e0).max() < 0.8          # sum of Afl ~ 0.48 m
+        assert np.abs(e0).max() > 0.05         # equator: cos^2 ~ 1
+        # quarter M2 period changes the field substantially
+        TM2 = 2.0 * np.pi / 1.405189e-4
+        e4 = np.asarray(fn(TM2 / 4.0))
+        assert np.abs(e4 - e0).max() > 0.05
+
+    def test_equator_semidiurnal_poles_weak(self):
+        """cos^2(lat) structure: semidiurnal signal vanishes at the
+        poles, sin(2*lat) diurnal vanishes at the equator and poles."""
+        lon = jnp.zeros((3, 1))
+        lat = jnp.asarray([[0.0], [45.0], [89.9]])
+        fn = tides.make_eq_tide_fn(lon, lat)
+        TM2 = 2.0 * np.pi / 1.405189e-4
+        ts = np.linspace(0, TM2, 30)
+        sig = np.stack([np.asarray(fn(t)) for t in ts])
+        rng = sig.max(axis=0) - sig.min(axis=0)
+        assert rng[2, 0] < 0.3 * rng[0, 0]     # near-pole much weaker
+
+    def test_body_force_drives_tide(self):
+        """With the body force on, a resting ocean develops a tidal
+        elevation response; without it, it stays at rest."""
+        cfg = benchmark.make_config(Lm=64, Mm=32, N=8, dtype="float64")
+        grid = benchmark.make_grid(cfg)
+        s0 = benchmark.make_initial(cfg, grid)
+        lon, lat = _lonlat(cfg)
+
+        def quiet_forcing(cfg_):
+            import jax.numpy as j
+            from roms_tpu.core.state import Forcing
+            z2 = j.zeros(cfg_.shape2d)
+
+            zt = j.zeros((cfg_.NT,) + cfg_.shape2d)
+
+            def fn(t):
+                return Forcing(sustr=z2, svstr=z2, stflx=zt, btflx=zt,
+                               srflx=z2)
+            return fn
+
+        def run(eq):
+            m = Model(cfg, grid, quiet_forcing(cfg),
+                      eq_tide_fn=tides.make_eq_tide_fn(lon, lat)
+                      if eq else None)
+            return m.run(s0, 20)
+
+        z_on = np.abs(np.asarray(run(True).zeta)).max()
+        z_off = np.abs(np.asarray(run(False).zeta)).max()
+        assert z_on > 10.0 * max(z_off, 1e-12), (z_on, z_off)
+        assert np.isfinite(z_on)
