@@ -463,3 +463,27 @@ def gls_corstep(cfg: ModelConfig, grid: Grid, mix: MixState,
                     gls=gls_new, gls_prev=mix.gls,
                     Akv=Akv_new, Akt=Akt_new, Akk=Akk_new, Akp=Akp_new,
                     Lscale=Lscale_new)
+
+
+def my25_mixing_config(base=None):
+    """Mellor-Yamada level-2.5 closure expressed through GLS.
+
+    The reference implements MY2.5 separately (my25_prestep.F /
+    my25_corstep.F); Umlauf & Burchard (2003, Table 1) show it is the
+    GLS member with (p, m, n) = (0, 1, 1) -- the k-kl pair -- with
+    cmu0 = B1**(-1/3) ~= 0.5544 (B1 = 16.6), Kantha-Clayson stability
+    functions and the E2 wall-proximity function (already active in
+    gls_corstep for p=0, m=1, n=1).  This helper returns a
+    MixingConfig preset so `vmix='gls'` reproduces MY2.5.
+    """
+    import dataclasses
+    from ..config import MixingConfig
+    base = base or MixingConfig()
+    return dataclasses.replace(
+        base, vmix="gls",
+        gls_p=0.0, gls_m=1.0, gls_n=1.0,
+        gls_cmu0=0.5544,
+        gls_c1=0.9, gls_c2=0.52, gls_c3m=2.5, gls_c3p=1.0,
+        gls_sigk=1.96, gls_sigp=1.96,
+        gls_kmin=5.0e-6, gls_pmin=5.0e-6,
+        gls_stab="kantha_clayson")

@@ -64,3 +64,27 @@ def test_bkpp_full_physics():
     s = m.run(st, 8)
     assert np.isfinite(np.asarray(s.u)).all()
     assert np.isfinite(np.asarray(s.t)).all()
+
+
+def test_my25_preset_runs_and_mixes():
+    """MY2.5 via the k-kl GLS member (my25_corstep.F equivalence,
+    Umlauf & Burchard 2003 Table 1): runs stably and deepens the
+    surface mixed layer under wind."""
+    import dataclasses
+    import numpy as np
+    from roms_tpu.core import gls as gls_mod
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import upwelling
+
+    cfg = upwelling.make_config(dtype="float64")
+    cfg = cfg.replace(mixing=gls_mod.my25_mixing_config(cfg.mixing))
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    s0 = s0._replace(mix=gls_mod.initial_mix(cfg))
+    m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid))
+    s = m.run(s0, 80)
+    assert np.isfinite(np.asarray(s.t[0])).all()
+    Akv = np.asarray(s.mix.Akv)
+    # turbulence developed somewhere in the wind-forced surface layer
+    assert Akv.max() > 3.0 * cfg.mixing.akv_bak
+    assert np.isfinite(Akv).all()
