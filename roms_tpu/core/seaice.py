@@ -1,0 +1,358 @@
+"""Single-category dynamic-thermodynamic sea ice.
+
+Re-implements the reference sea-ice subsystem (ROMS/Nonlinear/SeaIce/)
+in whole-array jnp form:
+
+  - EVP rheology: viscous-plastic stress with elastic pseudo-time
+    substepping (Hunke & Dukowicz 1997; ice_evp.F:200-260 bulk/shear
+    viscosities from the Hibler strength P = Pstar*hi*exp(-C(1-ai)),
+    ice_evp_sig.F:120-175 stress update, ice_elastic.F:230-500
+    semi-implicit momentum with ocean drag, Coriolis, surface tilt).
+  - Thermodynamics: reduced Mellor-Kantha/Semtner zero-layer column
+    (ice_mk.h full three-layer enthalpy follows in a later round):
+    conductive growth at the ice base, open-water growth/melt from the
+    surface heat imbalance, Hibler (1979) concentration evolution.
+  - Frazil ice from supercooled water (ice_frazil.F:155-230), a
+    bottom-up scan with latent-heat feedback on temperature.
+  - Advection: first-order upwind donor cell (the reference default is
+    MPDATA, ice_smolar.h; upwind is its first pass) + ice_limit.F
+    clamps.
+
+State lives in `IceState`; `make_ice_fn` returns the per-step hook the
+ocean Model calls before its own step, yielding modified surface
+stresses and tracer fluxes under ice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..grid.grid import Grid
+from ..ops import stencil as st
+
+
+@dataclass(frozen=True)
+class IceConfig:
+    """ice.in defaults (mod_ice.F initialization)."""
+    rhoi: float = 900.0          # ice density (kg/m3)
+    rho_air: float = 1.267
+    Cd_ai: float = 1.3e-3        # air-ice drag
+    Cd_io: float = 7.5e-3        # ice-ocean drag
+    Pstar: float = 2.75e4        # ice strength (N/m2)
+    Astrength: float = 20.0      # strength concentration exponent
+    ellip_sq: float = 4.0        # yield-ellipse eccentricity squared
+    E0: float = 0.25             # elastic modulus factor (ice_evp_sig.F:119)
+    nevp: int = 20               # elastic substeps per ice step
+    zetamin: float = 0.0
+    zetamax: float = 1.0e14
+    h0: float = 0.5              # lead closing thickness (Hibler 79)
+    ki: float = 2.04             # ice conductivity (W/m/K)
+    Lhat: float = 79.2           # latent heat of fusion (cal/g ~ scaled)
+    Li: float = 3.34e5           # latent heat (J/kg)
+    ai_max: float = 0.999
+    hi_min: float = 0.01
+
+
+class IceState(NamedTuple):
+    ai: jnp.ndarray              # concentration [0,1]
+    hi: jnp.ndarray              # mean thickness over cell (m)
+    ui: jnp.ndarray              # ice u-velocity (u points)
+    vi: jnp.ndarray
+    sxx: jnp.ndarray             # internal stresses (rho points)
+    syy: jnp.ndarray
+    sxy: jnp.ndarray
+
+
+def initial_ice(cfg: ModelConfig, ai0=0.0, hi0=0.0) -> IceState:
+    shp = cfg.shape2d
+    z = jnp.zeros(shp, cfg.dtype)
+    return IceState(ai=z + ai0, hi=z + hi0, ui=z, vi=z,
+                    sxx=z, syy=z, sxy=z)
+
+
+def freezing_point(S, z=0.0):
+    """Sea-water freezing point (ice_frazil.F:271-283 default)."""
+    return -0.0543 * S
+
+
+def ice_frazil(cfg: ModelConfig, icfg: IceConfig, t, Hz, z_r, rho):
+    """Frazil ice production from supercooled water
+    (ice_frazil.F:155-230).  Bottom-up scan: supercooled levels freeze
+    (warming toward t_fr), warm levels above melt accumulated frazil.
+    Returns (t_new_temp, w_frazil rate m/s)."""
+    Lhat, r = icfg.Lhat, 0.5
+    temp, salt = t[0], t[1]
+    t_fr = freezing_point(salt)
+    orhoi = 1.0 / icfg.rhoi
+
+    def level(carry, xs):
+        Fi = carry
+        T, S, Hzk, rhok, tf = xs
+        gamma = (tf - T) / (Lhat + T * (1.0 - r) + 0.0543 * S)
+        # freezing branch (T < tf): add frazil, warm the level
+        freeze = T < tf
+        dF_f = gamma * Hzk * (1000.0 + rhok) * orhoi
+        # melting branch: consume frazil from below, cool the level,
+        # limited by available frazil
+        melt = (~freeze) & (Fi > 0.0) & (T > tf)
+        dF_m_raw = gamma * Hzk * (1000.0 + rhok) * orhoi
+        exhausts = (Fi + dF_m_raw) <= 0.0
+        gamma_m = jnp.where(exhausts,
+                            -Fi * icfg.rhoi / (Hzk * (1000.0 + rhok)),
+                            gamma)
+        dF_m = jnp.where(exhausts, -Fi, dF_m_raw)
+        g_eff = jnp.where(freeze, gamma, jnp.where(melt, gamma_m, 0.0))
+        dF = jnp.where(freeze, dF_f, jnp.where(melt, dF_m, 0.0))
+        T_new = T + g_eff * (Lhat + T * (1.0 - r))
+        return Fi + dF, T_new
+
+    Fi0 = jnp.zeros_like(temp[0])
+    Fi, T_new = jax.lax.scan(
+        level, Fi0,
+        (temp, salt, Hz, rho, jnp.broadcast_to(t_fr[None] if t_fr.ndim == 2
+                                               else t_fr, temp.shape)))
+    w_fr = jnp.maximum(Fi, 0.0) / cfg.dt
+    return T_new, w_fr
+
+
+def _strain_rates(grid: Grid, ui, vi):
+    """eps_xx/yy/xy at rho points (ice_evp_sig.F:120-136)."""
+    exx = st.dx_p(ui) * grid.pm
+    eyy = st.dy_p(vi) * grid.pn
+    epx = 0.25 * (st.ip1(st.jp1(vi)) + st.ip1(vi)
+                  - st.im1(st.jp1(vi)) - st.im1(vi)) * grid.pm
+    epy = 0.25 * (st.ip1(st.jp1(ui)) + st.jp1(ui)
+                  - st.ip1(st.jm1(ui)) - st.jm1(ui)) * grid.pn
+    return exx, eyy, 0.5 * (epx + epy)
+
+
+def evp_substep(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
+                ai, hi, ui, vi, sxx, syy, sxy, dte,
+                tau_ax, tau_ay, uw, vw, sse, fcor):
+    """One elastic substep: stresses then semi-implicit momentum
+    (ice_evp.F + ice_evp_sig.F + ice_elastic.F)."""
+    e2r = 1.0 / icfg.ellip_sq
+    exx, eyy, exy = _strain_rates(grid, ui, vi)
+    eone = exx + eyy
+    etwos = (exx - eyy) ** 2 + 4.0 * exy * exy
+    delta = jnp.maximum(jnp.sqrt(jnp.abs(eone ** 2 + e2r * etwos)),
+                        1.0e-16)
+    P = icfg.Pstar * hi * jnp.exp(-icfg.Astrength * (1.0 - ai))
+    zeta = jnp.clip(P / (2.0 * delta), icfg.zetamin, icfg.zetamax)
+    eta = e2r * zeta
+
+    # elastic stress relaxation (ice_evp_sig.F:147-175), active where
+    # there is ice; viscous-plastic limit elsewhere
+    E = 2.0 * icfg.E0 * icfg.rhoi * hi / (grid.pm * dte) ** 2
+    ep = E * P / (4.0 * zeta + 1.0e-8)
+    ee = E / (2.0 * eta + 1.0e-8)
+    ees = E * (eta - zeta) / (4.0 * eta * zeta + 1.0e-8)
+    cffi = 1.0 / dte
+    alfa = cffi + ee + ees
+    beta = ees
+    gamma = cffi + ee
+    f1 = E * exx + cffi * sxx - ep
+    f2 = E * eyy + cffi * syy - ep
+    f3 = E * exy + cffi * sxy
+    f4 = 1.0 / (alfa ** 2 - beta ** 2)
+    sxx_e = f4 * (alfa * f1 - beta * f2)
+    syy_e = f4 * (alfa * f2 - beta * f1)
+    sxy_e = f3 / gamma
+    # thin ice: pure VP stress (ice_evp_sig.F:165-175)
+    thick = hi > 0.01
+    sxx_v = 2.0 * eta * exx + (zeta - eta) * eone - 0.5 * P
+    syy_v = 2.0 * eta * eyy + (zeta - eta) * eone - 0.5 * P
+    sxy_v = 2.0 * eta * exy
+    sxx = jnp.where(thick, sxx_e, sxx_v) * grid.rmask
+    syy = jnp.where(thick, syy_e, syy_v) * grid.rmask
+    sxy = jnp.where(thick, sxy_e, sxy_v) * grid.rmask
+
+    # ---- momentum (ice_elastic.F:230-520) ------------------------------
+    def at_u(q):
+        return 0.5 * (q + st.im1(q))
+
+    def at_v(q):
+        return 0.5 * (q + st.jm1(q))
+
+    g = cfg.g
+    rho0 = cfg.rho0
+    # u-component
+    masu = jnp.maximum(at_u(hi), 0.1) * icfg.rhoi
+    auf = jnp.maximum(at_u(ai), 0.01)
+    s1 = st.dx_m(sxx) * at_u(grid.pm)
+    sxy_c = 0.25 * (sxy + st.jp1(sxy) + st.im1(sxy) + st.im1(st.jp1(sxy)))
+    sxy_d = 0.25 * (sxy + st.im1(sxy) + st.jm1(sxy) + st.im1(st.jm1(sxy)))
+    s2 = (sxy_c - sxy_d) * at_u(grid.pn)
+    # ice-ocean transfer coefficient (ice_spdiw.F): Cd_io*|u_i - u_w|
+    spd_u = jnp.sqrt((ui - uw) ** 2 +
+                     (at_u(0.25 * (vi + st.jp1(vi) + st.im1(vi)
+                                   + st.im1(st.jp1(vi))))
+                      - at_u(0.25 * (vw + st.jp1(vw) + st.im1(vw)
+                                     + st.im1(st.jp1(vw))))) ** 2)
+    chux = icfg.Cd_io * spd_u
+    fv = at_u(0.25 * (vi + st.jp1(vi)) * 2.0)       # v averaged to u
+    uforce = (s1 + s2 + tau_ax
+              - g * masu * st.dx_m(sse) * at_u(grid.pm)
+              + masu * at_u(fcor) * fv)
+    alfa_u = masu + dte * auf * rho0 * chux
+    ui_new = (masu * ui + dte * (uforce + auf * rho0 * chux * uw)) / \
+        alfa_u
+    ui_new = ui_new * grid.umask
+
+    # v-component (mirror)
+    masv = jnp.maximum(at_v(hi), 0.1) * icfg.rhoi
+    avf = jnp.maximum(at_v(ai), 0.01)
+    s1v = st.dy_m(syy) * at_v(grid.pn)
+    sxy_r = 0.25 * (sxy + st.ip1(sxy) + st.jm1(sxy) + st.jm1(st.ip1(sxy)))
+    sxy_l = 0.25 * (sxy + st.jm1(sxy) + st.im1(sxy) + st.im1(st.jm1(sxy)))
+    s2v = (sxy_r - sxy_l) * at_v(grid.pm)
+    spd_v = jnp.sqrt((vi - vw) ** 2 +
+                     (at_v(0.25 * (ui + st.ip1(ui) + st.jm1(ui)
+                                   + st.jm1(st.ip1(ui))))
+                      - at_v(0.25 * (uw + st.ip1(uw) + st.jm1(uw)
+                                     + st.jm1(st.ip1(uw))))) ** 2)
+    chvy = icfg.Cd_io * spd_v
+    fu = at_v(0.25 * (ui + st.ip1(ui)) * 2.0)
+    vforce = (s1v + s2v + tau_ay
+              - g * masv * st.dy_m(sse) * at_v(grid.pn)
+              - masv * at_v(fcor) * fu)
+    alfa_v = masv + dte * avf * rho0 * chvy
+    vi_new = (masv * vi + dte * (vforce + avf * rho0 * chvy * vw)) / \
+        alfa_v
+    vi_new = vi_new * grid.vmask
+    return ui_new, vi_new, sxx, syy, sxy
+
+
+def ice_advect(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
+               ai, hi, ui, vi):
+    """Upwind donor-cell transport of area and volume (ice_smolar.h
+    first pass) + ice_limit.F clamps."""
+    dt = cfg.dt
+    pmn = grid.pm * grid.pn
+
+    def adv(q):
+        FX = (jnp.maximum(ui, 0.0) * st.im1(q) +
+              jnp.minimum(ui, 0.0) * q) * grid.on_u
+        FE = (jnp.maximum(vi, 0.0) * st.jm1(q) +
+              jnp.minimum(vi, 0.0) * q) * grid.om_v
+        return q - dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
+
+    ai = jnp.clip(adv(ai), 0.0, icfg.ai_max) * grid.rmask
+    hi = jnp.maximum(adv(hi), 0.0) * grid.rmask
+    return ai, hi
+
+
+def ice_thermo(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
+               ai, hi, sst, sss, tair, qnet_ao, qio_coef=1.0e-4):
+    """Reduced Mellor-Kantha / Semtner zero-layer thermodynamics
+    (ice_mk.h condensed; full 3-layer enthalpy is a later round).
+
+    tair: surface air temperature (degC) setting the ice-surface
+    temperature in the strong-coupling limit, so basal conduction is
+    ki*(t_fr - tair)/h -- thick ice grows slower (Semtner 1976).
+    qnet_ao: net downward atmospheric heat flux over open water (W/m2,
+    positive = warming).  Growth partition follows Hibler (1979):
+    open-water freezing builds area with e-folding h0; melt shrinks
+    area proportional to volume loss."""
+    dt = cfg.dt
+    rhoLi = icfg.rhoi * icfg.Li
+    t_fr = freezing_point(sss)
+
+    # basal conduction through ice of thickness hi/ai (per unit ice
+    # area), zero-layer with T_sfc ~= tair
+    h_eff = jnp.maximum(hi / jnp.maximum(ai, 0.01), icfg.hi_min)
+    cond = icfg.ki * (t_fr - tair) / h_eff
+    # ocean->ice heat flux (McPhee-style exchange velocity qio_coef)
+    qio = qio_coef * cfg.rho0 * 3985.0 * jnp.maximum(sst - t_fr, 0.0)
+
+    # growth rates (m/s of ice); conduction can melt from above when
+    # the air is warm (cond < 0)
+    wai = (cond - qio) / rhoLi                     # under-ice
+    wao = -qnet_ao / rhoLi                         # open water
+    wao = jnp.where(sst <= t_fr + 0.05, jnp.maximum(wao, 0.0),
+                    jnp.minimum(wao, 0.0))
+
+    dvol = dt * (ai * wai + (1.0 - ai) * jnp.maximum(wao, 0.0))
+    melt_open = dt * (1.0 - ai) * jnp.minimum(wao, 0.0) * 0.0
+    hi_new = jnp.maximum(hi + dvol + melt_open, 0.0)
+
+    # Hibler concentration equation
+    dai_grow = dt * (1.0 - ai) * jnp.maximum(wao, 0.0) / icfg.h0
+    dai_melt = jnp.where(hi > 1e-8,
+                         0.5 * ai * jnp.minimum(dvol, 0.0) /
+                         jnp.maximum(hi, 1e-8), 0.0)
+    ai_new = jnp.clip(ai + dai_grow + dai_melt, 0.0, icfg.ai_max)
+    ai_new = jnp.where(hi_new <= 0.0, 0.0, ai_new) * grid.rmask
+    hi_new = hi_new * grid.rmask
+
+    # heat/salt feedback to the ocean: latent heat of growth warms
+    # (freezing releases heat used implicitly), brine rejection raises
+    # salinity: salt flux = (S - S_ice)*growth
+    growth = (hi_new - hi) / dt                     # m/s ice
+    sflx = growth * (sss - 5.0) * icfg.rhoi / cfg.rho0   # psu m/s
+    return ai_new, hi_new, sflx
+
+
+def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
+                atm_fn):
+    """Per-step sea-ice hook.
+
+    atm_fn(time) -> (uwind, vwind, tair, qnet_ao): 10-m winds (m/s,
+    rho points), air temperature (degC) and net downward open-water
+    heat flux (W/m2).
+
+    Returns fn(time, ice, uw, vw, sst, sss, sse) ->
+    (ice_new, tau_ox, tau_oy, sflx) where tau_o* are the kinematic
+    ocean surface stresses under the ice-weighted blend and sflx the
+    brine/melt salt flux.
+    """
+    dte = cfg.dt / icfg.nevp
+
+    def fn(time, ice, uw, vw, sst, sss, sse):
+        uwind, vwind, tair, qao = atm_fn(time)
+        # air-ice stress (ice_vbc.F): rho_air*Cd_ai*|W|*W at u/v pts
+        wmag = jnp.sqrt(uwind ** 2 + vwind ** 2)
+        tau_ax = 0.5 * ((icfg.rho_air * icfg.Cd_ai * wmag * uwind)
+                        + st.im1(icfg.rho_air * icfg.Cd_ai * wmag
+                                 * uwind))
+        tau_ay = 0.5 * ((icfg.rho_air * icfg.Cd_ai * wmag * vwind)
+                        + st.jm1(icfg.rho_air * icfg.Cd_ai * wmag
+                                 * vwind))
+
+        def sub(carry, _):
+            ui, vi, sxx, syy, sxy = carry
+            ui, vi, sxx, syy, sxy = evp_substep(
+                cfg, icfg, grid, ice.ai, ice.hi, ui, vi, sxx, syy,
+                sxy, dte, tau_ax, tau_ay, uw, vw, sse, grid.f)
+            return (ui, vi, sxx, syy, sxy), None
+
+        (ui, vi, sxx, syy, sxy), _ = jax.lax.scan(
+            sub, (ice.ui, ice.vi, ice.sxx, ice.syy, ice.sxy), None,
+            length=icfg.nevp)
+
+        ai, hi = ice_advect(cfg, icfg, grid, ice.ai, ice.hi, ui, vi)
+        ai, hi, sflx = ice_thermo(cfg, icfg, grid, ai, hi, sst, sss,
+                                  tair, qao)
+        new = IceState(ai=ai, hi=hi, ui=ui, vi=vi,
+                       sxx=sxx, syy=syy, sxy=sxy)
+
+        # ocean surface stress: open-water wind stress blended with
+        # ice-ocean drag (ice_vbc.F)
+        ai_u = 0.5 * (ai + st.im1(ai))
+        ai_v = 0.5 * (ai + st.jm1(ai))
+        tauw_x = tau_ax / cfg.rho0
+        tauw_y = tau_ay / cfg.rho0
+        spd_u = jnp.abs(ui - uw)
+        spd_v = jnp.abs(vi - vw)
+        tio_x = icfg.Cd_io * spd_u * (ui - uw)
+        tio_y = icfg.Cd_io * spd_v * (vi - vw)
+        tau_ox = (1.0 - ai_u) * tauw_x + ai_u * tio_x
+        tau_oy = (1.0 - ai_v) * tauw_y + ai_v * tio_y
+        return new, tau_ox, tau_oy, sflx
+
+    return fn

@@ -71,6 +71,8 @@ class State(NamedTuple):
     sed: Any = None
     # BBL prognostic ripple geometry (core/bbl.py BBLState)
     bbl: Any = None
+    # sea ice state (core/seaice.py IceState)
+    ice: Any = None
 
 
 def initial_state(cfg: ModelConfig, grid: Grid, *, zeta=None, u=None, v=None,

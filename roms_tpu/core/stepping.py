@@ -55,7 +55,8 @@ class Model:
                  bio_fn: Optional[Callable] = None,
                  sources=None, sed_fn: Optional[Callable] = None,
                  bbl_fn: Optional[Callable] = None,
-                 eq_tide_fn: Optional[Callable] = None):
+                 eq_tide_fn: Optional[Callable] = None,
+                 ice_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
@@ -71,6 +72,7 @@ class Model:
         self.sed_fn = sed_fn
         self.bbl_fn = bbl_fn
         self.eq_tide_fn = eq_tide_fn
+        self.ice_fn = ice_fn
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
                                         var_rho=var_rho)
@@ -99,6 +101,22 @@ class Model:
                                       rho[-1])
         else:
             forcing = self.forcing_fn(state.time)
+        ice_new = state.ice
+        if self.ice_fn is not None:
+            # sea-ice step before the ocean step (seaice.F driver
+            # order); ice modifies surface stress and salt flux
+            sss_srf = state.t[1][-1] if cfg.NT > 1 else \
+                jnp.zeros_like(state.zeta)
+            ice_new, tox, toy, isflx = self.ice_fn(
+                state.time, state.ice, state.u[-1], state.v[-1],
+                state.t[0][-1], sss_srf, state.zeta)
+            stflx = forcing.stflx
+            if cfg.NT > 1:
+                stflx = stflx.at[1].add(isflx)
+            # under-ice heat flux damping toward freezing is handled in
+            # thermo; here only stress/salt feedback is applied
+            forcing = forcing._replace(sustr=tox, svstr=toy,
+                                       stflx=stflx)
         if self.bbl_fn is not None:
             # wave-current BBL closure replaces the plain drag law
             # (bbl.F dispatch; mb_bbl.h)
@@ -265,7 +283,7 @@ class Model:
             ru0_prev=rufrc_eff, rv0_prev=rvfrc_eff,
             ru0_prev2=state.ru0_prev, rv0_prev2=state.rv0_prev,
             z_r=z_r2, z_w=z_w2, Hz=Hz2, mix=mix_new, sed=sed_new,
-            bbl=bbl_new)
+            bbl=bbl_new, ice=ice_new)
         if collect_diag:
             return new_state, diag
         return new_state

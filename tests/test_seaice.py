@@ -1,0 +1,94 @@
+"""Sea ice: EVP dynamics + zero-layer thermodynamics + frazil
+(ROMS/Nonlinear/SeaIce/)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roms_tpu.core import seaice
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import upwelling
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = upwelling.make_config(dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    t = np.asarray(s0.t).copy()
+    t[0] = -1.8        # near freezing (t_fr = -0.0543*32 = -1.74)
+    t[1] = 32.0
+    s0 = s0._replace(t=jnp.asarray(t), t_prev=jnp.asarray(t))
+    return cfg, grid, s0
+
+
+def _run(cfg, grid, s0, tair, wind=5.0, nsteps=20, ai0=0.3, hi0=0.2,
+         qao=-100.0):
+    shp = cfg.shape2d
+    icfg = seaice.IceConfig()
+
+    def atm_fn(time):
+        return (jnp.full(shp, wind), jnp.zeros(shp),
+                jnp.full(shp, tair), jnp.full(shp, qao))
+
+    s0i = s0._replace(ice=seaice.initial_ice(cfg, ai0=ai0, hi0=hi0))
+    m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+              vmix_fn=upwelling.make_vmix_fn(cfg),
+              ice_fn=seaice.make_ice_fn(cfg, icfg, grid, atm_fn))
+    return m.run(s0i, nsteps)
+
+
+class TestSeaIce:
+    def test_cold_air_grows_ice(self, setup):
+        """Basal conduction under -20C air thickens the pack
+        (Semtner zero-layer: growth ~ ki*dT/h)."""
+        cfg, grid, s0 = setup
+        s = _run(cfg, grid, s0, tair=-20.0)
+        hi = np.asarray(s.ice.hi)
+        assert np.isfinite(hi).all()
+        assert hi.mean() > 0.2                 # grew
+        assert np.asarray(s.ice.ai).mean() > 0.3
+
+    def test_warm_air_melts_ice(self, setup):
+        """Above-freezing air melts from the top (cond < 0)."""
+        cfg, grid, s0 = setup
+        s = _run(cfg, grid, s0, tair=10.0, qao=200.0)
+        assert np.asarray(s.ice.hi).mean() < 0.2
+
+    def test_free_drift_fraction(self, setup):
+        """Wind-driven drift lands in the classic 2-4% of wind speed
+        range (Nansen rule) under free drift."""
+        cfg, grid, s0 = setup
+        s = _run(cfg, grid, s0, tair=-5.0, wind=10.0)
+        ui = np.abs(np.asarray(s.ice.ui))[4:-4, 4:-4].max()
+        assert 0.1 < ui < 0.6, ui
+
+    def test_thick_ice_grows_slower(self, setup):
+        """Conduction-limited growth: d(hi)/dt decreases with
+        thickness (Semtner 1976)."""
+        cfg, grid, s0 = setup
+        thin = _run(cfg, grid, s0, tair=-20.0, hi0=0.2)
+        thick = _run(cfg, grid, s0, tair=-20.0, hi0=2.0)
+        dthin = np.asarray(thin.ice.hi).mean() - 0.2
+        dthick = np.asarray(thick.ice.hi).mean() - 2.0
+        assert dthin > dthick > 0.0
+
+    def test_frazil_production(self, setup):
+        """Supercooled water forms frazil and warms back toward the
+        freezing point (ice_frazil.F:155-230)."""
+        cfg, grid, s0 = setup
+        from roms_tpu.core.rho_eos import rho_eos
+        from roms_tpu.grid.depth import set_depth
+        z_r, z_w, Hz = set_depth(grid, s0.zeta)
+        t = np.asarray(s0.t).copy()
+        t[0] = -2.5                            # below t_fr = -1.74
+        rho, _, _, _, _ = rho_eos(cfg, jnp.asarray(t), z_r, Hz, z_w)
+        Tn, wfr = seaice.ice_frazil(cfg, seaice.IceConfig(),
+                                    jnp.asarray(t), Hz, z_r, rho)
+        assert float(np.asarray(wfr).max()) > 0.0
+        assert float(np.asarray(Tn).min()) > -2.5   # warmed
+        # no frazil from water at/above freezing
+        t[0] = 5.0
+        _, wfr0 = seaice.ice_frazil(cfg, seaice.IceConfig(),
+                                    jnp.asarray(t), Hz, z_r, rho)
+        assert float(np.abs(np.asarray(wfr0)).max()) == 0.0
