@@ -100,7 +100,9 @@ SPLINES = "splines"
 SPLIT_U3 = "split_u3"
 HSIMT = "hsimt"
 MPDATA = "mpdata"
+SPLIT_U3 = "split_u3"
 MPDATA = "mpdata"
+SPLIT_U3 = "split_u3"
 
 
 @dataclass(frozen=True)

@@ -47,6 +47,13 @@ def _hsimt_face(q_up, grad, grad_up, Ka, Ka_up, flux_sign):
 
 
 def hadv_flux(cfg: ModelConfig, grid: Grid, q, Huon, Hvom, scheme: str):
+    # SPLIT_U3 (step3d_t.F:635-700): the advective part of the split
+    # third-order upstream scheme is identical to CENTERED4; its
+    # diffusive (upwind) half is applied separately as an explicit
+    # biharmonic term (tnu4), keeping the advection operator
+    # self-adjoint for the TLM/ADM drivers.
+    if scheme == "split_u3":
+        scheme = CENTERED4
     """Horizontal advective fluxes (FX at U points, FE at V points).
 
     q: tracer (..., Mj, Li).  Mirrors pre_step3d.F:262-516 /
@@ -143,6 +150,8 @@ def hadv_flux(cfg: ModelConfig, grid: Grid, q, Huon, Hvom, scheme: str):
 
 
 def vadv_flux(cfg: ModelConfig, q, W, Hz, scheme: str):
+    if scheme == "split_u3":     # step3d_t.F:1144-1165
+        scheme = CENTERED4
     """Vertical advective flux FC at interfaces (N+1, Mj, Li); FC[0]=FC[N]=0.
 
     q, Hz: (N, ...); W: (N+1, ...) interface omega mass flux.

@@ -222,60 +222,96 @@ def t3dmix2_geo(cfg: ModelConfig, grid: Grid, t, t_part, Hz, z_r):
 
     out = []
     for itrc in range(cfg.NT):
-        q = t[itrc]
-        d2 = grid.diff2[itrc]
-        cff_u = 0.25 * (d2 + st.im1(d2)) * grid.on_u
-        cff_v = 0.25 * (d2 + st.jm1(d2)) * grid.om_v
-        dTdx = pm_u * (q - st.im1(q))
-        dTde = pn_v * (q - st.jm1(q))
-        if cfg.bc.ew_periodic:
-            dTdx = st.periodic_x(dTdx)
-        if cfg.bc.ns_periodic:
-            dTde = st.periodic_y(dTde)
-        dTdz_i = (q[1:] - q[:-1]) / (z_r[1:] - z_r[:-1])
-        zz = jnp.zeros_like(dTdz_i[:1])
-        dTdz = jnp.concatenate([zz, dTdz_i, zz], axis=0)   # (N+1,...)
+        div = _rot_div_geo(cfg, grid, t[itrc], grid.diff2[itrc], Hz,
+                           z_r, dZdx, dZde)
+        out.append(t_part[itrc] + dt * div)
+    return jnp.stack(out)
 
-        # horizontal fluxes with slope correction (t3dmix2_geo.h:205-245)
-        mnZ = jnp.minimum(dZdx, 0.0)
-        mxZ = jnp.maximum(dZdx, 0.0)
-        FX = cff_u * (Hz + st.im1(Hz)) * (
-            dTdx - 0.5 * (mnZ * (st.im1(dTdz)[:-1] + dTdz[1:])
-                          + mxZ * (st.im1(dTdz)[1:] + dTdz[:-1])))
-        mnZe = jnp.minimum(dZde, 0.0)
-        mxZe = jnp.maximum(dZde, 0.0)
-        FE = cff_v * (Hz + st.jm1(Hz)) * (
-            dTde - 0.5 * (mnZe * (st.jm1(dTdz)[:-1] + dTdz[1:])
-                          + mxZe * (st.jm1(dTdz)[1:] + dTdz[:-1])))
-        if cfg.bc.ew_periodic:
-            FX = st.periodic_x(FX)
-        if cfg.bc.ns_periodic:
-            FE = st.periodic_y(FE)
 
-        # vertical cross-flux at interior interfaces kk=1..N-1
-        # (t3dmix2_geo.h:248-278)
-        c = 0.5 * d2
-        dTz = dTdz[1:-1]                              # (N-1,...)
-        c1 = jnp.minimum(dZdx[:-1], 0.0)              # layer kk-1
-        c2 = jnp.minimum(st.ip1(dZdx)[1:], 0.0)       # layer kk, i+1
-        c3 = jnp.maximum(dZdx[1:], 0.0)
-        c4 = jnp.maximum(st.ip1(dZdx)[:-1], 0.0)
-        FS = c * (c1 * (c1 * dTz - dTdx[:-1])
-                  + c2 * (c2 * dTz - st.ip1(dTdx)[1:])
-                  + c3 * (c3 * dTz - dTdx[1:])
-                  + c4 * (c4 * dTz - st.ip1(dTdx)[:-1]))
-        e1 = jnp.minimum(dZde[:-1], 0.0)
-        e2 = jnp.minimum(st.jp1(dZde)[1:], 0.0)
-        e3 = jnp.maximum(dZde[1:], 0.0)
-        e4 = jnp.maximum(st.jp1(dZde)[:-1], 0.0)
-        FS = FS + c * (e1 * (e1 * dTz - dTde[:-1])
-                       + e2 * (e2 * dTz - st.jp1(dTde)[1:])
-                       + e3 * (e3 * dTz - dTde[1:])
-                       + e4 * (e4 * dTz - st.jp1(dTde)[:-1]))
-        FSfull = jnp.concatenate([zz, FS, zz], axis=0)
+def _rot_div_geo(cfg: ModelConfig, grid: Grid, q, d2, Hz, z_r,
+                 dZdx, dZde):
+    """Rotated (geopotential) flux divergence of one tracer field,
+    Hz-weighted per unit time (t3dmix2_geo.h:205-290 triad kernel);
+    shared by the harmonic and biharmonic operators."""
+    pmn = grid.pm * grid.pn
+    pm_u = 0.5 * (grid.pm + st.im1(grid.pm)) * grid.umask
+    pn_v = 0.5 * (grid.pn + st.jm1(grid.pn)) * grid.vmask
+    cff_u = 0.25 * (d2 + st.im1(d2)) * grid.on_u
+    cff_v = 0.25 * (d2 + st.jm1(d2)) * grid.om_v
+    dTdx = pm_u * (q - st.im1(q))
+    dTde = pn_v * (q - st.jm1(q))
+    if cfg.bc.ew_periodic:
+        dTdx = st.periodic_x(dTdx)
+    if cfg.bc.ns_periodic:
+        dTde = st.periodic_y(dTde)
+    dTdz_i = (q[1:] - q[:-1]) / (z_r[1:] - z_r[:-1])
+    zz = jnp.zeros_like(dTdz_i[:1])
+    dTdz = jnp.concatenate([zz, dTdz_i, zz], axis=0)   # (N+1,...)
 
-        out.append(t_part[itrc] + dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
-                   + dt * (FSfull[1:] - FSfull[:-1]))
+    # horizontal fluxes with slope correction (t3dmix2_geo.h:205-245)
+    mnZ = jnp.minimum(dZdx, 0.0)
+    mxZ = jnp.maximum(dZdx, 0.0)
+    FX = cff_u * (Hz + st.im1(Hz)) * (
+        dTdx - 0.5 * (mnZ * (st.im1(dTdz)[:-1] + dTdz[1:])
+                      + mxZ * (st.im1(dTdz)[1:] + dTdz[:-1])))
+    mnZe = jnp.minimum(dZde, 0.0)
+    mxZe = jnp.maximum(dZde, 0.0)
+    FE = cff_v * (Hz + st.jm1(Hz)) * (
+        dTde - 0.5 * (mnZe * (st.jm1(dTdz)[:-1] + dTdz[1:])
+                      + mxZe * (st.jm1(dTdz)[1:] + dTdz[:-1])))
+    if cfg.bc.ew_periodic:
+        FX = st.periodic_x(FX)
+    if cfg.bc.ns_periodic:
+        FE = st.periodic_y(FE)
+
+    # vertical cross-flux at interior interfaces kk=1..N-1
+    # (t3dmix2_geo.h:248-278)
+    c = 0.5 * d2
+    dTz = dTdz[1:-1]                              # (N-1,...)
+    c1 = jnp.minimum(dZdx[:-1], 0.0)              # layer kk-1
+    c2 = jnp.minimum(st.ip1(dZdx)[1:], 0.0)       # layer kk, i+1
+    c3 = jnp.maximum(dZdx[1:], 0.0)
+    c4 = jnp.maximum(st.ip1(dZdx)[:-1], 0.0)
+    FS = c * (c1 * (c1 * dTz - dTdx[:-1])
+              + c2 * (c2 * dTz - st.ip1(dTdx)[1:])
+              + c3 * (c3 * dTz - dTdx[1:])
+              + c4 * (c4 * dTz - st.ip1(dTdx)[:-1]))
+    e1 = jnp.minimum(dZde[:-1], 0.0)
+    e2 = jnp.minimum(st.jp1(dZde)[1:], 0.0)
+    e3 = jnp.maximum(dZde[1:], 0.0)
+    e4 = jnp.maximum(st.jp1(dZde)[:-1], 0.0)
+    FS = FS + c * (e1 * (e1 * dTz - dTde[:-1])
+                   + e2 * (e2 * dTz - st.jp1(dTde)[1:])
+                   + e3 * (e3 * dTz - dTde[1:])
+                   + e4 * (e4 * dTz - st.jp1(dTde)[:-1]))
+    FSfull = jnp.concatenate([zz, FS, zz], axis=0)
+    return pmn * (st.dx_p(FX) + st.dy_p(FE)) + (FSfull[1:] - FSfull[:-1])
+
+
+def t3dmix4_geo(cfg: ModelConfig, grid: Grid, t, t_part, Hz, z_r):
+    """Biharmonic tracer mixing rotated along geopotentials
+    (t3dmix4_geo.h): the rotated harmonic triad operator applied twice
+    with sqrt(tnu4) each pass, intermediate Laplacian boundary-treated
+    like the along-s biharmonic."""
+    if all(d == 0.0 for d in cfg.mixing.tnu4):
+        return t_part
+    dt = cfg.dt
+    pm_u = 0.5 * (grid.pm + st.im1(grid.pm)) * grid.umask
+    pn_v = 0.5 * (grid.pn + st.jm1(grid.pn)) * grid.vmask
+    dZdx = pm_u * (z_r - st.im1(z_r))
+    dZde = pn_v * (z_r - st.jm1(z_r))
+    if cfg.bc.ew_periodic:
+        dZdx = st.periodic_x(dZdx)
+    if cfg.bc.ns_periodic:
+        dZde = st.periodic_y(dZde)
+    out = []
+    for itrc in range(cfg.NT):
+        d4 = grid.diff4[itrc]
+        Lap = _rot_div_geo(cfg, grid, t[itrc], d4, Hz, z_r,
+                           dZdx, dZde) / Hz
+        Lap = _lap_bc(cfg, cfg.bc.t, Lap)
+        out.append(t_part[itrc] - dt * _rot_div_geo(
+            cfg, grid, Lap, d4, Hz, z_r, dZdx, dZde))
     return jnp.stack(out)
 
 

@@ -184,7 +184,11 @@ class Model:
         else:
             t_part = hmix.t3dmix2_s(cfg, grid, state.t, t_part, Hz,
                                     diff3d_r=diff3d_r)
-        t_part = hmix.t3dmix4_s(cfg, grid, state.t, t_part, Hz)
+        if cfg.mixing.mix_geo_ts:
+            t_part = hmix.t3dmix4_geo(cfg, grid, state.t, t_part, Hz,
+                                      z_r)
+        else:
+            t_part = hmix.t3dmix4_s(cfg, grid, state.t, t_part, Hz)
         if self.bio_fn is not None:
             # ecosystem source/sink increment (main3d.F:1027, biology.F)
             t_part = t_part + Hz[None] * self.bio_fn(state.t, Hz, z_w,

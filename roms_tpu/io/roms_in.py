@@ -115,6 +115,7 @@ def _lbc(params: Dict, key: str) -> C.LBC:
 _HADV_MAP = {
     "u3": C.UPSTREAM3, "c2": C.CENTERED2, "c4": C.CENTERED4,
     "a4": C.AKIMA4, "sp": "splines", "hs": C.HSIMT, "mp": C.MPDATA,
+    "su": C.SPLIT_U3,
 }
 
 

@@ -55,3 +55,30 @@ class TestIsoMixing:
         u_iso = np.abs(np.asarray(s_iso.u)).max()
         u_sig = np.abs(np.asarray(s_sig.u)).max()
         assert u_iso < u_sig, (u_iso, u_sig)
+
+
+def test_biharmonic_geo_runs_and_selective():
+    """t3dmix4_geo: rotated biharmonic stays stable and, like the
+    harmonic rotation, perturbs a flat-isopycnal stratification far
+    less than the along-sigma biharmonic."""
+    import dataclasses
+    import numpy as np
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import idealized as ia
+
+    def run(geo):
+        cfg = ia.seamount_config()
+        cfg = cfg.replace(mixing=dataclasses.replace(
+            cfg.mixing, mix_geo_ts=geo, tnu4=(1.0e8, 1.0e8)))
+        grid = ia.seamount_grid(cfg)
+        s0 = ia.seamount_initial(cfg, grid)
+        m = Model(cfg, grid, ia.zero_forcing(cfg))
+        s = m.run(s0, 20)
+        return s0, s
+
+    s0g, sg = run(True)
+    s0s, ss = run(False)
+    dg = np.abs(np.asarray(sg.t[0]) - np.asarray(s0g.t[0]))[2:-2].max()
+    dsig = np.abs(np.asarray(ss.t[0]) - np.asarray(s0s.t[0]))[2:-2].max()
+    assert np.isfinite(np.asarray(sg.t[0])).all()
+    assert dg < dsig, (dg, dsig)
