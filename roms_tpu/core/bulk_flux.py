@@ -97,7 +97,8 @@ def _sat_vapor(TC, Pair):
 
 
 def bulk_flux(cfg: ModelConfig, atm: AtmState, sst, sss, rho_surf,
-              lrflx_data=None):
+              lrflx_data=None, cool_skin: bool = False,
+              coare35: bool = False):
     """Compute surface fluxes.
 
     sst/sss: surface tracer fields (Mj, Li); rho_surf: surface in-situ
@@ -175,12 +176,24 @@ def bulk_flux(cfg: ModelConfig, atm: AtmState, sst, sss, rho_surf,
     Qstar = -delQ * vonKar / (jnp.log(BLK_ZQ / ZoT10)
                               - bulk_psit(BLK_ZQ / L10))
 
-    # Charnock parameter (COARE 3.0 wind dependence)
-    charn = jnp.where(
-        delW > 18.0, 0.018,
-        jnp.where(delW > 10.0,
-                  0.011 + 0.125 * (0.018 - 0.011) * (delW - 10.0),
-                  0.011))
+    if coare35:
+        # COARE 3.5 Charnock (Edson et al 2013; bulk_flux.F:795-797)
+        charn = jnp.minimum(0.028, -0.005 + 0.0017 * delW)
+    else:
+        # Charnock parameter (COARE 3.0 wind dependence)
+        charn = jnp.where(
+            delW > 18.0, 0.018,
+            jnp.where(delW > 10.0,
+                      0.011 + 0.125 * (0.018 - 0.011) * (delW - 10.0),
+                      0.011))
+    # cool-skin state (COOL_SKIN, Fairall et al 1996)
+    delTc = jnp.zeros_like(delT)
+    delQc = jnp.zeros_like(delQ)
+    # slope of saturation vapor wrt temperature and thermal expansion
+    Cwet = 0.622 * Hlv * Qsea / (BLK_RGAS * TseaK ** 2)
+    Tcff = 2.1e-5 * jnp.maximum(TseaC + 3.2, 0.0) ** 0.79  # alpha(T)
+    Scff = 0.026 / (1.0 - 0.026 * sss / 34.0 + _EPS) * 0.0 + 0.026
+    rhoSea = rho0 + rho_surf
 
     # --- Monin-Obukhov iteration (IterMax=3, statically unrolled) --------
     for _ in range(3):
@@ -197,13 +210,37 @@ def bulk_flux(cfg: ModelConfig, atm: AtmState, sst, sss, rho_surf,
         Qpsi = bulk_psit(BLK_ZQ / L)
         Wstar = jnp.maximum(_EPS, delW * vonKar /
                             (jnp.log(BLK_ZW / ZoW) - Wpsi))
-        Tstar = -delT * vonKar / (jnp.log(BLK_ZT / ZoT) - Tpsi)
-        Qstar = -delQ * vonKar / (jnp.log(BLK_ZQ / ZoQ) - Qpsi)
+        Tstar = -(delT - delTc) * vonKar / \
+            (jnp.log(BLK_ZT / ZoT) - Tpsi)
+        Qstar = -(delQ - delQc) * vonKar / \
+            (jnp.log(BLK_ZQ / ZoQ) - Qpsi)
         Bf = -g / TairK * Wstar * (Tstar + 0.61 * TairK * Qstar)
         Wgus = jnp.where(Bf > 0.0,
                          BLK_BETA * (Bf * BLK_ZABL) ** (1.0 / 3.0),
                          0.2)
         delW = jnp.sqrt(Wmag ** 2 + Wgus ** 2)
+        if cool_skin:
+            # cool-skin correction (bulk_flux.F:894-938, Fairall et
+            # al 1996): molecular sublayer cooling delTc at the
+            # interface, moisture counterpart delQc
+            visw, tcw, Cpw = 1.0e-6, 0.6, BLK_CPW
+            Clam = 16.0 * g * Cpw * (rhoSea * visw) ** 3 / \
+                (tcw * tcw * rhoAir * rhoAir)
+            Hcool = 0.001
+            Hsb = -rhoAir * BLK_CPA * Wstar * Tstar
+            Hlb = -rhoAir * Hlv * Wstar * Qstar
+            Fc = 0.065 + 11.0 * Hcool - \
+                (1.0 - jnp.exp(-Hcool * 1250.0)) * 6.6e-5 / Hcool
+            Qcool = LRad + Hsb + Hlb - SRad * Fc
+            Qbouy = Tcff * Qcool + Scff * Hlb * Cpw / Hlv
+            lambd = 6.0 / (1.0 + (Clam * jnp.maximum(Qbouy, 0.0) /
+                                  (Wstar + _EPS) ** 4) ** 0.75) ** \
+                (1.0 / 3.0)
+            Hc = lambd * visw / (jnp.sqrt(rhoAir / rhoSea) *
+                                 Wstar + _EPS)
+            delTc = jnp.where((Qcool > 0.0) & (Qbouy > 0.0),
+                              Qcool * Hc / tcw, 0.0)
+            delQc = Cwet * delTc
 
     # --- fluxes (bulk_flux.F:900-1010) -----------------------------------
     Hs = -BLK_CPA * rhoAir * Wstar * Tstar
@@ -242,14 +279,16 @@ def bulk_flux(cfg: ModelConfig, atm: AtmState, sst, sss, rho_surf,
     return sustr, svstr, stflx_T, stflx_S, lrflx, lhflx, shflx, evap
 
 
-def make_bulk_forcing(cfg: ModelConfig, atm_fn):
+def make_bulk_forcing(cfg: ModelConfig, atm_fn, cool_skin=False,
+                      coare35=False):
     """Wrap an atmospheric-state function into a forcing_fn that needs the
     current surface state: returns fn(time, sst, sss, rho_surf) -> Forcing.
     """
     def forcing(time, sst, sss, rho_surf):
         atm = atm_fn(time)
-        (sustr, svstr, stT, stS, *_rest) = bulk_flux(cfg, atm, sst, sss,
-                                                     rho_surf)
+        (sustr, svstr, stT, stS, *_rest) = bulk_flux(
+            cfg, atm, sst, sss, rho_surf, cool_skin=cool_skin,
+            coare35=coare35)
         zeros = jnp.zeros_like(sustr)
         stflx = jnp.stack([stT, stS] + [zeros] * (cfg.NT - 2))
         btflx = jnp.zeros_like(stflx)

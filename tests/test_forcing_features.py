@@ -66,3 +66,35 @@ class TestClimatology:
         g2 = clm_mod.apply_sponge(grid, jnp.asarray(amp))
         assert float(g2.visc2_r[10, 0]) == pytest.approx(
             5.0 * float(grid.visc2_r[10, 10]))
+
+
+def test_cool_skin_and_coare35():
+    """COOL_SKIN (bulk_flux.F:894-938): the molecular skin cools the
+    interface, reducing the sea-air contrast and hence the upward
+    turbulent fluxes; COARE 3.5 Charnock changes the drag at moderate
+    winds."""
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu.core import bulk_flux as bf
+    from roms_tpu.functionals import benchmark
+    cfg = benchmark.make_config(Lm=32, Mm=16, N=4, dtype="float64")
+    shp = cfg.shape2d
+    atm = bf.AtmState(Uwind=jnp.full(shp, 8.0), Vwind=jnp.zeros(shp),
+                      Tair=jnp.full(shp, 10.0), Hair=jnp.full(shp, 0.8),
+                      Pair=jnp.full(shp, 1013.0),
+                      cloud=jnp.full(shp, 0.3),
+                      srflx=jnp.full(shp, 300.0 / (1025 * 3985)),
+                      rain=jnp.zeros(shp))
+    sst, sss = jnp.full(shp, 15.0), jnp.full(shp, 35.0)
+    rs = jnp.zeros(shp)
+    base = bf.bulk_flux(cfg, atm, sst, sss, rs)
+    skin = bf.bulk_flux(cfg, atm, sst, sss, rs, cool_skin=True)
+    c35 = bf.bulk_flux(cfg, atm, sst, sss, rs, coare35=True)
+    # upward (negative) fluxes weaken with the cool skin
+    assert abs(float(np.asarray(skin[6]).mean())) < \
+        abs(float(np.asarray(base[6]).mean()))
+    assert abs(float(np.asarray(skin[5]).mean())) < \
+        abs(float(np.asarray(base[5]).mean()))
+    # COARE 3.5 stress differs from 3.0 but stays the same order
+    r = float(np.asarray(c35[0]).mean() / np.asarray(base[0]).mean())
+    assert 0.8 < r < 1.2 and r != 1.0
