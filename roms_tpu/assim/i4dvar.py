@@ -185,3 +185,73 @@ def i4dvar(model, grid, x_b: State, obs: Observations, nsteps: int,
             (obs.values - y_a) ** 2))),
     }
     return x_k, stats
+
+
+def rbl4dvar(model, grid, x_b: State, obs: Observations, nsteps: int,
+             sigmas: Control, n_inner: int = 10, n_outer: int = 1,
+             smooth: int = 2):
+    """Restricted B-preconditioned (dual, observation-space) 4D-Var.
+
+    The reference's RBL4D-Var driver (ROMS/Drivers/rbl4dvar.h,
+    rbl4dvar_ocean.h) solves the dual problem
+
+        (G B G^T + R) w = d,      dx = B G^T w
+
+    where G is the tangent-linear trajectory-observation operator and
+    B = B^{1/2} B^{T/2} the modeled background covariance.  The system
+    is only nobs-dimensional, so the CG runs in observation space
+    (cost per iteration: one TLM + one ADM sweep, like the primal).
+    Returns (x_a, diagnostics)."""
+    bsqrt = make_bsqrt(sigmas, smooth)
+    R = obs.error ** 2
+    history = []
+    dx0 = _zeros_control(x_b)
+
+    x_k = x_b
+    for outer in range(n_outer):
+        y_k = observe_trajectory(model, grid, x_k, obs, nsteps)
+        d = obs.values - y_k
+
+        def G(v: Control):
+            _, tang = jax.jvp(
+                lambda c: observe_trajectory(model, grid,
+                                             _add_control(x_k, c), obs,
+                                             nsteps),
+                (dx0,), (bsqrt(v),))
+            return tang
+
+        _, vjp_fn = jax.vjp(
+            lambda c: observe_trajectory(model, grid,
+                                         _add_control(x_k, c), obs,
+                                         nsteps), dx0)
+
+        def GT(w):
+            (c,) = vjp_fn(w)
+            return bsqrt(Control(*jax.tree_util.tree_leaves(c)))
+
+        def A(w):
+            # (G B G^T + R) w, all in observation space
+            return G(GT(w)) + R * w
+
+        # CG in observation space on A w = d
+        w = jnp.zeros_like(d)
+        r = d
+        p = r
+        rs = jnp.sum(r * r)
+        for it in range(n_inner):
+            Ap = A(p)
+            alpha = rs / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            w = w + alpha * p
+            r = r - alpha * Ap
+            rs_new = jnp.sum(r * r)
+            history.append(float(rs_new))
+            beta = rs_new / jnp.maximum(rs, 1e-30)
+            p = r + beta * p
+            rs = rs_new
+
+        x_k = _add_control(x_k, bsqrt(GT(w)))
+
+    y_a = observe_trajectory(model, grid, x_k, obs, nsteps)
+    diag = {"residual_history": history,
+            "final_innovation": float(jnp.abs(obs.values - y_a).max())}
+    return x_k, diag

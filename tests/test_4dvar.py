@@ -57,3 +57,37 @@ def test_i4dvar_twin_experiment():
     corr = np.corrcoef(dT[1:-1, 1:-1].ravel(),
                        truth[1:-1, 1:-1].ravel())[0, 1]
     assert corr > 0.6, corr
+
+
+@pytest.mark.slow
+def test_rbl4dvar_twin_experiment():
+    """Dual (observation-space) formulation reaches the same kind of
+    innovation reduction as the primal solver (Drivers/rbl4dvar.h)."""
+    from roms_tpu.assim.i4dvar import observe_trajectory, rbl4dvar
+    cfg = upwelling.make_config(Lm=10, Mm=10, N=5, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  upwelling.make_vmix_fn(cfg))
+    x0 = model.run(upwelling.make_initial(cfg, grid), 2)
+    bump = 0.5 * jnp.exp(
+        -((jnp.arange(cfg.shape2d[0])[:, None] - 5.0) ** 2
+          + (jnp.arange(cfg.shape2d[1])[None, :] - 5.0) ** 2) / 8.0)
+    x_true = x0._replace(t=x0.t.at[0].add(bump[None]))
+
+    nsteps, obs_step = 3, 3
+    jj, ii = np.meshgrid(np.arange(1, cfg.shape2d[0] - 1),
+                         np.arange(1, cfg.shape2d[1] - 1), indexing="ij")
+    kk = np.full_like(jj, cfg.N - 1)
+    idx = jnp.asarray(np.stack([kk.ravel(), jj.ravel(), ii.ravel()],
+                               axis=1))
+    obs0 = Observations(field="temp", step=obs_step, indices=idx,
+                        values=jnp.zeros(idx.shape[0]), error=0.05)
+    y_true = observe_trajectory(model, grid, x_true, obs0, nsteps)
+    obs = obs0._replace(values=y_true)
+
+    sig = Control(zeta=0.01, u=0.01, v=0.01, t=0.3)
+    d0 = float(jnp.abs(
+        y_true - observe_trajectory(model, grid, x0, obs0, nsteps)).max())
+    x_a, stats = rbl4dvar(model, grid, x0, obs, nsteps, sig,
+                          n_inner=5, n_outer=1)
+    assert stats["final_innovation"] < 0.5 * d0, (stats, d0)
