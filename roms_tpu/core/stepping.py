@@ -56,7 +56,8 @@ class Model:
                  sources=None, sed_fn: Optional[Callable] = None,
                  bbl_fn: Optional[Callable] = None,
                  eq_tide_fn: Optional[Callable] = None,
-                 ice_fn: Optional[Callable] = None):
+                 ice_fn: Optional[Callable] = None,
+                 wec_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
@@ -73,6 +74,7 @@ class Model:
         self.bbl_fn = bbl_fn
         self.eq_tide_fn = eq_tide_fn
         self.ice_fn = ice_fn
+        self.wec_fn = wec_fn
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
                                         var_rho=var_rho)
@@ -206,6 +208,10 @@ class Model:
                 self.sources.qsrc[None] * self.sources.tsrc
         ru, rv = rhs3d.rhs3d_momentum(cfg, grid, state.u, state.v, Hz,
                                       Huon, Hvom, W, ru, rv)
+        if self.wec_fn is not None:
+            # wave-effect-on-currents vortex force (rhs3d.F:534-562)
+            ru, rv = self.wec_fn(state.time, state.u, state.v, Hz,
+                                 z_r, z_w, ru, rv)
         ru, rv = clm_mod.nudge_momentum_rhs(cfg, grid, clm, state.u,
                                             state.v, Hz, ru, rv)
         rufrc, rvfrc = rhs3d.integrate_rufrc(cfg, grid, ru, rv, forcing,

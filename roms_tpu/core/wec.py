@@ -1,0 +1,94 @@
+"""Wave effects on currents (WEC) — vortex-force formalism.
+
+Round-1 scope of the reference WEC subsystem (the wec_stokes/wec_vf
+modules themselves are not shipped in this reference snapshot; their
+coupling sites in rhs3d.F:534-660 and omega.F/step3d_*.F define the
+interface, and the formulation follows Uchiyama, McWilliams &
+Shchepetkin 2010):
+
+  - monochromatic Stokes drift profile from linear wave theory,
+        u_st(z) = (sigma k a^2) cosh(2k(z+h)) / (2 sinh^2(kD))
+    in the wave direction (a = Hwave/(2 sqrt(2)), rms amplitude);
+  - Stokes-Coriolis force (rhs3d.F:534-562): ru += Hz*fomn*v_st,
+    rv -= Hz*fomn*u_st with the reference's 4-point averaging;
+  - horizontal vortex force u_st x (curl u): the leading wave-current
+    interaction term.
+
+Full Lagrangian tracer advection (W_stokes, Huon_stokes through the
+barotropic mode), Bernoulli head, dissipation/roller forcing follow in
+a later round — they require the 2D engine to carry the Stokes
+transport for mass consistency.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..grid.grid import Grid
+from ..ops import stencil as st
+
+
+def stokes_drift(cfg: ModelConfig, grid: Grid, Hwave, Dwave, Lwave,
+                 z_r, z_w):
+    """Stokes drift velocity profile at u/v points (m/s).
+
+    Hwave: significant wave height (m); Dwave: direction (radians,
+    math convention); Lwave: wavelength (m).  Deep/intermediate-water
+    monochromatic profile, depth-uniform direction.
+    """
+    g = cfg.g
+    k = 2.0 * jnp.pi / jnp.maximum(Lwave, 1.0)
+    D = z_w[-1] - z_w[0]
+    sigma = jnp.sqrt(g * k * jnp.tanh(k * D))
+    a = Hwave / (2.0 * jnp.sqrt(2.0))             # rms amplitude
+    # cap the e-folding argument to keep cosh/sinh finite in deep water
+    kD = jnp.minimum(k * D, 50.0)
+    amp = sigma * k * a * a / (2.0 * jnp.sinh(kD) ** 2 + 1e-30)
+    zz = jnp.minimum(2.0 * k[None] * (z_r - z_w[:1]), 100.0)
+    prof = amp[None] * jnp.cosh(zz)               # (N, Mj, Li) rho pts
+    us_r = prof * jnp.cos(Dwave)[None]
+    vs_r = prof * jnp.sin(Dwave)[None]
+    u_st = 0.5 * (us_r + st.im1(us_r)) * grid.umask[None]
+    v_st = 0.5 * (vs_r + st.jm1(vs_r)) * grid.vmask[None]
+    return u_st, v_st
+
+
+def vf_rhs(cfg: ModelConfig, grid: Grid, u, v, u_st, v_st, Hz,
+           ru, rv):
+    """Add Stokes-Coriolis + horizontal vortex force to the momentum
+    RHS (rhs3d.F:534-562 stencil; Uchiyama et al 2010 eq 2).
+
+    ru/rv are Hz-weighted RHS arrays (m4/s2)."""
+    # Stokes-Coriolis with the reference's averaging: UFx at rho
+    # points from v_st, then averaged to u points
+    UFx = 0.5 * Hz * grid.fomn[None] * (v_st + st.jp1(v_st))
+    VFe = 0.5 * Hz * grid.fomn[None] * (u_st + st.ip1(u_st))
+    ru = ru + 0.5 * (UFx + st.im1(UFx))
+    rv = rv - 0.5 * (VFe + st.jm1(VFe))
+
+    # horizontal vortex force u_st x (curl u): relative vorticity
+    # (C-grid curl at psi points with local metrics) averaged to rho,
+    # times Stokes velocity
+    pm, pn = grid.pm, grid.pn
+    curl_p = (v - st.im1(v)) * 0.5 * (pm + st.im1(pm))[None] - \
+        (u - st.jm1(u)) * 0.5 * (pn + st.jm1(pn))[None]
+    curl_r = 0.25 * (curl_p + st.ip1(curl_p) + st.jp1(curl_p)
+                     + st.ip1(st.jp1(curl_p)))
+    omn = 1.0 / (pm * pn)
+    VFx = 0.5 * Hz * (curl_r * omn[None]) * (v_st + st.jp1(v_st))
+    VFe2 = 0.5 * Hz * (curl_r * omn[None]) * (u_st + st.ip1(u_st))
+    ru = ru + 0.5 * (VFx + st.im1(VFx))
+    rv = rv - 0.5 * (VFe2 + st.jm1(VFe2))
+    return ru, rv
+
+
+def make_wec_fn(cfg: ModelConfig, grid: Grid, wave_fn):
+    """wave_fn(time) -> (Hwave, Dwave, Lwave).  Returns the hook
+    fn(time, u, v, Hz, z_r, z_w, ru, rv) -> (ru, rv) used by the
+    Model's predictor stage."""
+    def fn(time, u, v, Hz, z_r, z_w, ru, rv):
+        Hw, Dw, Lw = wave_fn(time)
+        u_st, v_st = stokes_drift(cfg, grid, Hw, Dw, Lw, z_r, z_w)
+        return vf_rhs(cfg, grid, u, v, u_st, v_st, Hz, ru, rv)
+    return fn
