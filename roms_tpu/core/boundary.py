@@ -54,19 +54,23 @@ def bc_rho(f, lbc: LBC, bdata: Optional[dict] = None):
     if lbc.west in (CLOSED, GRADIENT):
         f = f.at[..., :, 0].set(f[..., :, 1])
     elif lbc.west == CLAMPED:
-        f = f.at[..., :, 0].set(bd["west"])
+        f = f.at[..., :, 0].set(bd["west"] if "west" in bd
+                                else f[..., :, 1])
     if lbc.east in (CLOSED, GRADIENT):
         f = f.at[..., :, -1].set(f[..., :, -2])
     elif lbc.east == CLAMPED:
-        f = f.at[..., :, -1].set(bd["east"])
+        f = f.at[..., :, -1].set(bd["east"] if "east" in bd
+                                 else f[..., :, -2])
     if lbc.south in (CLOSED, GRADIENT):
         f = f.at[..., 0, :].set(f[..., 1, :])
     elif lbc.south == CLAMPED:
-        f = f.at[..., 0, :].set(bd["south"])
+        f = f.at[..., 0, :].set(bd["south"] if "south" in bd
+                                else f[..., 1, :])
     if lbc.north in (CLOSED, GRADIENT):
         f = f.at[..., -1, :].set(f[..., -2, :])
     elif lbc.north == CLAMPED:
-        f = f.at[..., -1, :].set(bd["north"])
+        f = f.at[..., -1, :].set(bd["north"] if "north" in bd
+                                 else f[..., -2, :])
     f = _apply_periodic(f, lbc)
     if lbc.west != PERIODIC and lbc.south != PERIODIC:
         f = _corners(f)
