@@ -255,3 +255,44 @@ def rbl4dvar(model, grid, x_b: State, obs: Observations, nsteps: int,
     diag = {"residual_history": history,
             "final_innovation": float(jnp.abs(obs.values - y_a).max())}
     return x_k, diag
+
+
+def compute_normalization(bsqrt, template: Control, nsamples: int = 64,
+                          key=None):
+    """Error-covariance normalization coefficients (the reference's
+    normalization.F "randomized" method, Fisher & Courtier 1995):
+    estimate sqrt(diag(B)) = sqrt(diag(B^{1/2} B^{T/2})) from random
+    probes v ~ N(0,1):  diag(B) ~= E[(B^{1/2} v)^2].
+
+    Dividing B^{1/2} output by these factors gives unit background
+    variance, so the sigmas supplied to make_bsqrt act as true
+    standard deviations.  Returns a Control of per-point factors.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    leaves = jax.tree_util.tree_leaves(template)
+    acc = [jnp.zeros_like(x) for x in leaves]
+    for n in range(nsamples):
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, len(leaves))
+        probe = Control(*[jax.random.normal(k, jnp.shape(x))
+                          for k, x in zip(keys, leaves)])
+        smoothed = jax.tree_util.tree_leaves(bsqrt(probe))
+        acc = [a + v * v for a, v in zip(acc, smoothed)]
+    return Control(*[jnp.sqrt(a / nsamples + 1e-30) for a in acc])
+
+
+def quality_control(obs: Observations, y_background,
+                    threshold: float = 4.0):
+    """Background (innovation) quality control (the reference's
+    obs_check in ROMS/Utility/obs_*.F): reject observations whose
+    innovation exceeds `threshold` times the observation error by
+    inflating their error to an effectively-infinite value, which
+    removes their influence on the analysis without reshaping arrays
+    (jit-friendly).  Returns (obs with per-obs error array, reject
+    mask)."""
+    d = jnp.abs(obs.values - y_background)
+    err = jnp.broadcast_to(jnp.asarray(obs.error), d.shape)
+    reject = d > threshold * err
+    err_qc = jnp.where(reject, 1.0e10, err)
+    return obs._replace(error=err_qc), reject

@@ -39,6 +39,7 @@ class SedConfig:
     Erate: Tuple[float, ...] = (5.0e-5,)   # surface erosion (kg/m2/s)
     tau_ce: Tuple[float, ...] = (0.05,)    # critical erosion (N/m2)
     Srho: Tuple[float, ...] = (2650.0,)    # grain density (kg/m3)
+    d50: Tuple[float, ...] = (2.0e-4,)     # median grain diameter (m)
     poros: float = 0.5
 
 
@@ -95,6 +96,88 @@ def sed_column(cfg: ModelConfig, sed: SedConfig, grid: Grid, t,
         new_bed.append(sstate.bed_mass[s] + flux_bot - ero)
 
     return inc, SedState(bed_mass=jnp.stack(new_bed))
+
+
+def bedload_mpm(cfg: ModelConfig, sed: SedConfig, grid: Grid,
+                bed_mass, bustr, bvstr, bedload_coeff: float = 0.1):
+    """Meyer-Peter & Mueller (1948) bedload transport
+    (sed_bedload.F:416-700, BEDLOAD_MPM + SLOPE_LESSER):
+
+        Phi = 8 (theta - theta_c)^{3/2},  theta_c = 0.047,
+        qbl = Phi * sqrt((s-1) g d50) * d50 * Srho     (kg/m/s)
+
+    directed along the bottom stress, limited by the available bed
+    mass, with upwind face fluxes whose divergence updates the bed.
+    Returns (new bed_mass, bedldu, bedldv) with the face fluxes in
+    kg/m/s for diagnostics.
+    """
+    dt = cfg.dt
+    eps = 1.0e-14
+    omn = 1.0 / (grid.pm * grid.pn)
+    new_bed = []
+    bedldu_all, bedldv_all = [], []
+    for ised in range(sed.nsed):
+        smgd = (sed.Srho[ised] / cfg.rho0 - 1.0) * cfg.g * 2.0e-4             if not hasattr(sed, "d50") else None
+        d50 = getattr(sed, "d50", (2.0e-4,) * sed.nsed)[ised]             if hasattr(sed, "d50") else 2.0e-4
+        smgd = (sed.Srho[ised] / cfg.rho0 - 1.0) * cfg.g * d50
+        osmgd = 1.0 / smgd
+        smgdr = jnp.sqrt(smgd) * d50 * sed.Srho[ised]
+
+        # bottom stress magnitude/direction at rho points
+        # (sed_bedload.F:337-360)
+        bx = 0.5 * (bustr + st.ip1(bustr))
+        be = 0.5 * (bvstr + st.jp1(bvstr))
+        tau_w = jnp.sqrt(bx ** 2 + be ** 2)
+        angleu = bx / (tau_w + eps)
+        anglev = be / (tau_w + eps)
+
+        bedld = 8.0 * jnp.maximum(tau_w * osmgd - 0.047, 0.0) ** 1.5             * smgdr
+        FX_r = angleu * bedld * grid.on_r * dt
+        FE_r = anglev * bedld * grid.om_r * dt
+
+        # SLOPE_LESSER bed-slope modification (sed_bedload.F:521-534)
+        sed_angle = jnp.tan(33.0 * jnp.pi / 180.0)
+        c1x = 0.5 * (1.0 + jnp.sign(FX_r))
+        dzdx = jnp.minimum(
+            (st.ip1(grid.h) - grid.h) * grid.pm * c1x +
+            (grid.h - st.im1(grid.h)) * grid.pm * (1.0 - c1x),
+            0.52) * jnp.sign(FX_r)
+        FX_r = FX_r * sed_angle / (jnp.cos(jnp.arctan(dzdx)) *
+                                   (sed_angle - dzdx))
+        c1e = 0.5 * (1.0 + jnp.sign(FE_r))
+        dzdy = jnp.minimum(
+            (st.jp1(grid.h) - grid.h) * grid.pn * c1e +
+            (grid.h - st.jm1(grid.h)) * grid.pn * (1.0 - c1e),
+            0.52) * jnp.sign(FE_r)
+        FE_r = FE_r * sed_angle / (jnp.cos(jnp.arctan(dzdy)) *
+                                   (sed_angle - dzdy))
+
+        FX_r = FX_r * bedload_coeff
+        FE_r = FE_r * bedload_coeff
+        # availability limit (sed_bedload.F:543-556)
+        tot = jnp.abs(FX_r) + jnp.abs(FE_r) + eps
+        avail = bed_mass[ised] * omn
+        FX_r = jnp.sign(FX_r) * jnp.minimum(
+            jnp.abs(FX_r), avail * jnp.abs(FX_r) / tot)
+        FE_r = jnp.sign(FE_r) * jnp.minimum(
+            jnp.abs(FE_r), avail * jnp.abs(FE_r) / tot)
+
+        # upwind face fluxes (sed_bedload.F:666-700)
+        def face(Fm1, F0):
+            c1 = 0.5 * (1.0 + jnp.sign(F0))
+            c2 = 0.5 * (1.0 - jnp.sign(F0))
+            avg = 0.5 * (Fm1 + F0)
+            return (0.5 * (1.0 + jnp.sign(Fm1)) * (c1 * Fm1 + c2 * avg)
+                    + 0.5 * (1.0 - jnp.sign(Fm1)) * (c2 * F0 + c1 * avg))
+
+        FX = face(st.im1(FX_r), FX_r) * grid.umask
+        FE = face(st.jm1(FE_r), FE_r) * grid.vmask
+        dm = -(grid.pm * grid.pn) * (st.dx_p(FX) + st.dy_p(FE))
+        new_bed.append(jnp.maximum(bed_mass[ised] + dm, 0.0))
+        bedldu_all.append(FX / (grid.on_u * dt))
+        bedldv_all.append(FE / (grid.om_v * dt))
+    return (jnp.stack(new_bed), jnp.stack(bedldu_all),
+            jnp.stack(bedldv_all))
 
 
 def make_sed_hook(cfg: ModelConfig, sed: SedConfig, grid: Grid):

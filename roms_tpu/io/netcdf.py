@@ -183,3 +183,42 @@ class DiagWriter:
 
     def close(self):
         self.f.close()
+
+
+class ExtractWriter(HistoryWriter):
+    """Grid-extraction output stream (the reference's grid extraction
+    utility, SURVEY 2.6): history records for a strided subdomain
+    [j0 : j0+Me*stride : stride, i0 : i0+Le*stride : stride] written
+    at native or decimated resolution."""
+
+    def __init__(self, path: str, cfg: ModelConfig, grid, fields=(
+            "zeta", "u", "v", "temp"), i0=0, j0=0, Le=None, Me=None,
+            stride=1):
+        Mj, Li = cfg.shape2d
+        self.i0, self.j0, self.stride = i0, j0, stride
+        self.Le = Le or (Li - i0) // stride
+        self.Me = Me or (Mj - j0) // stride
+
+        class _CfgView:
+            """cfg proxy exposing the extracted shape to the base
+            writer's dimension setup."""
+            shape2d = (self.Me, self.Le)
+            N = cfg.N
+            vert = cfg.vert
+
+        class _GridView:
+            pass
+
+        gv = _GridView()
+        sl = (slice(j0, j0 + self.Me * stride, stride),
+              slice(i0, i0 + self.Le * stride, stride))
+        for key in ("h", "f", "pm", "pn"):
+            setattr(gv, key, np.asarray(getattr(grid, key))[sl])
+        for key in ("sc_r", "Cs_r", "sc_w", "Cs_w"):
+            setattr(gv, key, getattr(grid, key))
+        super().__init__(path, _CfgView(), gv, fields)
+        self._sl = sl
+
+    def _extract(self, state, key):
+        full = super()._extract(state, key)
+        return np.asarray(full)[..., self._sl[0], self._sl[1]]

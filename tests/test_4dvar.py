@@ -91,3 +91,43 @@ def test_rbl4dvar_twin_experiment():
     x_a, stats = rbl4dvar(model, grid, x0, obs, nsteps, sig,
                           n_inner=5, n_outer=1)
     assert stats["final_innovation"] < 0.5 * d0, (stats, d0)
+
+
+def test_normalization_factors_unitize_variance():
+    """normalization.F randomized method: after dividing by the
+    estimated factors, B^{1/2} probes have ~unit variance."""
+    from roms_tpu.assim.i4dvar import (Control, compute_normalization,
+                                       make_bsqrt)
+    import jax
+    shp = (8, 10)
+    tmpl = Control(zeta=jnp.zeros(shp), u=jnp.zeros((3,) + shp),
+                   v=jnp.zeros((3,) + shp), t=jnp.zeros((2, 3) + shp))
+    bsqrt = make_bsqrt(Control(zeta=1.0, u=1.0, v=1.0, t=1.0),
+                       smooth=2)
+    norm = compute_normalization(bsqrt, tmpl, nsamples=128)
+    # apply a fresh probe and normalize: variance near 1 in interior
+    key = jax.random.PRNGKey(99)
+    ks = jax.random.split(key, 4)
+    probe = Control(*[jax.random.normal(k, jnp.shape(x))
+                      for k, x in zip(ks, jax.tree_util.tree_leaves(
+                          tmpl))])
+    out = bsqrt(probe)
+    z = np.asarray(out.zeta / norm.zeta)
+    # a single realization: check the magnitude scale is O(1), far
+    # from the raw smoothed variance which is much smaller
+    assert 0.2 < np.abs(z).std() < 3.0
+    raw = np.asarray(out.zeta)
+    assert raw.std() < 0.9     # smoothing shrank the raw variance
+
+
+def test_quality_control_rejects_outliers():
+    from roms_tpu.assim.i4dvar import Observations, quality_control
+    vals = jnp.asarray([1.0, 2.0, 50.0, 3.0])
+    yb = jnp.asarray([1.1, 1.8, 2.0, 2.9])
+    obs = Observations(field="temp", step=1,
+                       indices=jnp.zeros((4, 3), jnp.int32),
+                       values=vals, error=0.5)
+    obs_qc, reject = quality_control(obs, yb, threshold=4.0)
+    assert bool(reject[2]) and not bool(reject[0])
+    assert float(obs_qc.error[2]) > 1.0e9
+    assert float(obs_qc.error[0]) == 0.5

@@ -64,3 +64,27 @@ class TestPerfectRestart:
             a = np.asarray(getattr(cont, name))
             b = np.asarray(getattr(resumed, name))
             assert np.array_equal(a, b), name
+
+
+def test_extract_writer(tmp_path):
+    """Grid extraction stream: a strided subdomain of the history
+    fields, dimensions and values consistent with the parent."""
+    import os
+    import numpy as np
+    from scipy.io import netcdf_file
+    from roms_tpu.io.netcdf import ExtractWriter
+    from roms_tpu.functionals import upwelling
+    cfg = upwelling.make_config(Lm=20, Mm=24, N=6, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s = upwelling.make_initial(cfg, grid)
+    path = os.path.join(tmp_path, "ext.nc")
+    w = ExtractWriter(path, cfg, grid, i0=4, j0=6, Le=8, Me=10,
+                      stride=2)
+    w.write(s)
+    w.close()
+    f = netcdf_file(path, "r", mmap=False)
+    T = np.asarray(f.variables["temp"][0])
+    assert T.shape == (cfg.N, 10, 8)
+    expect = np.asarray(s.t[0])[:, 6:26:2, 4:20:2]
+    np.testing.assert_allclose(T, expect.astype(np.float32), rtol=1e-6)
+    f.close()
