@@ -25,6 +25,7 @@ GRADIENT = "gradient"
 CLAMPED = "clamped"
 RADIATION = "radiation"
 FLATHER = "flather"          # ubar/vbar only
+SHCHEPETKIN = "shchepetkin"  # ubar/vbar only (Maison et al. 2010)
 CHAPMAN_IMPLICIT = "chapman_implicit"  # zeta only
 CHAPMAN_EXPLICIT = "chapman_explicit"  # zeta only
 REDUCED = "reduced"

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .. import constants
 from ..config import (LBC, ModelConfig, CHAPMAN_EXPLICIT, CHAPMAN_IMPLICIT,
-                      CLAMPED, FLATHER, GRADIENT, RADIATION)
+                      CLAMPED, FLATHER, GRADIENT, RADIATION, SHCHEPETKIN)
 
 _EPS = 1.0e-20
 
@@ -165,6 +165,62 @@ def u2dbc_flather(cfg: ModelConfig, grid, ubar_new, vbar_new,
                             zdat.get(side, 0.0), side, sign)
             if side == "south":
                 vbar_new = vbar_new.at[..., 1, :].set(vbar_new[..., 0, :])
+    return ubar_new, vbar_new
+
+
+def u2dbc_shchepetkin(cfg: ModelConfig, grid, ubar_new, vbar_new,
+                      z_new, z_old, ub_old, vb_old, dt2d, obc=None):
+    """Shchepetkin 2D-momentum open boundary (u2dbc_im.F:294-365,
+    Maison et al. 2010): hybrid of Flather radiation with an upstream
+    free-surface extrapolation Zx and a Courant-number correction.
+
+        Cx = dt2d*sqrt(g*D)*pm_edge
+        Zx = (0.5+Cx)*z_b + (0.5-Cx)*z_ghost   (+ correction, Cx > Co)
+        u_b = 0.5*((1-Cx)*u_b^n + Cx*u_interior + u_data
+                   - sqrt(g/D)*(Zx - z_data))
+    with Co = 1/(2+sqrt(2)) (mod_scalars.F:4435)."""
+    obc = obc or {}
+    g = cfg.g
+    Co = 1.0 / (2.0 + jnp.sqrt(2.0))
+
+    def edge(f, vel_data, z_data, side):
+        fo = _orient(f, side)
+        ho = _orient(grid.h, side)
+        zo = _orient(z_old, side)
+        zn = _orient(z_new, side)
+        pmo = _orient(grid.pm if side in ("west", "east") else grid.pn,
+                      side)
+        D = 0.5 * (ho[..., :, -1] + zo[..., :, -1]
+                   + ho[..., :, -2] + zo[..., :, -2])
+        cg = jnp.sqrt(g / D)
+        Cx = dt2d * cg * D * 0.5 * (pmo[..., :, -1] + pmo[..., :, -2])
+        Zx = (0.5 + Cx) * zo[..., :, -1] + (0.5 - Cx) * zo[..., :, -2]
+        corr = (1.0 - Co / jnp.maximum(Cx, Co)) ** 2 * (
+            zn[..., :, -1] + Cx * zo[..., :, -2]
+            - (1.0 + Cx) * zo[..., :, -1])
+        Zx = Zx + jnp.where(Cx > Co, corr, 0.0)
+        ghost = 0.5 * ((1.0 - Cx) * fo[..., :, -1]
+                       + Cx * fo[..., :, -2]
+                       + vel_data - cg * (Zx - z_data))
+        return _restore(fo.at[..., :, -1].set(ghost), side)
+
+    zdat = obc.get("zeta", {})
+    udat = obc.get("ubar", {})
+    vdat = obc.get("vbar", {})
+    for side in ("west", "east"):
+        if getattr(cfg.bc.ubar, side) == SHCHEPETKIN:
+            ubar_new = edge(ubar_new, udat.get(side, 0.0),
+                            zdat.get(side, 0.0), side)
+            if side == "west":
+                ubar_new = ubar_new.at[..., :, 1].set(
+                    ubar_new[..., :, 0])
+    for side in ("south", "north"):
+        if getattr(cfg.bc.vbar, side) == SHCHEPETKIN:
+            vbar_new = edge(vbar_new, vdat.get(side, 0.0),
+                            zdat.get(side, 0.0), side)
+            if side == "south":
+                vbar_new = vbar_new.at[..., 1, :].set(
+                    vbar_new[..., 0, :])
     return ubar_new, vbar_new
 
 

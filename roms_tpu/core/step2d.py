@@ -267,21 +267,29 @@ def _zeta_bc(cfg, f, grid=None, z_old=None, dt2d=None, obc=None):
 
 def _has_open(lbc):
     from ..config import (CHAPMAN_EXPLICIT, CHAPMAN_IMPLICIT, CLAMPED,
-                          FLATHER, RADIATION)
+                          FLATHER, RADIATION, SHCHEPETKIN)
     kinds = (CHAPMAN_EXPLICIT, CHAPMAN_IMPLICIT, CLAMPED, FLATHER,
-             RADIATION)
+             RADIATION, SHCHEPETKIN)
     return any(getattr(lbc, s) in kinds
                for s in ("west", "south", "east", "north"))
 
 
 def _uv_bc(cfg, grid, u, v, z_old=None, ub_old=None, vb_old=None,
-           obc=None):
+           obc=None, z_new=None, dt2d=None):
     u = boundary.bc_u(u, cfg.bc.ubar, cfg.gamma2)
     v = boundary.bc_v(v, cfg.bc.vbar, cfg.gamma2)
     if z_old is not None and (_has_open(cfg.bc.ubar)
                               or _has_open(cfg.bc.vbar)):
         u, v = obc_mod.u2dbc_flather(cfg, grid, u, v, z_old, ub_old,
                                      vb_old, obc)
+        from ..config import SHCHEPETKIN
+        sides = [getattr(cfg.bc.ubar, s) for s in
+                 ("west", "east")] + \
+                [getattr(cfg.bc.vbar, s) for s in ("south", "north")]
+        if SHCHEPETKIN in sides and z_new is not None:
+            u, v = obc_mod.u2dbc_shchepetkin(
+                cfg, grid, u, v, z_new, z_old, ub_old, vb_old,
+                dt2d, obc)
     return u, v
 
 
@@ -385,7 +393,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         ubar_new = ubar_new * grid.umask
         vbar_new = vbar_new * grid.vmask
         ubar_new, vbar_new = _uv_bc(cfg, grid, ubar_new, vbar_new,
-                                    c.zeta, c.ubar, c.vbar, obc)
+                                    c.zeta, c.ubar, c.vbar, obc,
+                                    z_new=zeta_new, dt2d=dtfast)
 
         return (zeta_new, ubar_new, vbar_new, rhs_zeta, rhs_u, rhs_v,
                 rufrc_c, rvfrc_c, avg)
@@ -450,7 +459,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         ubar_new = ubar_new * grid.umask
         vbar_new = vbar_new * grid.vmask
         ubar_new, vbar_new = _uv_bc(cfg, grid, ubar_new, vbar_new,
-                                    c.zeta, c.ubar, c.vbar, obc)
+                                    c.zeta, c.ubar, c.vbar, obc,
+                                    z_new=zeta_new, dt2d=dtfast)
 
         return FastCarry(
             zeta=zeta_new, zeta_prev=c.zeta,

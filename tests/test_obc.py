@@ -68,3 +68,29 @@ def test_volume_conservation_enforced():
     vol = (np.asarray(s.zeta)[1:-1, 1:-1] * omn[1:-1, 1:-1]).sum()
     assert abs(vol) < 1.0e-3          # m3, vs ~1e9 without VolCons
     assert np.isfinite(np.asarray(s.zeta)).all()
+
+
+def test_shchepetkin_ubar_obc():
+    """Shchepetkin 2D-momentum OBC (u2dbc_im.F:294-365): admits the
+    forced Kelvin wave like Flather, bounded response, no blow-up."""
+    import dataclasses
+    from roms_tpu import config as C
+
+    def run(kind):
+        cfg = kelvin.make_config(Lm=40, Mm=16, N=5)
+        bc = dataclasses.replace(
+            cfg.bc, ubar=C.LBC(west=kind, east=C.GRADIENT,
+                               south=C.CLOSED, north=C.CLOSED))
+        cfg = cfg.replace(bc=bc)
+        grid = kelvin.make_grid(cfg)
+        m = Model(cfg, grid, kelvin.make_forcing_fn(cfg, grid),
+                  obc_fn=kelvin.make_obc_fn(cfg, grid))
+        return m.run(kelvin.make_initial(cfg, grid), 50)
+
+    s_sh = run(C.SHCHEPETKIN)
+    s_fl = run(C.FLATHER)
+    z_sh = np.abs(np.asarray(s_sh.zeta)[1:-1, 1:-1]).max()
+    z_fl = np.abs(np.asarray(s_fl.zeta)[1:-1, 1:-1]).max()
+    assert np.isfinite(np.asarray(s_sh.zeta)).all()
+    assert 0.3 < z_sh < 1.5              # wave entered, no blow-up
+    assert abs(z_sh - z_fl) < 0.5 * max(z_sh, z_fl)
