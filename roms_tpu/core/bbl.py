@@ -14,8 +14,9 @@ bed comes either from linear theory via the Dean & Dalrymple (1991)
 6th-degree wave-number polynomial (MB_CALC_UB) or directly from a
 supplied Uwave_rms field.
 
-The SG (Styles & Glenn) and SSW (Sherwood/Signell/Warner) closures
-share this module's interface and follow in a later round.
+The SSW (Sherwood/Signell/Warner) closure is implemented via the
+Madsen (1994) wave-current solution (`madsen94` + `ssw_bbl`); the SG
+(Styles & Glenn) variant follows in a later round.
 
 All IF-trees become jnp.where ladders over whole arrays; ripple
 geometry (rlen, rhgt) is prognostic state threaded by the caller.
@@ -270,4 +271,145 @@ def make_bbl_fn(cfg: ModelConfig, bblc: BBLConfig, grid: Grid,
         Hw, Dw, Pw = wave_fn(time)
         return mb_bbl(cfg, bblc, grid, bstate, u, v, rho1, z_r, z_w,
                       Hw, Dw, Pw)
+    return fn
+
+
+def madsen94(ubr, wr, ucr, zr, phiwc, kN, niter: int = 12):
+    """Madsen (1994) wave-current bottom boundary layer solution
+    (ssw_bbl.h:1532-1735, CRS_FIX variant), vectorized with a fixed
+    iteration count (the reference iterates to 5e-6 relative change in
+    fwc; ~6 iterations suffice, 12 is safely converged).
+
+    ubr: wave orbital velocity (m/s); wr: wave radian frequency;
+    ucr: current speed at height zr; phiwc: wave-current angle; kN:
+    bottom roughness (30*zo).  Returns (ustrc, ustrwm, ustrr, fwc,
+    zoa): current/wave-max/combined friction velocities, wave friction
+    factor and apparent roughness.
+    """
+    vonKar = _VONKAR
+    eps = 1.0e-12
+    kN = jnp.minimum(kN, 0.9 * zr)                 # CRS_FIX
+    zo = kN / 30.0
+    cosphiwc = jnp.abs(jnp.cos(phiwc))
+    ubr_s = jnp.maximum(ubr, 1.0e-3)               # safe value in the
+    wr_s = jnp.maximum(wr, 1.0e-6)                 # no-wave branch
+
+    def fw_of(Cmu):
+        cukw = Cmu * ubr_s / (kN * wr_s)
+        f = Cmu * 0.3
+        f = jnp.where((cukw > 0.352) & (cukw <= 100.0),
+                      Cmu * jnp.exp(7.02 * cukw ** (-0.078) - 8.82), f)
+        f = jnp.where(cukw > 100.0,
+                      Cmu * jnp.exp(5.61 * cukw ** (-0.109) - 7.30), f)
+        return f, cukw
+
+    def one(ustrc2_prev, ustrwm2_prev):
+        rmu = ustrc2_prev / jnp.maximum(ustrwm2_prev, eps)
+        Cmu = jnp.sqrt(1.0 + 2.0 * rmu * cosphiwc + rmu * rmu)  # Eq 27
+        fwc, cukw = fw_of(Cmu)
+        ustrwm2 = 0.5 * fwc * ubr_s * ubr_s                     # Eq 29
+        ustrr = jnp.sqrt(Cmu * ustrwm2)                         # Eq 26
+        dwc = jnp.where(cukw >= 8.0,
+                        jnp.minimum(0.9 * zr,
+                                    2.0 * vonKar * ustrr / wr_s), kN)
+        lnzr = jnp.log(zr / dwc)
+        lndw = jnp.log(dwc / zo)
+        bigsqr = -1.0 + jnp.sqrt(
+            1.0 + (4.0 * vonKar * lndw / (lnzr * lnzr)) *
+            ucr / jnp.maximum(ustrr, eps))
+        ustrc = 0.5 * ustrr * (lnzr / lndw) * bigsqr            # Eq 38
+        return ustrc ** 2, ustrwm2, ustrr, fwc, dwc
+
+    ustrc2 = jnp.zeros_like(ubr_s)
+    fwc0, _ = fw_of(jnp.ones_like(ubr_s))
+    ustrwm2 = 0.5 * fwc0 * ubr_s * ubr_s
+    for _ in range(niter):
+        ustrc2, ustrwm2, ustrr, fwc, dwc = one(ustrc2, ustrwm2)
+    ustrc = jnp.sqrt(ustrc2)
+    zoa = jnp.exp(jnp.log(dwc)
+                  - (ustrc / jnp.maximum(ustrr, eps))
+                  * jnp.log(dwc / zo))                          # Eq 11
+
+    # degenerate branches (ssw_bbl.h:1566-1580): no waves -> pure
+    # log-layer current; no motion -> zero
+    ustrc_nw = ucr * vonKar / jnp.log(zr / zo)
+    nowave = ubr <= 0.01
+    nocur = ucr <= 0.01
+    ustrc = jnp.where(nowave, jnp.where(nocur, 0.0, ustrc_nw), ustrc)
+    ustrwm = jnp.where(nowave, 0.0, jnp.sqrt(ustrwm2))
+    ustrr = jnp.where(nowave, ustrc, ustrr)
+    fwc = jnp.where(nowave, 0.0, fwc)
+    zoa = jnp.where(nowave, kN, zoa)
+    return ustrc, ustrwm, ustrr, fwc, zoa
+
+
+def ssw_bbl(cfg: ModelConfig, bblc: BBLConfig, grid: Grid, bstate,
+            u, v, rho1, z_r, z_w, Hwave, Dwave, Pwave,
+            Uwave_rms=None):
+    """SSW wave-current BBL (ssw_bbl.h:113-1078 reduced to the M94WC
+    path): Madsen 94 solution on grain + ripple roughness, ripple
+    geometry carried as state (shared predictor with mb_bbl).
+    Returns BBLOut (same interface as mb_bbl)."""
+    twopi = 2.0 * jnp.pi
+    Zr = z_r[0] - z_w[0]
+
+    Fw = twopi / jnp.maximum(Pwave, 0.05)
+    h = grid.h
+    Kdh = h * Fw * Fw / cfg.g
+    Kbh2 = Kdh * Kdh + Kdh / (
+        1.0 + Kdh * (_K1 + Kdh * (_K2 + Kdh * (
+            _K3 + Kdh * (_K4 + Kdh * (_K5 + _K6 * Kdh))))))
+    Ab = 0.5 * Hwave / jnp.sinh(jnp.sqrt(Kbh2)) + _EPS
+    Ub = Fw * Ab if Uwave_rms is None else Uwave_rms
+
+    Ucur = 0.5 * (u[0] + st.ip1(u[0]))
+    Vcur = 0.5 * (v[0] + st.jp1(v[0]))
+    Umag = jnp.sqrt(Ucur ** 2 + Vcur ** 2) + _EPS
+    phiC = jnp.arctan2(Vcur, Ucur)
+    angler = getattr(grid, "angler", None)
+    ang = angler if angler is not None else jnp.zeros_like(Umag)
+    phiwc = 1.5 * jnp.pi - Dwave - phiC - ang
+
+    # roughness: grain + Grant-Madsen ripple contribution from the
+    # previous ripple state (N92_RIPRUF)
+    kN_grain = 30.0 * jnp.maximum(cfg.drag.Zob, bblc.d50 / 12.0)
+    kN = kN_grain + 30.0 * 0.92 * bstate.rhgt ** 2 / \
+        jnp.maximum(bstate.rlen, 0.01)
+
+    ustrc, ustrwm, ustrr, fwc, zoa = madsen94(
+        Ub, Fw, Umag, Zr, phiwc, kN)
+
+    tauC = ustrc ** 2                              # kinematic m2/s2
+    tauCWmax = ustrr ** 2
+
+    # ripple predictor reuses the Li & Amos regimes on the SSW
+    # stresses (ssw_bbl.h sediment ripples section)
+    rhoW = rho1 + 1000.0
+    rhoSed = bblc.srho / rhoW
+    tau_up = 0.172 * (rhoSed - 1.0) * cfg.g * bblc.d50 ** 0.624
+    rl_y = 535.0 * bblc.d50
+    rh_eq = (22.15 * jnp.sqrt(tauCWmax / bblc.tau_cb) + 6.38) * \
+        bblc.d50
+    active = tauCWmax >= bblc.tau_cb
+    sheet = tauCWmax >= tau_up
+    rhgt = jnp.where(sheet, 0.0,
+                     jnp.where(active, rh_eq, bstate.rhgt))
+    rlen = jnp.where(sheet, 0.0,
+                     jnp.where(active, rh_eq / 0.12, bstate.rlen))
+
+    angleC_u = u[0] / (0.5 * (st.im1(Umag) + Umag))
+    bustr = 0.5 * (st.im1(tauC) + tauC) * angleC_u
+    angleC_v = v[0] / (0.5 * (st.jm1(Umag) + Umag))
+    bvstr = 0.5 * (st.jm1(tauC) + tauC) * angleC_v
+    return BBLOut(bustr=bustr, bvstr=bvstr, tauCWmax=tauCWmax, Ab=Ab,
+                  state=BBLState(rlen=rlen, rhgt=rhgt))
+
+
+def make_ssw_bbl_fn(cfg: ModelConfig, bblc: BBLConfig, grid: Grid,
+                    wave_fn):
+    """SSW variant of make_bbl_fn."""
+    def fn(time, bstate, u, v, rho1, z_r, z_w):
+        Hw, Dw, Pw = wave_fn(time)
+        return ssw_bbl(cfg, bblc, grid, bstate, u, v, rho1, z_r, z_w,
+                       Hw, Dw, Pw)
     return fn

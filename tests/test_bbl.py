@@ -76,3 +76,51 @@ class TestMbBBL:
         s = m.run(s0b, 20)
         assert np.isfinite(np.asarray(s.u)).all()
         assert np.isfinite(np.asarray(s.bbl.rhgt)).all()
+
+
+class TestSSWBBL:
+    def test_madsen94_limits(self, setup):
+        """Madsen 94: no waves -> log-law current stress; waves
+        enhance the combined friction velocity above the pure-current
+        value."""
+        import jax.numpy as jnp
+        from roms_tpu.core.bbl import madsen94
+        shp = (4, 4)
+        zr = jnp.full(shp, 1.0)
+        kN = jnp.full(shp, 0.01)
+        ucr = jnp.full(shp, 0.3)
+        phiwc = jnp.zeros(shp)
+        # no waves
+        uc0, uw0, ur0, fw0, zoa0 = madsen94(
+            jnp.zeros(shp), jnp.full(shp, 0.8), ucr, zr, phiwc, kN)
+        expect = 0.3 * 0.41 / np.log(1.0 / (0.01 / 30.0))
+        np.testing.assert_allclose(np.asarray(uc0), expect, rtol=1e-6)
+        assert float(np.asarray(uw0).max()) == 0.0
+        # strong waves
+        uc1, uw1, ur1, fw1, zoa1 = madsen94(
+            jnp.full(shp, 0.5), jnp.full(shp, 0.8), ucr, zr, phiwc,
+            kN)
+        assert float(np.asarray(ur1).min()) > float(np.asarray(ur0).max())
+        assert float(np.asarray(uw1).min()) > 0.0
+        assert np.isfinite(np.asarray(zoa1)).all()
+        # apparent roughness exceeds physical roughness under waves
+        assert float(np.asarray(zoa1).min()) > 0.01 / 30.0
+
+    def test_ssw_model_integration(self, setup):
+        import jax.numpy as jnp
+        from roms_tpu.core import bbl as bbl_mod
+        from roms_tpu.core.stepping import Model
+        from roms_tpu.functionals import upwelling
+        cfg, grid, s0, _, _ = setup
+        shp = cfg.shape2d
+
+        def wave_fn(t):
+            return (jnp.full(shp, 2.0), jnp.zeros(shp),
+                    jnp.full(shp, 8.0))
+
+        m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg),
+                  bbl_fn=bbl_mod.make_ssw_bbl_fn(
+                      cfg, bbl_mod.BBLConfig(), grid, wave_fn))
+        s = m.run(s0._replace(bbl=bbl_mod.initial_bbl(cfg)), 20)
+        assert np.isfinite(np.asarray(s.u)).all()
