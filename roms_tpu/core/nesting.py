@@ -14,8 +14,11 @@ boundaries.  The donor-receiver machinery reduces to:
     interpolation, feeding the child's clamped zeta + Flather 2D +
     radiation-nudged 3D open boundaries.
 
-Two-way feedback (fine-to-coarse averaging, nesting.F:put_composite)
-follows in a later round.
+Two-way feedback: `coarsen_feedback` replaces parent cells covered by
+the child interior with conservative rf x rf box averages of the child
+solution (nesting.F:put_refine/fine2coarse), and `run_two_way`
+interleaves parent and child steps with one-parent-step-lagged
+boundary data.
 """
 
 from __future__ import annotations
@@ -125,3 +128,60 @@ def make_child_obc_fn(cfg_c: ModelConfig, spec: RefineSpec,
                 "t": tdata}
 
     return obc
+
+
+def coarsen_feedback(parent_field, child_field, spec: RefineSpec):
+    """Replace the parent cells covered by the child interior with the
+    conservative rf x rf box average of the child (fine2coarse
+    averaging, nesting.F:put_refine).  Works for 2-D or leading-dims
+    batched rho-point fields; the child boundary ring is excluded."""
+    rf = spec.rf
+    ci = child_field[..., 1:-1, 1:-1]             # interior rho cells
+    Mj_i, Li_i = ci.shape[-2], ci.shape[-1]
+    nj, ni = Mj_i // rf, Li_i // rf
+    ci = ci[..., :nj * rf, :ni * rf]
+    box = ci.reshape(ci.shape[:-2] + (nj, rf, ni, rf)).mean(
+        axis=(-3, -1))
+    out = parent_field.at[..., spec.j0 + 1:spec.j0 + 1 + nj,
+                          spec.i0 + 1:spec.i0 + 1 + ni].set(box)
+    return out
+
+
+def two_way_feedback(parent_state, child_state, spec: RefineSpec):
+    """Feed the child solution back into the parent State (zeta, u, v,
+    t).  Velocities are box-averaged like tracers (the reference
+    averages fine fluxes onto coarse faces; the cell-average form is
+    the same to O(dx^2))."""
+    return parent_state._replace(
+        zeta=coarsen_feedback(parent_state.zeta, child_state.zeta,
+                              spec),
+        u=coarsen_feedback(parent_state.u, child_state.u, spec),
+        v=coarsen_feedback(parent_state.v, child_state.v, spec),
+        t=coarsen_feedback(parent_state.t, child_state.t, spec),
+        t_prev=coarsen_feedback(parent_state.t_prev,
+                                child_state.t_prev, spec))
+
+
+def run_two_way(parent_model, child_model, spec: RefineSpec,
+                s_parent, s_child, nsteps_parent: int):
+    """Interleaved two-way integration: each parent step is followed
+    by rf child steps driven by boundary data linearly interpolated
+    between the previous and current parent states, then the child
+    solution is averaged back into the parent (nesting.F main cycle).
+    Returns (parent_state, child_state)."""
+    rf = spec.rf
+    cfg_c = child_model.cfg
+    for n in range(nsteps_parent):
+        s_prev = s_parent
+        s_parent = parent_model.step(s_parent)
+        obc = make_child_obc_fn(cfg_c, spec, [s_prev, s_parent],
+                                float(parent_model.cfg.dt))
+        # child clock runs 0..dt_p within the window; boundary data is
+        # evaluated host-side per substep and passed as a jit ARGUMENT
+        # so the trace is reused across windows without staleness
+        s_child = s_child._replace(time=s_child.time * 0.0)
+        for k in range(rf):
+            obc_k = obc(k * float(cfg_c.dt))
+            s_child = child_model.step_with_obc(s_child, obc_k)
+        s_parent = two_way_feedback(s_parent, s_child, spec)
+    return s_parent, s_child

@@ -84,7 +84,7 @@ class Model:
         return self.step_impl(state, grid)
 
     def step_impl(self, state: State, grid: Optional[Grid] = None,
-                  collect_diag: bool = False):
+                  collect_diag: bool = False, obc_data=None):
         cfg = self.cfg
         grid = self.grid if grid is None else grid
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
@@ -158,7 +158,10 @@ class Model:
             W, Wi = omega_mod.omega_split(cfg, grid, Huon, Hvom, z_w)
         else:
             W, Wi = omega_mod.omega(cfg, grid, Huon, Hvom, z_w), None
-        obc = self.obc_fn(state.time) if self.obc_fn else None
+        if obc_data is not None:
+            obc = obc_data        # explicit pytree argument (nesting)
+        else:
+            obc = self.obc_fn(state.time) if self.obc_fn else None
         clm = self.clm_fn(state.time) if self.clm_fn else None
 
         # ---- predictor stage (rhs3d.F:80-189) ---------------------------
@@ -300,6 +303,15 @@ class Model:
 
     def step(self, state: State) -> State:
         return self._step_jit(state, self.grid)
+
+    def step_with_obc(self, state: State, obc_data):
+        """One step with boundary data passed as a pytree ARGUMENT
+        (not baked into the trace) — required when the data changes
+        between jitted calls, e.g. nested-grid windows."""
+        if not hasattr(self, "_step_obc_jit"):
+            self._step_obc_jit = jax.jit(
+                lambda s, g, o: self.step_impl(s, g, obc_data=o))
+        return self._step_obc_jit(state, self.grid, obc_data)
 
     def step_diag(self, state: State):
         """One step returning (new_state, DIAGNOSTICS_TS budget dict of

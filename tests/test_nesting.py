@@ -88,3 +88,53 @@ def test_bilinear_exact_on_linear_fields():
     # away from the clamped domain edges the sample is exact
     np.testing.assert_allclose(np.asarray(out)[1:-1, 1:-1],
                                expect[1:-1, 1:-1], atol=1e-12)
+
+
+@pytest.mark.slow
+def test_two_way_feedback_stable():
+    """Two-way cycle: child feedback replaces the parent overlap with
+    box averages; the coupled system stays stable and the feedback is
+    conservative (box mean preserves the child mean)."""
+    cfg_p = kelvin.make_config(Lm=40, Mm=16, N=5)
+    grid_p = kelvin.make_grid(cfg_p)
+    m_p = Model(cfg_p, grid_p, kelvin.make_forcing_fn(cfg_p, grid_p),
+                obc_fn=kelvin.make_obc_fn(cfg_p, grid_p))
+    s_p = kelvin.make_initial(cfg_p, grid_p)
+
+    rf = 2
+    spec = nesting.RefineSpec(i0=10, j0=2, rf=rf, Lm_c=20, Mm_c=16)
+    cfg_c = dataclasses.replace(
+        cfg_p, Lm=spec.Lm_c, Mm=spec.Mm_c, dt=cfg_p.dt / rf,
+        bc=C.BoundaryConfig(
+            zeta=C.LBC.same(C.CLAMPED),
+            ubar=C.LBC.same(C.FLATHER), vbar=C.LBC.same(C.FLATHER),
+            u=C.LBC.same(C.RADIATION), v=C.LBC.same(C.RADIATION),
+            t=C.LBC.same(C.RADIATION), tke=C.LBC.same(C.GRADIENT)))
+    Mj_c, Li_c = cfg_c.shape2d
+    h_c = nesting.refine2d(grid_p.h, spec, Mj_c, Li_c)
+    f_c = nesting.refine2d(grid_p.f, spec, Mj_c, Li_c)
+    pm_c = nesting.refine2d(grid_p.pm, spec, Mj_c, Li_c) * rf
+    pn_c = nesting.refine2d(grid_p.pn, spec, Mj_c, Li_c) * rf
+    grid_c = build_grid(cfg_c, h=np.asarray(h_c), pm=np.asarray(pm_c),
+                        pn=np.asarray(pn_c), f=np.asarray(f_c))
+    m_c = Model(cfg_c, grid_c, kelvin.make_forcing_fn(cfg_c, grid_c))
+
+    from roms_tpu.core.state import initial_state
+    jc, ic = nesting._child_coords(spec, Mj_c, Li_c)
+    s_c = initial_state(
+        cfg_c, grid_c,
+        zeta=nesting.bilinear(s_p.zeta, jc, ic),
+        u=nesting.bilinear(s_p.u, jc, ic),
+        v=nesting.bilinear(s_p.v, jc, ic),
+        t=nesting.bilinear(s_p.t, jc, ic), time0=0.0)
+
+    s_p2, s_c2 = nesting.run_two_way(m_p, m_c, spec, s_p, s_c, 10)
+    assert np.isfinite(np.asarray(s_p2.zeta)).all()
+    assert np.isfinite(np.asarray(s_c2.zeta)).all()
+    # feedback really wrote the child box means into the parent
+    box = np.asarray(s_p2.zeta)[spec.j0 + 1:spec.j0 + 9,
+                                spec.i0 + 1:spec.i0 + 11]
+    ci = np.asarray(s_c2.zeta)[1:-1, 1:-1]
+    nj, ni = box.shape
+    mean = ci[:nj * 2, :ni * 2].reshape(nj, 2, ni, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(box, mean, atol=1e-12)
