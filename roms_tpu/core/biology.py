@@ -143,12 +143,35 @@ def make_npzd_hook(cfg: ModelConfig, bio: NPZDConfig, grid: Grid):
 
 # ===========================================================================
 # Fennel et al. (2006) nitrogen-cycle ecosystem model
-# (ROMS/Nonlinear/Biology/fennel.h, nitrogen core without CARBON/OXYGEN)
+# (ROMS/Nonlinear/Biology/fennel.h, nitrogen core; optional OXYGEN)
 # Tracer order after the NAT tracers: (NO3, NH4, Chlo, Phyt, Zoop,
-# LDeN, SDeN) — idbio of fennel_mod.h.
+# LDeN, SDeN[, Oxyg]) — idbio of fennel_mod.h.
 # ===========================================================================
 
-IFNO3, IFNH4, IFCHL, IFPHY, IFZOO, IFLDN, IFSDN = range(7)
+IFNO3, IFNH4, IFCHL, IFPHY, IFZOO, IFLDN, IFSDN, IFOXY = range(8)
+
+# oxygen stoichiometry + Garcia & Gordon (1992) saturation and
+# Wanninkhof (1992) Schmidt-number constants (fennel.h:346-397)
+_ROXNO3 = 8.625          # 138/16
+_ROXNH4 = 6.625          # 106/16
+_L2MOL = 1000.0 / 22.3916
+_OA = (2.00907, 3.22014, 4.05010, 4.94457, -0.256847, 3.88767)
+_OB = (-0.00624523, -0.00737614, -0.0103410, -0.00817083)
+_OC0 = -0.000000488682
+_SC_O2 = (1638.0, 81.83, 1.483, 0.008004, 0.0)   # Wanninkhof 92
+
+
+def o2_saturation(temp, salt):
+    """O2 saturation (mmol/m3), Garcia & Gordon (1992)
+    (fennel.h:1124-1135)."""
+    TS = jnp.log((298.15 - temp) / (273.15 + temp))
+    OA0, OA1, OA2, OA3, OA4, OA5 = _OA
+    OB0, OB1, OB2, OB3 = _OB
+    AA = OA0 + TS * (OA1 + TS * (OA2 + TS * (OA3 + TS * (
+        OA4 + TS * OA5)))) + \
+        salt * (OB0 + TS * (OB1 + TS * (OB2 + TS * OB3))) + \
+        _OC0 * salt * salt
+    return _L2MOL * jnp.exp(AA)
 
 
 @dataclass(frozen=True)
@@ -184,19 +207,27 @@ class FennelConfig:
     wSDet: float = 0.1
     wLDet: float = 1.0
     MinVal: float = 1.0e-6
+    # OXYGEN extension (fennel.h ifdef OXYGEN): adds an O2 tracer with
+    # photosynthesis/respiration stoichiometry and air-sea exchange
+    oxygen: bool = False
 
 
 def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
-           Hz, z_w, srflx):
+           Hz, z_w, srflx, uwind=None, vwind=None):
     """One dt of Fennel nitrogen-cycle sources/sinks; returns the tracer
     increment stack (zeros in the physical-tracer slots)."""
     nb = cfg.NAT
     eps = 1.0e-20
     dtdays = cfg.dt * constants.sec2day / max(bio.BioIter, 1)
     temp = t[0]
+    nbio = 8 if bio.oxygen else 7
 
-    f0 = [jnp.maximum(t[nb + i], bio.MinVal) for i in range(7)]
-    NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN = f0
+    f0 = [jnp.maximum(t[nb + i], bio.MinVal) for i in range(nbio)]
+    if bio.oxygen:
+        NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN, Oxy = f0
+    else:
+        NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN = f0
+        Oxy = None
     PARsur = bio.PARfrac * srflx * cfg.rho0 * constants.Cp
 
     for _ in range(max(bio.BioIter, 1)):
@@ -227,6 +258,9 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         newP = NO3 * cff4
         regP = NH4 * cff5
         Phy = Phy + newP + regP
+        if bio.oxygen:
+            # photosynthetic O2 production (fennel.h:795-796)
+            Oxy = Oxy + newP * _ROXNO3 + regP * _ROXNH4
         Chl = Chl + jnp.where(
             day,
             (dtdays * t_PPmax * t_PPmax * LTOT * LTOT * bio.Chl2C_m
@@ -239,7 +273,11 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         inhib = jnp.where(day, 1.0 - jnp.maximum(0.0, cffi), 1.0)
         cff3 = dtdays * bio.NitriR * inhib
         NH4 = NH4 / (1.0 + cff3)
-        NO3 = NO3 + NH4 * cff3
+        nitri = NH4 * cff3
+        NO3 = NO3 + nitri
+        if bio.oxygen:
+            # nitrification consumes 2 mol O2/mol N (fennel.h:847)
+            Oxy = Oxy - 2.0 * nitri
 
         # ---- grazing + phytoplankton mortality ----
         cff1g = dtdays * bio.ZooGR * Zoo * Phy / \
@@ -269,6 +307,9 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         zmet = dtdays * bio.ZooBM * jnp.maximum(Zoo - bio.ZooMin, 0.0)
         Zoo = Zoo - zmet
         NH4 = NH4 + zmet
+        if bio.oxygen:
+            # zooplankton metabolism + excretion (fennel.h:968)
+            Oxy = Oxy - _ROXNH4 * (zmet + zexc)
 
         # ---- coagulation to large detritus ----
         cffc = dtdays * bio.CoagR * (SDeN + Phy)
@@ -281,10 +322,15 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         # ---- remineralization ----
         cffs = dtdays * bio.SDeRRN
         SDeN = SDeN / (1.0 + cffs)
-        NH4 = NH4 + SDeN * cffs
+        remS = SDeN * cffs
+        NH4 = NH4 + remS
         cffl = dtdays * bio.LDeRRN
         LDeN = LDeN / (1.0 + cffl)
-        NH4 = NH4 + LDeN * cffl
+        remL = LDeN * cffl
+        NH4 = NH4 + remL
+        if bio.oxygen:
+            # remineralization respiration (fennel.h:1031)
+            Oxy = Oxy - _ROXNH4 * (remS + remL)
 
         # ---- sinking (upwind, CFL-limited) ----
         def sink(q, w_mday):
@@ -301,14 +347,50 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         SDeN = sink(SDeN, bio.wSDet)
         LDeN = sink(LDeN, bio.wLDet)
 
+        if bio.oxygen:
+            # surface O2 gas exchange, Wanninkhof 92 transfer velocity
+            # (fennel.h:1100-1143)
+            A, B, Cc, D, E = _SC_O2
+            Tsur = temp[-1]
+            Sc = A - Tsur * (B - Tsur * (Cc - Tsur * (D - Tsur * E)))
+            if uwind is not None:
+                u10squ = uwind ** 2 + vwind ** 2
+            else:
+                u10squ = jnp.zeros_like(Tsur)
+            kw = dtdays * 0.31 * 24.0 / 100.0 * u10squ * \
+                jnp.sqrt(660.0 / Sc)
+            sat = o2_saturation(Tsur, t[1][-1] if cfg.NT > 1
+                                else jnp.zeros_like(Tsur))
+            flux = kw * (sat - Oxy[-1])
+            Oxy = Oxy.at[-1].add(flux / Hz[-1])
+            Oxy = jnp.maximum(Oxy, 0.0)
+
     inc = jnp.zeros_like(t)
-    for i, (new, old) in enumerate(zip(
-            (NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN), f0)):
+    fields = (NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN) + \
+        ((Oxy,) if bio.oxygen else ())
+    for i, (new, old) in enumerate(zip(fields, f0)):
         inc = inc.at[nb + i].set(new - old)
     return inc
 
 
-def make_fennel_hook(cfg: ModelConfig, bio: FennelConfig, grid: Grid):
+def make_fennel_hook(cfg: ModelConfig, bio: FennelConfig, grid: Grid,
+                     wind_fn=None):
+    """wind_fn(forcing) -> (u10, v10) for the OXYGEN gas exchange; the
+    default derives u10^2 from the wind stress (fennel.h:1113-1117)."""
     def hook(t, Hz, z_w, forcing):
+        if bio.oxygen:
+            if wind_fn is not None:
+                uw, vw = wind_fn(forcing)
+            else:
+                from ..ops import stencil as st
+                tau = jnp.sqrt(
+                    (0.5 * (forcing.sustr + st.ip1(forcing.sustr)))
+                    ** 2 +
+                    (0.5 * (forcing.svstr + st.jp1(forcing.svstr)))
+                    ** 2)
+                u10 = jnp.sqrt(cfg.rho0 * 550.0 * tau)
+                uw, vw = u10, jnp.zeros_like(u10)
+            return fennel(cfg, bio, grid, t, Hz, z_w, forcing.srflx,
+                          uwind=uw, vwind=vw)
         return fennel(cfg, bio, grid, t, Hz, z_w, forcing.srflx)
     return hook

@@ -117,3 +117,47 @@ class TestFennel:
         assert a(s.t[4][-1]).mean() > a(st.t[4][-1]).mean()
         # all biological fields stay non-negative
         assert a(s.t[2:]).min() > -1e-6
+
+
+def test_fennel_oxygen_extension():
+    """OXYGEN (fennel.h): photosynthesis produces O2 at Redfield
+    stoichiometry, respiration consumes it, and the surface flux
+    relaxes toward Garcia-Gordon saturation."""
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu.core import biology as bio_mod
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import upwelling
+
+    # saturation: ~280-380 mmol/m3 over ocean temperatures, colder
+    # water holds more
+    s10 = float(bio_mod.o2_saturation(jnp.asarray(10.0),
+                                      jnp.asarray(35.0)))
+    s25 = float(bio_mod.o2_saturation(jnp.asarray(25.0),
+                                      jnp.asarray(35.0)))
+    assert 200.0 < s25 < s10 < 360.0
+
+    cfg = upwelling.make_config(dtype="float64").replace(NT=2 + 8)
+    bio = bio_mod.FennelConfig(oxygen=True)
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    t = np.zeros((cfg.NT,) + np.asarray(s0.t[0]).shape)
+    t[0] = np.asarray(s0.t[0]); t[1] = 35.0
+    t[2 + bio_mod.IFNO3] = 5.0
+    t[2 + bio_mod.IFPHY] = 0.5
+    t[2 + bio_mod.IFCHL] = 0.3
+    t[2 + bio_mod.IFZOO] = 0.1
+    t[2 + bio_mod.IFNH4] = 0.5
+    t[2 + bio_mod.IFOXY] = 100.0          # strongly undersaturated
+    s0 = s0._replace(t=jnp.asarray(t), t_prev=jnp.asarray(t))
+    m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+              vmix_fn=upwelling.make_vmix_fn(cfg),
+              bio_fn=bio_mod.make_fennel_hook(cfg, bio, grid))
+    s = m.run(s0, 30)
+    O2 = np.asarray(s.t[2 + bio_mod.IFOXY])
+    assert np.isfinite(O2).all()
+    assert (O2 >= 0.0).all()
+    # surface O2 rose toward saturation (gas influx) and/or
+    # photosynthesis added O2 in the euphotic zone
+    assert O2[-1].mean() > 100.0
