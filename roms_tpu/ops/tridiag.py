@@ -29,8 +29,10 @@ def tridiag_solve(lower, diag, upper, rhs):
     VMEM-resident kernel (ops/pallas_tridiag.py, ~11% faster than the
     XLA scan and bit-exact); every other case takes the scan path.
     """
+    import os
     if (jax.default_backend() == "tpu" and rhs.ndim == 3
-            and rhs.shape[0] <= 128):
+            and rhs.shape[0] <= 128
+            and not os.environ.get("ROMS_TPU_NO_PALLAS_TRIDIAG")):
         from .pallas_tridiag import tridiag_solve_pallas
         return tridiag_solve_pallas(lower, diag, upper, rhs)
 
