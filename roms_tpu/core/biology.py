@@ -394,3 +394,125 @@ def make_fennel_hook(cfg: ModelConfig, bio: FennelConfig, grid: Grid,
                           uwind=uw, vwind=vw)
         return fennel(cfg, bio, grid, t, Hz, z_w, forcing.srflx)
     return hook
+
+
+# ===========================================================================
+# NPZD Franks et al. (1986) variant (Biology/npzd_Franks.h): depth-
+# exponential light, Michaelis-Menten squared grazing, NO3 recycling.
+# Tracer order after NAT: (NO3, Phyt, Zoop, SDet).
+# ===========================================================================
+
+@dataclass(frozen=True)
+class FranksConfig:
+    """npzd_Franks.in defaults."""
+    BioIter: int = 1
+    K_ext: float = 0.06        # 1/m light extinction
+    K_NO3: float = 1.0
+    K_Phy: float = 0.4
+    Vm_NO3: float = 1.5        # 1/day
+    PhyMR: float = 0.1
+    ZooGR: float = 0.52
+    ZooGA: float = 0.3         # grazing inefficiency -> detritus
+    ZooEC: float = 0.3         # excretion efficiency -> NO3
+    ZooMR: float = 0.145       # mortality -> NO3
+    ZooMD: float = 0.05        # mortality -> detritus
+    DetRR: float = 0.1
+    wDet: float = 8.0          # m/day
+    MinVal: float = 1.0e-6
+
+
+def npzd_franks(cfg: ModelConfig, bio: FranksConfig, grid: Grid, t,
+                Hz, z_r):
+    """One dt of Franks NPZD source/sink terms (npzd_Franks.h:250-380);
+    returns the tracer increment stack."""
+    nb = cfg.NAT
+    dtdays = cfg.dt * constants.sec2day / max(bio.BioIter, 1)
+    f0 = [jnp.maximum(t[nb + i], bio.MinVal) for i in range(4)]
+    NO3, Phy, Zoo, Det = f0
+
+    for _ in range(max(bio.BioIter, 1)):
+        # uptake with depth-exponential light (npzd_Franks.h:316-329)
+        cff = Phy * dtdays * bio.Vm_NO3 * jnp.exp(bio.K_ext * z_r) / \
+            (bio.K_NO3 + NO3)
+        NO3 = NO3 / (1.0 + cff)
+        Phy = Phy + NO3 * cff
+
+        # grazing + phyto mortality (npzd_Franks.h:332-350)
+        cffg = Zoo * Phy * dtdays * bio.ZooGR / \
+            (bio.K_Phy * bio.K_Phy + Phy * Phy)
+        cffm = dtdays * bio.PhyMR
+        Phy = Phy / (1.0 + cffg + cffm)
+        Zoo = Zoo + Phy * cffg * (1.0 - bio.ZooGA)
+        Det = Det + Phy * (cffm + cffg * (bio.ZooGA - bio.ZooEC))
+        NO3 = NO3 + Phy * cffg * bio.ZooEC
+
+        # zooplankton mortality split (npzd_Franks.h:353-366)
+        Zoo = Zoo / (1.0 + dtdays * (bio.ZooMR + bio.ZooMD))
+        NO3 = NO3 + Zoo * dtdays * bio.ZooMR
+        Det = Det + Zoo * dtdays * bio.ZooMD
+
+        # remineralization (npzd_Franks.h:368-378)
+        cffr = dtdays * bio.DetRR
+        Det = Det / (1.0 + cffr)
+        NO3 = NO3 + Det * cffr
+
+        # detritus sinking (upwind, CFL-limited; the reference's PPM
+        # reconstruction is shared with fennel and follows later)
+        w = bio.wDet / 86400.0 * cfg.dt / max(bio.BioIter, 1)
+        flux = jnp.minimum(w, 0.9 * Hz[1:]) * Det[1:]
+        dq = jnp.concatenate([flux, jnp.zeros_like(Det[:1])], axis=0) \
+            - jnp.concatenate([jnp.zeros_like(Det[:1]), flux], axis=0)
+        Det = Det + dq / Hz
+
+    inc = jnp.zeros_like(t)
+    for i, (new, old) in enumerate(zip((NO3, Phy, Zoo, Det), f0)):
+        inc = inc.at[nb + i].set(new - old)
+    return inc
+
+
+def make_franks_hook(cfg: ModelConfig, bio: FranksConfig, grid: Grid):
+    def hook(t, Hz, z_w, forcing):
+        z_r = 0.5 * (z_w[1:] + z_w[:-1])
+        return npzd_franks(cfg, bio, grid, t, Hz, z_r)
+    return hook
+
+
+# ===========================================================================
+# Hypoxia Simple Respiration Model (Biology/hypoxia_srm.h): dissolved
+# oxygen only, consumed by a prescribed 3-D respiration rate, restored
+# by air-sea exchange.  Tracer slot NAT+0 = O2 (mmol/m3).
+# ===========================================================================
+
+def hypoxia_srm(cfg: ModelConfig, grid: Grid, t, Hz, respiration,
+                uwind=None, vwind=None):
+    """One dt of the simple respiration model (hypoxia_srm.h:326-360 +
+    the shared surface O2 flux block).  respiration: (N, Mj, Li) rate
+    in mmol O2/m3/day.  Returns the tracer increment stack."""
+    nb = cfg.NAT
+    dtdays = cfg.dt * constants.sec2day
+    Oxy0 = jnp.maximum(t[nb], 0.0)
+    Oxy = jnp.maximum(Oxy0 - dtdays * respiration, 0.0)
+
+    # surface exchange (same Wanninkhof 92 / Garcia-Gordon block as
+    # fennel.h:1100-1143)
+    temp = t[0][-1]
+    salt = t[1][-1] if cfg.NT > 1 else jnp.zeros_like(temp)
+    A, B, Cc, D, E = _SC_O2
+    Sc = A - temp * (B - temp * (Cc - temp * (D - temp * E)))
+    u10squ = (uwind ** 2 + vwind ** 2) if uwind is not None else \
+        jnp.zeros_like(temp)
+    kw = dtdays * 0.31 * 24.0 / 100.0 * u10squ * jnp.sqrt(660.0 / Sc)
+    flux = kw * (o2_saturation(temp, salt) - Oxy[-1])
+    Oxy = Oxy.at[-1].add(flux / Hz[-1])
+    inc = jnp.zeros_like(t)
+    return inc.at[nb].set(Oxy - Oxy0)
+
+
+def make_hypoxia_hook(cfg: ModelConfig, grid: Grid, respiration,
+                      u10=0.0):
+    def hook(t, Hz, z_w, forcing):
+        shp = t[0][-1].shape
+        uw = jnp.full(shp, u10)
+        return hypoxia_srm(cfg, grid, t, Hz, respiration, uwind=uw,
+                           vwind=jnp.zeros(shp))
+    return hook

@@ -161,3 +161,57 @@ def test_fennel_oxygen_extension():
     # surface O2 rose toward saturation (gas influx) and/or
     # photosynthesis added O2 in the euphotic zone
     assert O2[-1].mean() > 100.0
+
+
+def test_npzd_franks_conserves_nitrogen():
+    """Franks NPZD: total N (NO3+P+Z+D) invariant under the column
+    source/sink terms; bloom develops near the surface."""
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu.core import biology as bio_mod
+    from roms_tpu.functionals import upwelling
+    from roms_tpu.grid.depth import set_depth
+
+    cfg = upwelling.make_config(dtype="float64").replace(NT=6)
+    bio = bio_mod.FranksConfig()
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    z_r, z_w, Hz = set_depth(grid, s0.zeta)
+    shp = np.asarray(s0.t[0]).shape
+    t = np.zeros((6,) + shp)
+    t[0] = np.asarray(s0.t[0]); t[1] = 35.0
+    t[2] = 2.0; t[3] = 0.2; t[4] = 0.1; t[5] = 0.05
+    tj = jnp.asarray(t)
+    inc = bio_mod.npzd_franks(cfg, bio, grid, tj, Hz, z_r)
+    totN = np.asarray((inc[2] + inc[3] + inc[4] + inc[5]) * Hz)
+    # interior columns conserve N except for the sinking flux through
+    # the bottom (which deposits; here detritus stays in the column)
+    assert np.abs(totN.sum(axis=0)).max() < 1e-10
+    # phytoplankton grows where light is strong (surface)
+    assert float(np.asarray(inc[3])[-1].mean()) > 0.0
+
+
+def test_hypoxia_srm_depletes_and_reaerates():
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu.core import biology as bio_mod
+    from roms_tpu.functionals import upwelling
+    from roms_tpu.grid.depth import set_depth
+
+    cfg = upwelling.make_config(dtype="float64").replace(NT=3)
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    z_r, z_w, Hz = set_depth(grid, s0.zeta)
+    shp = np.asarray(s0.t[0]).shape
+    t = np.zeros((3,) + shp)
+    t[0] = np.asarray(s0.t[0]); t[1] = 35.0; t[2] = 200.0
+    resp = jnp.full(shp, 24.0)            # 1 mmol/m3/hour
+    inc = bio_mod.hypoxia_srm(cfg, grid, jnp.asarray(t), Hz, resp,
+                              uwind=jnp.full(shp[1:], 8.0),
+                              vwind=jnp.zeros(shp[1:]))
+    dO = np.asarray(inc[2])
+    # subsurface: pure depletion at the prescribed rate
+    expect = -24.0 * cfg.dt / 86400.0
+    np.testing.assert_allclose(dO[5], expect, rtol=1e-6)
+    # surface: gas influx offsets some of the depletion (undersaturated)
+    assert dO[-1].mean() > expect
