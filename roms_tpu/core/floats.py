@@ -62,8 +62,14 @@ def _interp3(f3, x, y, s, sc_r):
 
 
 def step_floats(cfg: ModelConfig, grid: Grid, flt: Floats,
-                u, v, W, Hz, sc_r) -> Floats:
-    """Advance float positions one baroclinic dt with RK4."""
+                u, v, W, Hz, sc_r, Akt=None, key=None) -> Floats:
+    """Advance float positions one baroclinic dt with RK4.
+
+    With Akt (interface diffusivity, (N+1, Mj, Li)) and a PRNG key,
+    adds the FLOAT_VWALK vertical random walk (vwalk_floats.F:196-220,
+    Hunter et al 1993):  w = sqrt(2 Akt / dt) * N(0,1) + dAkt/dz,
+    the gradient term being the Visser drift that keeps particles from
+    accumulating in low-diffusivity layers."""
     dt = cfg.dt
     Mj, Li = cfg.shape2d
     # grid-relative velocities: dx/dt = u * pm (cells/s)
@@ -92,6 +98,21 @@ def step_floats(cfg: ModelConfig, grid: Grid, flt: Floats,
     p1 = p0 + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
 
     x, y, s = p1
+
+    if Akt is not None and key is not None:
+        # vertical random walk in physical z, converted to sigma
+        D = jnp.sum(Hz, axis=0)
+        Ak_c = 0.5 * (Akt[1:] + Akt[:-1])         # at rho levels
+        dz = Hz
+        dAkdz = (Akt[1:] - Akt[:-1]) / jnp.maximum(dz, 1e-6)
+        ak_f = _interp3(Ak_c, x, y, s, sc_r)
+        dak_f = _interp3(dAkdz, x, y, s, sc_r)
+        import jax.random as jrandom
+        rw = jrandom.normal(key, x.shape)
+        w_rw = jnp.sqrt(2.0 * jnp.maximum(ak_f, 0.0) / dt) * rw + dak_f
+        D_f = jax.vmap(lambda xx, yy: _interp2(D, xx, yy))(x, y)
+        s = s + dt * w_rw / jnp.maximum(D_f, 1e-6)
+
     if cfg.bc.ew_periodic:
         x = jnp.mod(x - 1.0, float(cfg.Lm)) + 1.0
     s = jnp.clip(s, -1.0, 0.0)

@@ -60,6 +60,31 @@ def load_forcing_netcdf(path: str, names: Dict[str, str],
     return fields
 
 
+def load_forcing_multifile(paths, names, time_name: str = "ocean_time",
+                           cycle=None):
+    """Chain several forcing files into one TimeSeriesField per
+    variable (get_data.F multi-file inquiry: records are concatenated
+    in time order across the file list)."""
+    import numpy as np
+    merged = {}
+    for path in paths:
+        part = load_forcing_netcdf(path, names, time_name=time_name)
+        for key, tsf in part.items():
+            if key in merged:
+                t0, v0 = merged[key]
+                merged[key] = (np.concatenate([t0, np.asarray(tsf.times)]),
+                               np.concatenate([v0, np.asarray(tsf.values)],
+                                              axis=0))
+            else:
+                merged[key] = (np.asarray(tsf.times),
+                               np.asarray(tsf.values))
+    out = {}
+    for key, (t, v) in merged.items():
+        order = np.argsort(t)
+        out[key] = TimeSeriesField(t[order], v[order], cycle=cycle)
+    return out
+
+
 def make_file_forcing_fn(cfg: ModelConfig, fields: Dict[str,
                                                         TimeSeriesField]):
     """Build forcing(time) -> Forcing from TimeSeriesFields.  Heat and

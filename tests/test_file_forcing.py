@@ -45,3 +45,36 @@ def test_netcdf_roundtrip_and_model_run(tmp_path):
     assert np.isfinite(np.asarray(s.u)).all()
     # the ramping westward wind must have accelerated a westward jet
     assert np.asarray(s.u[-1])[1:-1, 1:-1].mean() < 0.0
+
+
+def test_multifile_chaining(tmp_path):
+    """get_data.F multi-file behavior: records from successive files
+    are concatenated and time-sorted into one series."""
+    import os
+    import numpy as np
+    from scipy.io import netcdf_file
+    from roms_tpu.io.forcing import load_forcing_multifile
+
+    def write(path, times, vals):
+        f = netcdf_file(path, "w", version=2)
+        f.createDimension("ocean_time", None)
+        f.createDimension("y", 3)
+        f.createDimension("x", 4)
+        vt = f.createVariable("ocean_time", "d", ("ocean_time",))
+        vv = f.createVariable("sustr", "d", ("ocean_time", "y", "x"))
+        for i, (t, v) in enumerate(zip(times, vals)):
+            vt[i] = t
+            vv[i] = np.full((3, 4), v)
+        f.flush(); f.close()
+
+    p1 = os.path.join(tmp_path, "f1.nc")
+    p2 = os.path.join(tmp_path, "f2.nc")
+    write(p1, [0.0, 100.0], [1.0, 2.0])
+    write(p2, [200.0, 300.0], [3.0, 4.0])
+    fields = load_forcing_multifile([p2, p1], {"sustr": "sustr"})
+    tsf = fields["sustr"]
+    np.testing.assert_array_equal(np.asarray(tsf.times),
+                                  [0.0, 100.0, 200.0, 300.0])
+    # interpolation across the file boundary
+    v = np.asarray(tsf.at(150.0))
+    np.testing.assert_allclose(v, 2.5)

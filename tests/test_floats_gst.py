@@ -87,3 +87,43 @@ class TestStationsProfiler:
         assert out["zeta"].shape == (3, 2)
         assert out["temp"].shape == (3, cfg.N, 2)
         assert "step" in prof.report()
+
+
+def test_float_vertical_random_walk():
+    """FLOAT_VWALK (vwalk_floats.F): with uniform Akt the walk
+    disperses floats vertically like sqrt(2 K t); with zero Akt the
+    trajectories are unchanged."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu.core import floats as flt_mod
+    from roms_tpu.functionals import upwelling
+    from roms_tpu.grid.depth import set_depth
+
+    cfg = upwelling.make_config(dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    z_r, z_w, Hz = set_depth(grid, s0.zeta)
+    n = 256
+    f0 = flt_mod.Floats(x=jnp.full(n, 20.0), y=jnp.full(n, 40.0),
+                        s=jnp.full(n, -0.5),
+                        bounded=jnp.ones(n, bool))
+    u = jnp.zeros((cfg.N,) + cfg.shape2d)
+    W = jnp.zeros((cfg.N + 1,) + cfg.shape2d)
+    K0 = 1.0e-3
+    Akt = jnp.full((cfg.N + 1,) + cfg.shape2d, K0)
+    key = jax.random.PRNGKey(0)
+    f = f0
+    nsteps = 20
+    for i in range(nsteps):
+        key, sub = jax.random.split(key)
+        f = flt_mod.step_floats(cfg, grid, f, u, u, W, Hz,
+                                grid.sc_r, Akt=Akt, key=sub)
+    # dispersion ~ sqrt(2 K t) in z; D=150 m
+    t = nsteps * cfg.dt
+    sigma_z = np.sqrt(2.0 * K0 * t)
+    spread = np.asarray(f.s).std() * 150.0
+    assert 0.4 * sigma_z < spread < 2.5 * sigma_z, (spread, sigma_z)
+    # no Akt -> deterministic, unchanged in still water
+    f2 = flt_mod.step_floats(cfg, grid, f0, u, u, W, Hz, grid.sc_r)
+    assert float(jnp.abs(f2.s - f0.s).max()) == 0.0
