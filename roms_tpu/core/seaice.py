@@ -52,6 +52,9 @@ class IceConfig:
     zetamax: float = 1.0e14
     h0: float = 0.5              # lead closing thickness (Hibler 79)
     ki: float = 2.04             # ice conductivity (W/m/K)
+    ci: float = 2093.0           # ice heat capacity (J/kg/K)
+    c_atm: float = 20.0          # linearized atm exchange (W/m2/K)
+    prognostic_temp: bool = True  # MK interior heat capacity
     Lhat: float = 79.2           # latent heat of fusion (cal/g ~ scaled)
     Li: float = 3.34e5           # latent heat (J/kg)
     ai_max: float = 0.999
@@ -66,13 +69,15 @@ class IceState(NamedTuple):
     sxx: jnp.ndarray             # internal stresses (rho points)
     syy: jnp.ndarray
     sxy: jnp.ndarray
+    ti: jnp.ndarray              # interior ice temperature (degC)
 
 
-def initial_ice(cfg: ModelConfig, ai0=0.0, hi0=0.0) -> IceState:
+def initial_ice(cfg: ModelConfig, ai0=0.0, hi0=0.0,
+                ti0=-5.0) -> IceState:
     shp = cfg.shape2d
     z = jnp.zeros(shp, cfg.dtype)
     return IceState(ai=z + ai0, hi=z + hi0, ui=z, vi=z,
-                    sxx=z, syy=z, sxy=z)
+                    sxx=z, syy=z, sxy=z, ti=z + ti0)
 
 
 def freezing_point(S, z=0.0):
@@ -248,7 +253,8 @@ def ice_advect(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
 
 
 def ice_thermo(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
-               ai, hi, sst, sss, tair, qnet_ao, qio_coef=1.0e-4):
+               ai, hi, sst, sss, tair, qnet_ao, ti=None,
+               qio_coef=1.0e-4):
     """Reduced Mellor-Kantha / Semtner zero-layer thermodynamics
     (ice_mk.h condensed; full 3-layer enthalpy is a later round).
 
@@ -263,12 +269,34 @@ def ice_thermo(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
     rhoLi = icfg.rhoi * icfg.Li
     t_fr = freezing_point(sss)
 
-    # basal conduction through ice of thickness hi/ai (per unit ice
-    # area), zero-layer with T_sfc ~= tair
     h_eff = jnp.maximum(hi / jnp.maximum(ai, 0.01), icfg.hi_min)
-    cond = icfg.ki * (t_fr - tair) / h_eff
     # ocean->ice heat flux (McPhee-style exchange velocity qio_coef)
     qio = qio_coef * cfg.rho0 * 3985.0 * jnp.maximum(sst - t_fr, 0.0)
+
+    if icfg.prognostic_temp and ti is not None:
+        # Mellor-Kantha reduced: prognostic interior temperature with
+        # heat capacity (ice_mk.h ti equation, single interior layer).
+        # Surface temperature from the balance of conduction with a
+        # linearized atmospheric exchange, capped at melting:
+        #   c_cond (ti - ts) = c_atm (ts - tair)
+        c_cond = 2.0 * icfg.ki / h_eff
+        ts = (c_cond * ti + icfg.c_atm * tair) / (c_cond + icfg.c_atm)
+        ts = jnp.minimum(ts, 0.0)
+        # interior heat equation: rhoi ci (h/2) dti/dt =
+        #   c_cond (ts - ti) + c_cond (t_fr - ti)
+        cap = icfg.rhoi * icfg.ci * 0.5 * h_eff
+        ti_new = ti + dt / cap * c_cond * ((ts - ti) + (t_fr - ti))
+        ti_new = jnp.clip(ti_new, -40.0, 0.0)
+        # basal flux into the ice = conduction away from the bottom
+        cond = c_cond * (t_fr - ti_new)
+        # surface melt when the balance pins ts at melting
+        q_sfc_excess = jnp.maximum(
+            icfg.c_atm * (tair - ts) - c_cond * (ts - ti_new), 0.0)
+        cond = cond - q_sfc_excess
+    else:
+        # zero-layer limit (Semtner): conduction straight through
+        cond = icfg.ki * (t_fr - tair) / h_eff
+        ti_new = ti
 
     # growth rates (m/s of ice); conduction can melt from above when
     # the air is warm (cond < 0)
@@ -295,7 +323,7 @@ def ice_thermo(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
     # salinity: salt flux = (S - S_ice)*growth
     growth = (hi_new - hi) / dt                     # m/s ice
     sflx = growth * (sss - 5.0) * icfg.rhoi / cfg.rho0   # psu m/s
-    return ai_new, hi_new, sflx
+    return ai_new, hi_new, sflx, ti_new
 
 
 def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
@@ -336,10 +364,10 @@ def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
             length=icfg.nevp)
 
         ai, hi = ice_advect(cfg, icfg, grid, ice.ai, ice.hi, ui, vi)
-        ai, hi, sflx = ice_thermo(cfg, icfg, grid, ai, hi, sst, sss,
-                                  tair, qao)
+        ai, hi, sflx, ti = ice_thermo(cfg, icfg, grid, ai, hi, sst,
+                                      sss, tair, qao, ti=ice.ti)
         new = IceState(ai=ai, hi=hi, ui=ui, vi=vi,
-                       sxx=sxx, syy=syy, sxy=sxy)
+                       sxx=sxx, syy=syy, sxy=sxy, ti=ti)
 
         # ocean surface stress: open-water wind stress blended with
         # ice-ocean drag (ice_vbc.F)

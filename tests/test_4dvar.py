@@ -131,3 +131,26 @@ def test_quality_control_rejects_outliers():
     assert bool(reject[2]) and not bool(reject[0])
     assert float(obs_qc.error[2]) > 1.0e9
     assert float(obs_qc.error[0]) == 0.5
+
+
+def test_obs_file_roundtrip(tmp_path):
+    """s4dvar observation survey files: write -> read -> convert to
+    Observations feeds the solvers unchanged."""
+    import os
+    from roms_tpu.io.obs import (read_obs_file, to_observations,
+                                 write_obs_file)
+    n = 12
+    rng = np.random.default_rng(3)
+    X = rng.integers(1, 8, n).astype(float)
+    Y = rng.integers(1, 8, n).astype(float)
+    Z = np.full(n, 4.0)
+    vals = rng.standard_normal(n)
+    errs = np.full(n, 0.1)
+    path = os.path.join(tmp_path, "obs.nc")
+    write_obs_file(path, "temp", 3600.0, X, Y, Z, vals, errs)
+    data = read_obs_file(path)
+    assert (data["type"] == 6).all()
+    np.testing.assert_allclose(data["value"], vals)
+    obs = to_observations(data, "temp", step=3, dt=300.0)
+    assert obs.indices.shape == (n, 3)
+    np.testing.assert_allclose(np.asarray(obs.values), vals)

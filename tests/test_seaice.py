@@ -92,3 +92,38 @@ class TestSeaIce:
         _, wfr0 = seaice.ice_frazil(cfg, seaice.IceConfig(),
                                     jnp.asarray(t), Hz, z_r, rho)
         assert float(np.abs(np.asarray(wfr0)).max()) == 0.0
+
+
+class TestPrognosticTemp:
+    def test_interior_temperature_relaxes(self, setup):
+        """MK prognostic interior temperature: under cold air ti cools
+        toward the conductive equilibrium between tair and t_fr; warm
+        ice under cold air grows more slowly at first (heat capacity
+        lag) than the zero-layer limit."""
+        cfg, grid, s0 = setup
+        s_cold = _run(cfg, grid, s0, tair=-25.0, hi0=1.0)
+        ti = np.asarray(s_cold.ice.ti)
+        assert np.isfinite(ti).all()
+        # interior cooled from -5 toward the mean of surface/bottom
+        assert ti.mean() < -5.0
+        assert ti.min() >= -40.0
+
+    def test_zero_layer_limit_matches_flag_off(self, setup):
+        """prognostic_temp=False reproduces the original zero-layer
+        behavior (regression guard)."""
+        cfg, grid, s0 = setup
+        icfg = seaice.IceConfig(prognostic_temp=False)
+        shp = cfg.shape2d
+
+        def atm_fn(time):
+            return (jnp.full(shp, 5.0), jnp.zeros(shp),
+                    jnp.full(shp, -20.0), jnp.full(shp, -100.0))
+
+        s0i = s0._replace(ice=seaice.initial_ice(cfg, ai0=0.3,
+                                                 hi0=0.2))
+        m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg),
+                  ice_fn=seaice.make_ice_fn(cfg, icfg, grid, atm_fn))
+        s = m.run(s0i, 10)
+        assert np.isfinite(np.asarray(s.ice.hi)).all()
+        assert np.asarray(s.ice.hi).mean() > 0.2
