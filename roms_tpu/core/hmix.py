@@ -327,27 +327,30 @@ def t3dmix2_iso(cfg: ModelConfig, grid: Grid, t, t_part, Hz, z_r,
     if all(d == 0.0 for d in cfg.mixing.tnu2):
         return t_part
     dt = cfg.dt
-    # TS_MIX_MAX_SLOPE limiting (t3dmix2_iso.h:193, 304-310): the
-    # vertical density jump is floored by the max-slope bound plus a
-    # small backstop.  (The plain variant's eps=0.5 kg/m3 floor
-    # effectively disables rotation at typical stratifications, so the
-    # max-slope variant is the default here.)
+    # TS_MIX_MAX_SLOPE limiting (t3dmix2_iso.h:193, 304-310); see
+    # _iso_slope_ctx
+    ctx = _iso_slope_ctx(cfg, grid, z_r, pden)
+    out = []
+    for itrc in range(cfg.NT):
+        div = _rot_div_iso(cfg, grid, t[itrc], grid.diff2[itrc], Hz,
+                           ctx)
+        out.append(t_part[itrc] + dt * div)
+    return jnp.stack(out)
+
+
+def _iso_slope_ctx(cfg: ModelConfig, grid: Grid, z_r, pden):
+    """Shared isopycnal-direction quantities (gradients + limited
+    stratification factor), used by both iso operators."""
     eps_strat = 1.0e-14
     slope_max = 1.0e-4
-    pmn = grid.pm * grid.pn
     pm_u = 0.5 * (grid.pm + st.im1(grid.pm)) * grid.umask
     pn_v = 0.5 * (grid.pn + st.jm1(grid.pn)) * grid.vmask
-
-    Rx = pm_u * (pden - st.im1(pden))            # (N, Mj, Li) u pts
+    Rx = pm_u * (pden - st.im1(pden))
     Re = pn_v * (pden - st.jm1(pden))
     if cfg.bc.ew_periodic:
         Rx = st.periodic_x(Rx)
     if cfg.bc.ns_periodic:
         Re = st.periodic_y(Re)
-    # interface stratification factor cff = -1/max(drho, limits)
-    # (t3dmix2_iso.h:300-318, TS_MIX_MAX_SLOPE variant): the vertical
-    # density jump is floored by both eps and the max-slope bound
-    # 0.25*slope_max*dz*|grad_h rho|
     gradR = jnp.sqrt(Rx[1:] ** 2 + st.ip1(Rx)[1:] ** 2 +
                      Rx[:-1] ** 2 + st.ip1(Rx)[:-1] ** 2 +
                      Re[1:] ** 2 + st.jp1(Re)[1:] ** 2 +
@@ -356,65 +359,79 @@ def t3dmix2_iso(cfg: ModelConfig, grid: Grid, t, t_part, Hz, z_r,
     drho = jnp.maximum(jnp.maximum(pden[:-1] - pden[1:], eps_strat),
                        slope_floor)
     cffr = -1.0 / drho
-    Ffac_i = cffr * (z_r[1:] - z_r[:-1])         # FS preload -dz/drho
+    Ffac_i = cffr * (z_r[1:] - z_r[:-1])
     zz = jnp.zeros_like(cffr[:1])
+    return (pm_u, pn_v, Rx, Re, cffr, Ffac_i, zz)
 
+
+def _rot_div_iso(cfg: ModelConfig, grid: Grid, q, d2, Hz, ctx):
+    """Isopycnally-rotated flux divergence of one field, Hz-weighted
+    per unit time (t3dmix2_iso.h triad kernel)."""
+    pm_u, pn_v, Rx, Re, cffr, Ffac_i, zz = ctx
+    pmn = grid.pm * grid.pn
+    cff_u = 0.25 * (d2 + st.im1(d2)) * grid.on_u
+    cff_v = 0.25 * (d2 + st.jm1(d2)) * grid.om_v
+    Tx = pm_u * (q - st.im1(q))
+    Te = pn_v * (q - st.jm1(q))
+    if cfg.bc.ew_periodic:
+        Tx = st.periodic_x(Tx)
+    if cfg.bc.ns_periodic:
+        Te = st.periodic_y(Te)
+    D = jnp.concatenate([zz, cffr * (q[1:] - q[:-1]), zz], axis=0)
+
+    mxR = jnp.maximum(Rx, 0.0)
+    mnR = jnp.minimum(Rx, 0.0)
+    FX = cff_u * (Hz + st.im1(Hz)) * (
+        Tx - 0.5 * (mxR * (st.im1(D)[:-1] + D[1:])
+                    + mnR * (st.im1(D)[1:] + D[:-1])))
+    mxRe = jnp.maximum(Re, 0.0)
+    mnRe = jnp.minimum(Re, 0.0)
+    FE = cff_v * (Hz + st.jm1(Hz)) * (
+        Te - 0.5 * (mxRe * (st.jm1(D)[:-1] + D[1:])
+                    + mnRe * (st.jm1(D)[1:] + D[:-1])))
+    if cfg.bc.ew_periodic:
+        FX = st.periodic_x(FX)
+    if cfg.bc.ns_periodic:
+        FE = st.periodic_y(FE)
+
+    Dw = D[1:-1]
+    c1 = jnp.maximum(Rx[:-1], 0.0)
+    c2 = jnp.maximum(st.ip1(Rx)[1:], 0.0)
+    c3 = jnp.minimum(Rx[1:], 0.0)
+    c4 = jnp.minimum(st.ip1(Rx)[:-1], 0.0)
+    FS = (c1 * (c1 * Dw - Tx[:-1])
+          + c2 * (c2 * Dw - st.ip1(Tx)[1:])
+          + c3 * (c3 * Dw - Tx[1:])
+          + c4 * (c4 * Dw - st.ip1(Tx)[:-1]))
+    e1 = jnp.maximum(Re[:-1], 0.0)
+    e2 = jnp.maximum(st.jp1(Re)[1:], 0.0)
+    e3 = jnp.minimum(Re[1:], 0.0)
+    e4 = jnp.minimum(st.jp1(Re)[:-1], 0.0)
+    FS = FS + (e1 * (e1 * Dw - Te[:-1])
+               + e2 * (e2 * Dw - st.jp1(Te)[1:])
+               + e3 * (e3 * Dw - Te[1:])
+               + e4 * (e4 * Dw - st.jp1(Te)[:-1]))
+    FS = 0.5 * d2[None] * FS * Ffac_i
+    FSfull = jnp.concatenate([zz, FS, zz], axis=0)
+    return pmn * (st.dx_p(FX) + st.dy_p(FE)) + (FSfull[1:] - FSfull[:-1])
+
+
+def t3dmix4_iso(cfg: ModelConfig, grid: Grid, t, t_part, Hz, z_r,
+                pden):
+    """Biharmonic tracer mixing rotated along isopycnals
+    (t3dmix4_iso.h): the rotated harmonic triad applied twice with
+    sqrt(tnu4) each pass."""
+    if all(d == 0.0 for d in cfg.mixing.tnu4):
+        return t_part
+    dt = cfg.dt
+    ctx = _iso_slope_ctx(cfg, grid, z_r, pden)
     out = []
     for itrc in range(cfg.NT):
-        q = t[itrc]
-        d2 = grid.diff2[itrc]
-        cff_u = 0.25 * (d2 + st.im1(d2)) * grid.on_u
-        cff_v = 0.25 * (d2 + st.jm1(d2)) * grid.om_v
-        Tx = pm_u * (q - st.im1(q))
-        Te = pn_v * (q - st.jm1(q))
-        if cfg.bc.ew_periodic:
-            Tx = st.periodic_x(Tx)
-        if cfg.bc.ns_periodic:
-            Te = st.periodic_y(Te)
-        # dT/drho at interfaces, zero-padded top/bottom
-        D = jnp.concatenate([zz, cffr * (q[1:] - q[:-1]), zz], axis=0)
-
-        # horizontal fluxes (t3dmix2_iso.h:348-389); for positive Rx
-        # the triad pairs (i-1, lower) with (i, upper)
-        mxR = jnp.maximum(Rx, 0.0)
-        mnR = jnp.minimum(Rx, 0.0)
-        FX = cff_u * (Hz + st.im1(Hz)) * (
-            Tx - 0.5 * (mxR * (st.im1(D)[:-1] + D[1:])
-                        + mnR * (st.im1(D)[1:] + D[:-1])))
-        mxRe = jnp.maximum(Re, 0.0)
-        mnRe = jnp.minimum(Re, 0.0)
-        FE = cff_v * (Hz + st.jm1(Hz)) * (
-            Te - 0.5 * (mxRe * (st.jm1(D)[:-1] + D[1:])
-                        + mnRe * (st.jm1(D)[1:] + D[:-1])))
-        if cfg.bc.ew_periodic:
-            FX = st.periodic_x(FX)
-        if cfg.bc.ns_periodic:
-            FE = st.periodic_y(FE)
-
-        # vertical cross-flux at interior interfaces
-        # (t3dmix2_iso.h:391-419)
-        Dw = D[1:-1]                                  # (N-1,...)
-        c1 = jnp.maximum(Rx[:-1], 0.0)                # below, i
-        c2 = jnp.maximum(st.ip1(Rx)[1:], 0.0)         # above, i+1
-        c3 = jnp.minimum(Rx[1:], 0.0)                 # above, i
-        c4 = jnp.minimum(st.ip1(Rx)[:-1], 0.0)        # below, i+1
-        FS = (c1 * (c1 * Dw - Tx[:-1])
-              + c2 * (c2 * Dw - st.ip1(Tx)[1:])
-              + c3 * (c3 * Dw - Tx[1:])
-              + c4 * (c4 * Dw - st.ip1(Tx)[:-1]))
-        e1 = jnp.maximum(Re[:-1], 0.0)
-        e2 = jnp.maximum(st.jp1(Re)[1:], 0.0)
-        e3 = jnp.minimum(Re[1:], 0.0)
-        e4 = jnp.minimum(st.jp1(Re)[:-1], 0.0)
-        FS = FS + (e1 * (e1 * Dw - Te[:-1])
-                   + e2 * (e2 * Dw - st.jp1(Te)[1:])
-                   + e3 * (e3 * Dw - Te[1:])
-                   + e4 * (e4 * Dw - st.jp1(Te)[:-1]))
-        FS = 0.5 * d2[None] * FS * Ffac_i
-        FSfull = jnp.concatenate([zz, FS, zz], axis=0)
-
-        out.append(t_part[itrc] + dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
-                   + dt * (FSfull[1:] - FSfull[:-1]))
+        d4 = grid.diff4[itrc]
+        Lap = _rot_div_iso(cfg, grid, t[itrc], d4, Hz, ctx) / Hz
+        Lap = _lap_bc(cfg, cfg.bc.t, Lap)
+        out.append(t_part[itrc] - dt * _rot_div_iso(cfg, grid, Lap,
+                                                    d4, Hz, ctx))
     return jnp.stack(out)
 
 

@@ -189,7 +189,10 @@ class Model:
         else:
             t_part = hmix.t3dmix2_s(cfg, grid, state.t, t_part, Hz,
                                     diff3d_r=diff3d_r)
-        if cfg.mixing.mix_geo_ts:
+        if cfg.mixing.mix_iso_ts:
+            t_part = hmix.t3dmix4_iso(cfg, grid, state.t, t_part, Hz,
+                                      z_r, pden)
+        elif cfg.mixing.mix_geo_ts:
             t_part = hmix.t3dmix4_geo(cfg, grid, state.t, t_part, Hz,
                                       z_r)
         else:

@@ -82,3 +82,28 @@ def test_biharmonic_geo_runs_and_selective():
     dsig = np.abs(np.asarray(ss.t[0]) - np.asarray(s0s.t[0]))[2:-2].max()
     assert np.isfinite(np.asarray(sg.t[0])).all()
     assert dg < dsig, (dg, dsig)
+
+
+def test_biharmonic_iso_selective():
+    """t3dmix4_iso: rotated biharmonic leaves flat isopycnals nearly
+    untouched in the interior while the sigma biharmonic does not."""
+    import dataclasses
+    import numpy as np
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import idealized as ia
+
+    def run(iso):
+        cfg = ia.seamount_config()
+        cfg = cfg.replace(mixing=dataclasses.replace(
+            cfg.mixing, mix_iso_ts=iso, tnu4=(1.0e8, 1.0e8)))
+        grid = ia.seamount_grid(cfg)
+        s0 = ia.seamount_initial(cfg, grid)
+        m = Model(cfg, grid, ia.zero_forcing(cfg))
+        return s0, m.run(s0, 20)
+
+    s0i, si = run(True)
+    s0s, ss = run(False)
+    di = np.abs(np.asarray(si.t[0]) - np.asarray(s0i.t[0]))[2:-2].max()
+    ds = np.abs(np.asarray(ss.t[0]) - np.asarray(s0s.t[0]))[2:-2].max()
+    assert np.isfinite(np.asarray(si.t[0])).all()
+    assert di < 0.25 * ds, (di, ds)
