@@ -516,3 +516,287 @@ def make_hypoxia_hook(cfg: ModelConfig, grid: Grid, respiration,
         return hypoxia_srm(cfg, grid, t, Hz, respiration, uwind=uw,
                            vwind=jnp.zeros(shp))
     return hook
+
+
+# ===========================================================================
+# NEMURO lower-trophic ecosystem (Biology/nemuro.h, Kishi et al. 2007):
+# two phytoplankton (small/large) x three zooplankton (small/large/
+# predator) nitrogen-silicon model.  Tracer order after NAT:
+# (SPhy, LPhy, SZoo, LZoo, PZoo, NO3, NH4, PON, DON, SiOH4, Opal).
+# Grazing uses the HOLLING_GRAZING variant (squared Michaelis-Menten);
+# the Ivlev forms are alternative reference options.
+# ===========================================================================
+
+INM_PS, INM_PL, INM_ZS, INM_ZL, INM_ZP = range(5)
+INM_NO3, INM_NH4, INM_PON, INM_DON, INM_SIOH, INM_OPAL = range(5, 11)
+
+
+@dataclass(frozen=True)
+class NemuroConfig:
+    """nemuro.in defaults (ROMS/External/nemuro.in)."""
+    BioIter: int = 1
+    PARfrac: float = 0.43
+    AttSW: float = 0.04
+    AttPS: float = 0.04
+    AttPL: float = 0.04
+    AlphaPS: float = 0.01
+    AlphaPL: float = 0.01
+    BetaPS: float = 4.5e-4
+    BetaPL: float = 4.5e-4
+    VmaxS: float = 0.4
+    VmaxL: float = 0.8
+    KNO3S: float = 1.0
+    KNO3L: float = 3.0
+    KNH4S: float = 0.1
+    KNH4L: float = 0.3
+    KSiL: float = 6.0
+    PusaiS: float = 1.5
+    PusaiL: float = 1.5
+    KGppS: float = 6.93e-2
+    KGppL: float = 6.93e-2
+    ResPS0: float = 0.03
+    ResPL0: float = 0.03
+    KResPS: float = 0.0519
+    KResPL: float = 0.0519
+    GammaS: float = 0.135
+    GammaL: float = 0.135
+    MorPS0: float = 58.5e-3
+    MorPL0: float = 29.0e-3
+    KMorPS: float = 6.93e-2
+    KMorPL: float = 6.93e-2
+    GRmaxSps: float = 0.40
+    GRmaxLps: float = 0.10
+    GRmaxLpl: float = 0.40
+    GRmaxLzs: float = 0.40
+    GRmaxPpl: float = 0.20
+    GRmaxPzs: float = 0.20
+    GRmaxPzl: float = 0.20
+    KGraS: float = 6.93e-2
+    KGraL: float = 6.93e-2
+    KGraP: float = 6.93e-2
+    KPS2ZS: float = 0.16
+    KPS2ZL: float = 0.16
+    KPL2ZL: float = 0.16
+    KZS2ZL: float = 0.16
+    KPL2ZP: float = 0.16
+    KZS2ZP: float = 0.16
+    KZL2ZP: float = 0.16
+    PusaiPL: float = 4.605
+    PusaiZS: float = 3.010
+    MorZS0: float = 58.5e-3
+    MorZL0: float = 58.5e-3
+    MorZP0: float = 58.5e-3
+    KMorZS: float = 0.0693
+    KMorZL: float = 0.0693
+    KMorZP: float = 0.0693
+    AlphaZS: float = 0.70
+    AlphaZL: float = 0.70
+    AlphaZP: float = 0.70
+    BetaZS: float = 0.30
+    BetaZL: float = 0.30
+    BetaZP: float = 0.30
+    Nit0: float = 0.03
+    VP2N0: float = 0.10
+    VP2D0: float = 0.10
+    VD2N0: float = 0.20
+    VO2S0: float = 0.10
+    KNit: float = 6.93e-2
+    KP2D: float = 6.93e-2
+    KP2N: float = 6.93e-2
+    KD2N: float = 6.93e-2
+    KO2S: float = 6.93e-2
+    RSiN: float = 2.0
+    setVPON: float = 40.0      # m/day
+    setVOpal: float = 40.0
+    MinVal: float = 1.0e-6
+
+
+def nemuro(cfg: ModelConfig, bio: NemuroConfig, grid: Grid, t, Hz,
+           z_w, srflx):
+    """One dt of NEMURO source/sink terms (nemuro.h:330-830); returns
+    the tracer increment stack."""
+    nb = cfg.NAT
+    dtdays = cfg.dt * constants.sec2day / max(bio.BioIter, 1)
+    temp = t[0]
+    f0 = [jnp.maximum(t[nb + i], bio.MinVal) for i in range(11)]
+    PS, PL, ZS, ZL, ZP, NO3, NH4, PON, DON, SiOH, Opal = f0
+    PARsur = bio.PARfrac * srflx * cfg.rho0 * constants.Cp
+
+    for _ in range(max(bio.BioIter, 1)):
+        # ---- light with photoinhibition (nemuro.h:330-360):
+        # half-layer staggered attenuation by both phyto groups
+        dz = 0.5 * (z_w[1:] - z_w[:-1])
+        kapS = bio.AttSW + bio.AttPS * (PS + PL)
+        kapL = bio.AttSW + bio.AttPL * (PS + PL)
+        attS_half = jnp.exp(-kapS * dz)
+        attL_half = jnp.exp(-kapL * dz)
+        # cumulative attenuation from the surface down to mid-level
+        cumS = jnp.cumprod((attS_half ** 2)[::-1], axis=0)[::-1]
+        cumL = jnp.cumprod((attL_half ** 2)[::-1], axis=0)[::-1]
+        IS = PARsur[None] * cumS / attS_half
+        IL = PARsur[None] * cumL / attL_half
+        day = PARsur[None] > 0.0
+        LightS = jnp.where(day, (1.0 - jnp.exp(-bio.AlphaPS * IS))
+                           * jnp.exp(-bio.BetaPS * IS), 0.0)
+        LightL = jnp.where(day, (1.0 - jnp.exp(-bio.AlphaPL * IL))
+                           * jnp.exp(-bio.BetaPL * IL), 0.0)
+
+        # ---- small phyto production/respiration/excretion ------------
+        cff1 = dtdays * bio.VmaxS * jnp.exp(bio.KGppS * temp) * \
+            LightS * PS
+        cff2 = cff1 * jnp.exp(-bio.PusaiS * NH4) / (bio.KNO3S + NO3)
+        cff3 = cff1 / (bio.KNH4S + NH4)
+        NO3 = NO3 / (1.0 + cff2)
+        NH4 = NH4 / (1.0 + cff3)
+        GppNPS = NO3 * cff2
+        GppAPS = NH4 * cff3
+        GppPS = GppNPS + GppAPS
+        PS = PS + GppPS
+        RnewS = GppNPS / jnp.maximum(bio.MinVal, GppPS)
+        cff4 = dtdays * bio.ResPS0 * jnp.exp(bio.KResPS * temp)
+        PS = PS / (1.0 + cff4)
+        ResPS = PS * cff4
+        NO3 = NO3 + ResPS * RnewS
+        NH4 = NH4 + ResPS * (1.0 - RnewS)
+        ExcPS = GppPS * bio.GammaS
+        PS = PS - ExcPS
+        DON = DON + ExcPS
+
+        # ---- large phyto with Si limitation (nemuro.h:385-425) -------
+        cff1 = dtdays * bio.VmaxL * jnp.exp(bio.KGppL * temp) * \
+            LightL * PL
+        cff2 = jnp.exp(-bio.PusaiL * NH4) / (bio.KNO3L + NO3)
+        cff3 = 1.0 / (bio.KNH4L + NH4)
+        c4 = cff2 * NO3
+        c5 = cff3 * NH4
+        c6 = SiOH / (bio.KSiL + SiOH)
+        c7 = c6 / jnp.maximum(bio.MinVal, c4 + c5)
+        cff4 = cff1 * cff2 * jnp.minimum(1.0, c7)
+        cff5 = cff1 * cff3 * jnp.minimum(1.0, c7)
+        NO3 = NO3 / (1.0 + cff4)
+        NH4 = NH4 / (1.0 + cff5)
+        GppNPL = NO3 * cff4
+        GppAPL = NH4 * cff5
+        GppPL = GppNPL + GppAPL
+        PL = PL + GppPL
+        SiOH = SiOH - GppPL * bio.RSiN
+        RnewL = GppNPL / jnp.maximum(bio.MinVal, GppPL)
+        cff7 = dtdays * bio.ResPL0 * jnp.exp(bio.KResPL * temp)
+        PL = PL / (1.0 + cff7)
+        ResPL = PL * cff7
+        NO3 = NO3 + ResPL * RnewL
+        NH4 = NH4 + ResPL * (1.0 - RnewL)
+        SiOH = SiOH + ResPL * bio.RSiN
+        ExcPL = GppPL * bio.GammaL
+        PL = PL - ExcPL
+        DON = DON + ExcPL
+        SiOH = SiOH + ExcPL * bio.RSiN
+
+        # ---- phyto mortality (nemuro.h:427-443) ----------------------
+        cm1 = dtdays * bio.MorPS0 * PS * jnp.exp(bio.KMorPS * temp)
+        cm2 = dtdays * bio.MorPL0 * PL * jnp.exp(bio.KMorPL * temp)
+        PS = PS / (1.0 + cm1)
+        PL = PL / (1.0 + cm2)
+        MorPS = PS * cm1
+        MorPL = PL * cm2
+        PON = PON + MorPS + MorPL
+        Opal = Opal + MorPL * bio.RSiN
+
+        # ---- grazing web, Holling MM^2 (nemuro.h:560-700) ------------
+        tS = jnp.exp(bio.KGraS * temp)
+        tL = jnp.exp(bio.KGraL * temp)
+        tP = jnp.exp(bio.KGraP * temp)
+
+        def graze(prey, pred, gmax, K, tfac, extra=1.0):
+            cff = dtdays * gmax * tfac * extra * pred * prey / \
+                (K + prey * prey)
+            prey_new = prey / (1.0 + cff)
+            return prey_new, cff * prey_new
+
+        PS, GraPS2ZS = graze(PS, ZS, bio.GRmaxSps, bio.KPS2ZS, tS)
+        ZS = ZS + GraPS2ZS
+        PS, GraPS2ZL = graze(PS, ZL, bio.GRmaxLps, bio.KPS2ZL, tL)
+        ZL = ZL + GraPS2ZL
+        PL, GraPL2ZL = graze(PL, ZL, bio.GRmaxLpl, bio.KPL2ZL, tL)
+        ZL = ZL + GraPL2ZL
+        ZS, GraZS2ZL = graze(ZS, ZL, bio.GRmaxLzs, bio.KZS2ZL, tL)
+        ZL = ZL + GraZS2ZL
+        inhPL = jnp.exp(-bio.PusaiPL * (ZL + ZS))
+        PL, GraPL2ZP = graze(PL, ZP, bio.GRmaxPpl, bio.KPL2ZP, tP,
+                             inhPL)
+        ZP = ZP + GraPL2ZP
+        inhZS = jnp.exp(-bio.PusaiZS * ZL)
+        ZS, GraZS2ZP = graze(ZS, ZP, bio.GRmaxPzs, bio.KZS2ZP, tP,
+                             inhZS)
+        ZP = ZP + GraZS2ZP
+        ZL, GraZL2ZP = graze(ZL, ZP, bio.GRmaxPzl, bio.KZL2ZP, tP)
+        ZP = ZP + GraZL2ZP
+
+        # egestion + excretion (nemuro.h:700-740)
+        EgeZS = (1.0 - bio.AlphaZS) * GraPS2ZS
+        EgeZL = (1.0 - bio.AlphaZL) * (GraPS2ZL + GraPL2ZL + GraZS2ZL)
+        EgeZP = (1.0 - bio.AlphaZP) * (GraPL2ZP + GraZS2ZP + GraZL2ZP)
+        ZS = ZS - EgeZS
+        ZL = ZL - EgeZL
+        ZP = ZP - EgeZP
+        PON = PON + EgeZS + EgeZL + EgeZP
+        Opal = Opal + (GraPL2ZL + GraPL2ZP) * bio.RSiN
+        ExcZS = (bio.AlphaZS - bio.BetaZS) * GraPS2ZS
+        ExcZL = (bio.AlphaZL - bio.BetaZL) * \
+            (GraPS2ZL + GraPL2ZL + GraZS2ZL)
+        ExcZP = (bio.AlphaZP - bio.BetaZP) * \
+            (GraPL2ZP + GraZS2ZP + GraZL2ZP)
+        ZS = ZS - ExcZS
+        ZL = ZL - ExcZL
+        ZP = ZP - ExcZP
+        NH4 = NH4 + ExcZS + ExcZL + ExcZP
+
+        # zooplankton mortality (nemuro.h:742-760)
+        cz1 = dtdays * bio.MorZS0 * ZS * jnp.exp(bio.KMorZS * temp)
+        cz2 = dtdays * bio.MorZL0 * ZL * jnp.exp(bio.KMorZL * temp)
+        cz3 = dtdays * bio.MorZP0 * ZP * jnp.exp(bio.KMorZP * temp)
+        ZS = ZS / (1.0 + cz1)
+        ZL = ZL / (1.0 + cz2)
+        ZP = ZP / (1.0 + cz3)
+        PON = PON + ZS * cz1 + ZL * cz2 + ZP * cz3
+
+        # remineralization chain (nemuro.h:779-806)
+        c1 = dtdays * bio.Nit0 * jnp.exp(bio.KNit * temp)
+        NH4 = NH4 / (1.0 + c1)
+        NO3 = NO3 + NH4 * c1
+        c2 = dtdays * bio.VP2N0 * jnp.exp(bio.KP2N * temp)
+        PON = PON / (1.0 + c2)
+        NH4 = NH4 + PON * c2
+        c3 = dtdays * bio.VP2D0 * jnp.exp(bio.KP2D * temp)
+        PON = PON / (1.0 + c3)
+        DON = DON + PON * c3
+        c4 = dtdays * bio.VD2N0 * jnp.exp(bio.KD2N * temp)
+        DON = DON / (1.0 + c4)
+        NH4 = NH4 + DON * c4
+        c5 = dtdays * bio.VO2S0 * jnp.exp(bio.KO2S * temp)
+        Opal = Opal / (1.0 + c5)
+        SiOH = SiOH + Opal * c5
+
+        # sinking of PON and Opal (upwind, CFL-limited)
+        def sink(q, w_mday):
+            w = w_mday / 86400.0 * cfg.dt / max(bio.BioIter, 1)
+            flux = jnp.minimum(w, 0.9 * Hz[1:]) * q[1:]
+            dq = jnp.concatenate([flux, jnp.zeros_like(q[:1])],
+                                 axis=0) - \
+                jnp.concatenate([jnp.zeros_like(q[:1]), flux], axis=0)
+            return q + dq / Hz
+
+        PON = sink(PON, bio.setVPON)
+        Opal = sink(Opal, bio.setVOpal)
+
+    inc = jnp.zeros_like(t)
+    for i, (new, old) in enumerate(zip(
+            (PS, PL, ZS, ZL, ZP, NO3, NH4, PON, DON, SiOH, Opal), f0)):
+        inc = inc.at[nb + i].set(new - old)
+    return inc
+
+
+def make_nemuro_hook(cfg: ModelConfig, bio: NemuroConfig, grid: Grid):
+    def hook(t, Hz, z_w, forcing):
+        return nemuro(cfg, bio, grid, t, Hz, z_w, forcing.srflx)
+    return hook

@@ -215,3 +215,49 @@ def test_hypoxia_srm_depletes_and_reaerates():
     np.testing.assert_allclose(dO[5], expect, rtol=1e-6)
     # surface: gas influx offsets some of the depletion (undersaturated)
     assert dO[-1].mean() > expect
+
+
+def test_nemuro_nitrogen_and_silicon_budgets():
+    """NEMURO: the nitrogen pool (PS+PL+ZS+ZL+ZP+NO3+NH4+PON+DON) and
+    the silicon pool (SiOH4 + Opal + RSiN*PL) are separately conserved
+    by the source/sink terms (sinking redistributes within columns)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu.core import biology as bio_mod
+    from roms_tpu.functionals import upwelling
+    from roms_tpu.grid.depth import set_depth
+
+    cfg = upwelling.make_config(dtype="float64").replace(NT=2 + 11)
+    bio = bio_mod.NemuroConfig()
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    z_r, z_w, Hz = set_depth(grid, s0.zeta)
+    shp = np.asarray(s0.t[0]).shape
+    t = np.zeros((cfg.NT,) + shp)
+    t[0] = np.asarray(s0.t[0]); t[1] = 35.0
+    nb = 2
+    t[nb + bio_mod.INM_PS] = 0.2
+    t[nb + bio_mod.INM_PL] = 0.1
+    t[nb + bio_mod.INM_ZS] = 0.05
+    t[nb + bio_mod.INM_ZL] = 0.05
+    t[nb + bio_mod.INM_ZP] = 0.02
+    t[nb + bio_mod.INM_NO3] = 5.0
+    t[nb + bio_mod.INM_NH4] = 0.3
+    t[nb + bio_mod.INM_PON] = 0.1
+    t[nb + bio_mod.INM_DON] = 0.1
+    t[nb + bio_mod.INM_SIOH] = 10.0
+    t[nb + bio_mod.INM_OPAL] = 0.1
+    tj = jnp.asarray(t)
+    srflx = jnp.full(shp[1:], 300.0 / (1025 * 3985))
+    from roms_tpu.core.state import Forcing
+    inc = bio_mod.nemuro(cfg, bio, grid, tj, Hz, z_w, srflx)
+
+    HzN = Hz[None]
+    dN = np.asarray(sum(inc[nb + i] for i in range(9)) * Hz)
+    assert np.abs(dN.sum(axis=0)).max() < 1e-10      # N conserved
+    dSi = np.asarray((inc[nb + bio_mod.INM_SIOH]
+                      + inc[nb + bio_mod.INM_OPAL]
+                      + bio.RSiN * inc[nb + bio_mod.INM_PL]) * Hz)
+    assert np.abs(dSi.sum(axis=0)).max() < 1e-10     # Si conserved
+    # production happened in the lit surface layer
+    assert float(np.asarray(inc[nb + bio_mod.INM_PS])[-1].mean()) > 0.0
