@@ -149,6 +149,9 @@ class MixingConfig:
     mix_geo_ts: bool = False
     # Rotate along isopycnals instead (MIX_ISO_TS, t3dmix2_iso.h)
     mix_iso_ts: bool = False
+    # Rotate harmonic momentum viscosity along geopotentials
+    # (MIX_GEO_UV, uv3dmix2_geo.h)
+    mix_geo_uv: bool = False
     # Smagorinsky deformation-dependent horizontal mixing
     # (UV_SMAGORINSKY / TS_SMAGORINSKY, hmixing.F)
     smagorinsky: bool = False

@@ -459,3 +459,227 @@ def smagorinsky_coef(cfg: ModelConfig, grid: Grid, u, v):
     visc3d = cfg.mixing.visc2 + add
     diff3d = cfg.mixing.tnu2[0] + add
     return visc3d * grid.rmask[None], diff3d * grid.rmask[None]
+
+
+def uv3dmix2_geo(cfg: ModelConfig, grid: Grid, u, v, u_part, v_part,
+                 Hz, z_r, rufrc, rvfrc, visc3d_r=None):
+    """Harmonic momentum viscosity rotated along geopotential surfaces
+    (uv3dmix2_geo.h): tension stress at rho points, shear stress at
+    psi points, each with the min/max slope-triad correction of the
+    lateral gradients by the vertical shear, plus the vertical
+    cross-flux terms UFs/VFs closing the rotation.
+
+    Follows the reference k1/k2 ring resolved into whole-array level
+    (N,...) and interface (N+1,...) tensors.  Returns updated
+    (u_part, v_part, rufrc, rvfrc) with u_part/v_part Hz-weighted.
+    """
+    if cfg.mixing.visc2 == 0.0 and visc3d_r is None:
+        return u_part, v_part, rufrc, rvfrc
+    dt = cfg.dt
+    pm, pn = grid.pm, grid.pn
+    N = u.shape[0]
+
+    def px(q):
+        return st.periodic_x(q) if cfg.bc.ew_periodic else q
+
+    def py(q):
+        return st.periodic_y(q) if cfg.bc.ns_periodic else q
+
+    # ---- level-centred lateral gradients (uv3dmix2_geo.h:280-392) ------
+    dZdx_u = px(0.5 * (pm + st.im1(pm))[None] * st.dx_m(z_r)
+                * grid.umask[None])
+    dZde_v = py(0.5 * (pn + st.jm1(pn))[None] * st.dy_m(z_r)
+                * grid.vmask[None])
+    dZdx_p = 0.5 * (st.jm1(dZdx_u) + dZdx_u)
+    dZde_p = 0.5 * (st.im1(dZde_v) + dZde_v)
+    dZdx_r = 0.5 * (dZdx_u + st.ip1(dZdx_u))
+    dZde_r = 0.5 * (dZde_v + st.jp1(dZde_v))
+
+    pnu = (pn + st.im1(pn))[None]
+    pmu = (pm + st.im1(pm))[None]
+    pnv = (pn + st.jm1(pn))[None]
+    pmv = (pm + st.jm1(pm))[None]
+    dnUdx = 0.5 * pm[None] * st.dx_p(px(pnu * u)) * grid.rmask[None]
+    dmVde = 0.5 * pn[None] * st.dy_p(py(pmv * v)) * grid.rmask[None]
+    pn4 = 0.125 * (pn + st.im1(pn) + st.jm1(pn)
+                   + st.im1(st.jm1(pn)))[None]
+    pm4 = 0.125 * (pm + st.im1(pm) + st.jm1(pm)
+                   + st.im1(st.jm1(pm)))[None]
+    dmUde = pn4 * st.dy_m(px(pmu * u)) * grid.pmask[None]
+    dnVdx = pm4 * st.dx_m(py(pnv * v)) * grid.pmask[None]
+
+    # ---- interface vertical shears, zero top/bottom (:420-455) ---------
+    dz_u = 0.5 * ((z_r[1:] - z_r[:-1]) + st.im1(z_r[1:] - z_r[:-1]))
+    dz_v = 0.5 * ((z_r[1:] - z_r[:-1]) + st.jm1(z_r[1:] - z_r[:-1]))
+    z0u = jnp.zeros_like(u[:1])
+    z0v = jnp.zeros_like(v[:1])
+    dUdz = jnp.concatenate([z0u, (u[1:] - u[:-1]) / dz_u, z0u], axis=0)
+    dVdz = jnp.concatenate([z0v, (v[1:] - v[:-1]) / dz_v, z0v], axis=0)
+
+    if visc3d_r is not None:
+        visc_r = visc3d_r
+        visc_p = 0.25 * (visc_r + st.im1(visc_r) + st.jm1(visc_r)
+                         + st.im1(st.jm1(visc_r)))
+    else:
+        visc_r = grid.visc2_r[None] * jnp.ones_like(Hz)
+        visc_p = grid.visc2_p[None] * jnp.ones_like(Hz)
+
+    # ---- horizontal stress fluxes per layer (:456-535) -----------------
+    mnZxr = jnp.minimum(dZdx_r, 0.0)
+    mxZxr = jnp.maximum(dZdx_r, 0.0)
+    mnZer = jnp.minimum(dZde_r, 0.0)
+    mxZer = jnp.maximum(dZde_r, 0.0)
+    cff_r = Hz * (
+        grid.on_r[None] * (dnUdx - 0.5 * pn[None] * (
+            mnZxr * (dUdz[:-1] + st.ip1(dUdz[1:]))
+            + mxZxr * (dUdz[1:] + st.ip1(dUdz[:-1]))))
+        - grid.om_r[None] * (dmVde - 0.5 * pm[None] * (
+            mnZer * (dVdz[:-1] + st.jp1(dVdz[1:]))
+            + mxZer * (dVdz[1:] + st.jp1(dVdz[:-1]))))) * \
+        grid.rmask[None]
+    UFx = grid.on_r[None] ** 2 * visc_r * cff_r
+    VFe = grid.om_r[None] ** 2 * visc_r * cff_r
+
+    mnZxp = jnp.minimum(dZdx_p, 0.0)
+    mxZxp = jnp.maximum(dZdx_p, 0.0)
+    mnZep = jnp.minimum(dZde_p, 0.0)
+    mxZep = jnp.maximum(dZde_p, 0.0)
+    pm_p = 2.0 * pm4          # 0.25*(4-point sum), uv3dmix2_geo.h:495
+    pn_p = 2.0 * pn4
+    Hz_p = 0.25 * (Hz + st.im1(Hz) + st.jm1(Hz) + st.im1(st.jm1(Hz)))
+    cff_p = Hz_p * (
+        grid.on_p[None] * (dnVdx - 0.5 * pn_p * (
+            mnZxp * (st.im1(dVdz)[:-1] + dVdz[1:])
+            + mxZxp * (st.im1(dVdz)[1:] + dVdz[:-1])))
+        + grid.om_p[None] * (dmUde - 0.5 * pm_p * (
+            mnZep * (st.jm1(dUdz)[:-1] + dUdz[1:])
+            + mxZep * (st.jm1(dUdz)[1:] + dUdz[:-1])))) * \
+        grid.pmask[None]
+    UFe = grid.om_p[None] ** 2 * visc_p * cff_p
+    VFx = grid.on_p[None] ** 2 * visc_p * cff_p
+    UFx, VFe = px(py(UFx)), px(py(VFe))
+    UFe, VFx = px(py(UFe)), px(py(VFx))
+
+    # ---- vertical cross-fluxes at interior interfaces (:536-700) -------
+    visc_iu = 0.5 * (visc_r + st.im1(visc_r))
+    visc_iv = 0.5 * (visc_r + st.jm1(visc_r))
+    fac1u = 0.5 * (visc_iu[:-1] + visc_iu[1:]) * grid.on_u[None]
+    fac2u = 0.5 * (visc_iu[:-1] + visc_iu[1:]) * grid.om_u[None]
+    fac1v = 0.5 * (visc_iv[:-1] + visc_iv[1:]) * grid.on_v[None]
+    fac2v = 0.5 * (visc_iv[:-1] + visc_iv[1:]) * grid.om_v[None]
+
+    dUdz_i = dUdz[1:-1]                          # (N-1,...) interfaces
+    dVdz_i = dVdz[1:-1]
+    dVdz_at_u = 0.25 * (st.im1(st.jp1(dVdz_i)) + st.jp1(dVdz_i)
+                        + st.im1(dVdz_i) + dVdz_i)
+    dUdz_at_v = 0.25 * (dUdz_i + st.ip1(dUdz_i) + st.jm1(dUdz_i)
+                        + st.jm1(st.ip1(dUdz_i)))
+    dnUdz = 0.5 * pnu * dUdz_i
+    dnVdz_u = 0.5 * pnu * dVdz_at_u
+    dmUdz = 0.5 * pmu * dUdz_i
+    dmVdz_u = 0.5 * pmu * dVdz_at_u
+    dnUdz_v = 0.5 * pnv * dUdz_at_v
+    dnVdz = 0.5 * pnv * dVdz_i
+    dmUdz_v = 0.5 * pmv * dUdz_at_v
+    dmVdz = 0.5 * pmv * dVdz_i
+
+    def lo(q):      # level below interface w (w=1..N-1) -> q[:-1]
+        return q[:-1]
+
+    def hi(q):      # level above
+        return q[1:]
+
+    # UFsx: x-slope triads at u points (uv3dmix2_geo.h:565-604)
+    c1 = jnp.minimum(st.im1(lo(dZdx_r)), 0.0)
+    c2 = jnp.minimum(hi(dZdx_r), 0.0)
+    c3 = jnp.maximum(st.im1(hi(dZdx_r)), 0.0)
+    c4 = jnp.maximum(lo(dZdx_r), 0.0)
+    UFsx = fac1u * (c1 * (c1 * dnUdz - st.im1(lo(dnUdx)))
+                    + c2 * (c2 * dnUdz - hi(dnUdx))
+                    + c3 * (c3 * dnUdz - st.im1(hi(dnUdx)))
+                    + c4 * (c4 * dnUdz - lo(dnUdx)))
+    e1 = jnp.minimum(lo(dZde_p), 0.0)
+    e2 = jnp.minimum(st.jp1(hi(dZde_p)), 0.0)
+    e3 = jnp.maximum(hi(dZde_p), 0.0)
+    e4 = jnp.maximum(st.jp1(lo(dZde_p)), 0.0)
+    UFse = fac2u * (e1 * (e1 * dmUdz - lo(dmUde))
+                    + e2 * (e2 * dmUdz - st.jp1(hi(dmUde)))
+                    + e3 * (e3 * dmUdz - hi(dmUde))
+                    + e4 * (e4 * dmUdz - st.jp1(lo(dmUde))))
+    f5 = jnp.minimum(lo(dZdx_p), 0.0)
+    f6 = jnp.minimum(st.jp1(hi(dZdx_p)), 0.0)
+    f7 = jnp.maximum(hi(dZdx_p), 0.0)
+    f8 = jnp.maximum(st.jp1(lo(dZdx_p)), 0.0)
+    UFsx = UFsx + fac1u * (e1 * (f5 * dnVdz_u - lo(dnVdx))
+                           + e2 * (f6 * dnVdz_u - st.jp1(hi(dnVdx)))
+                           + e3 * (f7 * dnVdz_u - hi(dnVdx))
+                           + e4 * (f8 * dnVdz_u - st.jp1(lo(dnVdx))))
+    g5 = jnp.minimum(st.im1(lo(dZde_r)), 0.0)
+    g6 = jnp.minimum(hi(dZde_r), 0.0)
+    g7 = jnp.maximum(st.im1(hi(dZde_r)), 0.0)
+    g8 = jnp.maximum(lo(dZde_r), 0.0)
+    UFse = UFse - fac2u * (c1 * (g5 * dmVdz_u - st.im1(lo(dmVde)))
+                           + c2 * (g6 * dmVdz_u - hi(dmVde))
+                           + c3 * (g7 * dmVdz_u - st.im1(hi(dmVde)))
+                           + c4 * (g8 * dmVdz_u - lo(dmVde)))
+
+    # VFsx/VFse at v points (:622-700)
+    a1 = jnp.minimum(lo(dZdx_p), 0.0)
+    a2 = jnp.minimum(st.ip1(hi(dZdx_p)), 0.0)
+    a3 = jnp.maximum(hi(dZdx_p), 0.0)
+    a4 = jnp.maximum(st.ip1(lo(dZdx_p)), 0.0)
+    VFsx = fac1v * (a1 * (a1 * dnVdz - lo(dnVdx))
+                    + a2 * (a2 * dnVdz - st.ip1(hi(dnVdx)))
+                    + a3 * (a3 * dnVdz - hi(dnVdx))
+                    + a4 * (a4 * dnVdz - st.ip1(lo(dnVdx))))
+    b1 = jnp.minimum(st.jm1(lo(dZde_r)), 0.0)
+    b2 = jnp.minimum(hi(dZde_r), 0.0)
+    b3 = jnp.maximum(st.jm1(hi(dZde_r)), 0.0)
+    b4 = jnp.maximum(lo(dZde_r), 0.0)
+    VFse = fac2v * (b1 * (b1 * dmVdz - st.jm1(lo(dmVde)))
+                    + b2 * (b2 * dmVdz - hi(dmVde))
+                    + b3 * (b3 * dmVdz - st.jm1(hi(dmVde)))
+                    + b4 * (b4 * dmVdz - lo(dmVde)))
+    h5 = jnp.minimum(st.jm1(lo(dZdx_r)), 0.0)
+    h6 = jnp.minimum(hi(dZdx_r), 0.0)
+    h7 = jnp.maximum(st.jm1(hi(dZdx_r)), 0.0)
+    h8 = jnp.maximum(lo(dZdx_r), 0.0)
+    VFsx = VFsx - fac1v * (b1 * (h5 * dnUdz_v - st.jm1(lo(dnUdx)))
+                           + b2 * (h6 * dnUdz_v - hi(dnUdx))
+                           + b3 * (h7 * dnUdz_v - st.jm1(hi(dnUdx)))
+                           + b4 * (h8 * dnUdz_v - lo(dnUdx)))
+    k5 = jnp.minimum(lo(dZde_p), 0.0)
+    k6 = jnp.minimum(st.ip1(hi(dZde_p)), 0.0)
+    k7 = jnp.maximum(hi(dZde_p), 0.0)
+    k8 = jnp.maximum(st.ip1(lo(dZde_p)), 0.0)
+    VFse = VFse + fac2v * (a1 * (k5 * dmUdz_v - lo(dmUde))
+                           + a2 * (k6 * dmUdz_v - st.ip1(hi(dmUde)))
+                           + a3 * (k7 * dmUdz_v - hi(dmUde))
+                           + a4 * (k8 * dmUdz_v - st.ip1(lo(dmUde))))
+
+    z0u2 = jnp.zeros_like(UFsx[:1])
+    z0v2 = jnp.zeros_like(VFsx[:1])
+    UFsx = jnp.concatenate([z0u2, UFsx, z0u2], axis=0)
+    UFse = jnp.concatenate([z0u2, UFse, z0u2], axis=0)
+    VFsx = jnp.concatenate([z0v2, VFsx, z0v2], axis=0)
+    VFse = jnp.concatenate([z0v2, VFse, z0v2], axis=0)
+
+    # ---- time-step the stress divergence (:702-760) --------------------
+    cff1u = 0.5 * pnu * st.dx_m(UFx)
+    cff2u = 0.5 * pmu * st.dy_p(UFe)
+    cff3u = UFsx[1:] - UFsx[:-1]
+    cff4u = UFse[1:] - UFse[:-1]
+    pmn_u = 0.25 * pmu * pnu
+    u_part = u_part + dt * pmn_u * (cff1u + cff2u) \
+        + dt * (cff3u + cff4u)
+    rufrc = rufrc + jnp.sum(cff1u + cff2u + cff3u + cff4u, axis=0)
+
+    cff1v = 0.5 * pnv * st.dx_p(VFx)
+    cff2v = 0.5 * pmv * st.dy_m(VFe)
+    cff3v = VFsx[1:] - VFsx[:-1]
+    cff4v = VFse[1:] - VFse[:-1]
+    pmn_v = 0.25 * pmv * pnv
+    v_part = v_part + dt * pmn_v * (cff1v - cff2v) \
+        + dt * (cff3v + cff4v)
+    rvfrc = rvfrc + jnp.sum(cff1v - cff2v + cff3v + cff4v, axis=0)
+    return u_part, v_part, rufrc, rvfrc

@@ -222,9 +222,14 @@ class Model:
                                             state.v, Hz, ru, rv)
         rufrc, rvfrc = rhs3d.integrate_rufrc(cfg, grid, ru, rv, forcing,
                                              bustr, bvstr)
-        u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_s(
-            cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc,
-            rvfrc, visc3d_r=visc3d_r)
+        if cfg.mixing.mix_geo_uv:
+            u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_geo(
+                cfg, grid, state.u, state.v, u_part, v_part, Hz, z_r,
+                rufrc, rvfrc, visc3d_r=visc3d_r)
+        else:
+            u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_s(
+                cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc,
+                rvfrc, visc3d_r=visc3d_r)
         u_part, v_part, rufrc, rvfrc = hmix.uv3dmix4_s(
             cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc, rvfrc)
         if use_gls:

@@ -107,3 +107,39 @@ def test_biharmonic_iso_selective():
     ds = np.abs(np.asarray(ss.t[0]) - np.asarray(s0s.t[0]))[2:-2].max()
     assert np.isfinite(np.asarray(si.t[0])).all()
     assert di < 0.25 * ds, (di, ds)
+
+
+def test_uv3dmix2_geo():
+    """Rotated momentum viscosity (uv3dmix2_geo.h): agrees with the
+    along-s operator in the small-slope limit and stays stable over
+    steep topography."""
+    import dataclasses
+    import numpy as np
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import idealized as ia, upwelling
+
+    # small-slope limit: UPWELLING (gentle y-slope only)
+    def run_up(geo):
+        cfg = upwelling.make_config(dtype="float64")
+        cfg = cfg.replace(mixing=dataclasses.replace(
+            cfg.mixing, mix_geo_uv=geo))
+        grid = upwelling.make_grid(cfg)
+        m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg))
+        return m.run(upwelling.make_initial(cfg, grid), 20)
+
+    sg = run_up(True)
+    ss = run_up(False)
+    d = np.abs(np.asarray(sg.u) - np.asarray(ss.u)).max()
+    ref = np.abs(np.asarray(ss.u)).max()
+    assert d < 0.01 * ref, (d, ref)
+
+    # steep-slope stability: SEAMOUNT with strong viscosity
+    cfg = ia.seamount_config()
+    cfg = cfg.replace(mixing=dataclasses.replace(
+        cfg.mixing, mix_geo_uv=True, visc2=200.0))
+    grid = ia.seamount_grid(cfg)
+    m = Model(cfg, grid, ia.zero_forcing(cfg))
+    s = m.run(ia.seamount_initial(cfg, grid), 30)
+    assert np.isfinite(np.asarray(s.u)).all()
+    assert np.abs(np.asarray(s.u)).max() < 0.05
