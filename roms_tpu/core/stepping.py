@@ -84,7 +84,8 @@ class Model:
         return self.step_impl(state, grid)
 
     def step_impl(self, state: State, grid: Optional[Grid] = None,
-                  collect_diag: bool = False, obc_data=None):
+                  collect_diag: bool = False, obc_data=None,
+                  forcing_override=None):
         cfg = self.cfg
         grid = self.grid if grid is None else grid
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
@@ -103,6 +104,20 @@ class Model:
                                       rho[-1])
         else:
             forcing = self.forcing_fn(state.time)
+        if forcing_override is not None:
+            # coupling imports (core/coupling.py): non-None fields of
+            # the override pytree replace the computed forcing; passed
+            # as a jit ARGUMENT so coupling windows reuse one trace
+            for fname, val in forcing_override.items():
+                if val is not None:
+                    if fname == "stflx0":
+                        forcing = forcing._replace(
+                            stflx=forcing.stflx.at[0].set(val))
+                    elif fname == "stflx1" and cfg.NT > 1:
+                        forcing = forcing._replace(
+                            stflx=forcing.stflx.at[1].set(val))
+                    else:
+                        forcing = forcing._replace(**{fname: val})
         ice_new = state.ice
         if self.ice_fn is not None:
             # sea-ice step before the ocean step (seaice.F driver
@@ -311,6 +326,17 @@ class Model:
 
     def step(self, state: State) -> State:
         return self._step_jit(state, self.grid)
+
+    def step_with_forcing(self, state: State, override: dict):
+        """One step with selected forcing fields replaced by the
+        entries of `override` (keys: sustr/svstr/srflx/stflx0/stflx1),
+        passed as a jit argument (coupling windows, core/coupling.py).
+        """
+        if not hasattr(self, "_step_forc_jit"):
+            self._step_forc_jit = jax.jit(
+                lambda s, g, o: self.step_impl(s, g,
+                                               forcing_override=o))
+        return self._step_forc_jit(state, self.grid, override)
 
     def step_with_obc(self, state: State, obc_data):
         """One step with boundary data passed as a pytree ARGUMENT
