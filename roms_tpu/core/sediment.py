@@ -180,6 +180,81 @@ def bedload_mpm(cfg: ModelConfig, sed: SedConfig, grid: Grid,
             jnp.stack(bedldv_all))
 
 
+def bedload_soulsby(cfg: ModelConfig, sed: SedConfig, grid: Grid,
+                    bed_mass, tau_mean, tau_wav, phic, phicw,
+                    theta_cr: float = 0.05, bedload_coeff: float = 0.1):
+    """Soulsby & Damgaard (2005) wave-current bedload
+    (sed_bedload.F:425-484, BEDLOAD_SOULSBY, w_asym = 0 as in the
+    reference):
+
+        theta_max from the wave/mean Shields vector sum,
+        phi_x = max(12 sqrt(th_m)(th_m - th_cr),
+                    12 (0.9534 + 0.1907 cos 2phi_cw) sqrt(th_w) th_m)
+        phi_y = 12*0.1907 th_w^2 th_m sin(2phi_cw) /
+                (th_w^1.5 + 1.5 th_m^1.5)
+
+    rotated from the current direction phic into grid x/y.  tau_mean /
+    tau_wav are kinematic stresses (m2/s2); phicw the wave-current
+    angle.  Returns (new bed_mass, bedldu, bedldv)."""
+    dt = cfg.dt
+    eps = 1.0e-14
+    omn = 1.0 / (grid.pm * grid.pn)
+    new_bed, bu_all, bv_all = [], [], []
+    for ised in range(sed.nsed):
+        d50 = sed.d50[ised]
+        smgd = (sed.Srho[ised] / cfg.rho0 - 1.0) * cfg.g * d50
+        osmgd = 1.0 / smgd
+        smgdr = jnp.sqrt(smgd) * d50 * sed.Srho[ised]
+
+        th_w = tau_wav * osmgd + eps
+        th_m = tau_mean * osmgd
+        th_max1 = jnp.sqrt((th_m + th_w * jnp.cos(phicw)) ** 2
+                           + (th_w * jnp.sin(phicw)) ** 2)
+        th_max2 = jnp.sqrt((th_m + th_w * jnp.cos(phicw + jnp.pi)) ** 2
+                           + (th_w * jnp.sin(phicw + jnp.pi)) ** 2)
+        th_max = jnp.maximum(th_max1, th_max2)
+        active = 0.5 * (1.0 + jnp.sign(th_max / theta_cr - 1.0))
+
+        phi_x1 = 12.0 * jnp.sqrt(th_m) * \
+            jnp.maximum(th_m - theta_cr, 0.0)
+        phi_x2 = 12.0 * (0.9534 + 0.1907 * jnp.cos(2.0 * phicw)) * \
+            jnp.sqrt(th_w) * th_m
+        phi_x = jnp.where(jnp.abs(phi_x2) > phi_x1, phi_x2, phi_x1)
+        bedld_x = phi_x * smgdr * active
+        cff5 = th_w ** 1.5 + 1.5 * th_m ** 1.5
+        phi_y = 12.0 * 0.1907 * th_w * th_w * \
+            (th_m * jnp.sin(2.0 * phicw)) / cff5 * active
+        bedld_y = phi_y * smgdr
+
+        FX_r = (bedld_x * jnp.cos(phic) - bedld_y * jnp.sin(phic)) * \
+            grid.on_r * dt * bedload_coeff
+        FE_r = (bedld_x * jnp.sin(phic) + bedld_y * jnp.cos(phic)) * \
+            grid.om_r * dt * bedload_coeff
+
+        tot = jnp.abs(FX_r) + jnp.abs(FE_r) + eps
+        avail = bed_mass[ised] * omn
+        FX_r = jnp.sign(FX_r) * jnp.minimum(
+            jnp.abs(FX_r), avail * jnp.abs(FX_r) / tot)
+        FE_r = jnp.sign(FE_r) * jnp.minimum(
+            jnp.abs(FE_r), avail * jnp.abs(FE_r) / tot)
+
+        def face(Fm1, F0):
+            c1 = 0.5 * (1.0 + jnp.sign(F0))
+            c2 = 0.5 * (1.0 - jnp.sign(F0))
+            avg = 0.5 * (Fm1 + F0)
+            return (0.5 * (1.0 + jnp.sign(Fm1)) * (c1 * Fm1 + c2 * avg)
+                    + 0.5 * (1.0 - jnp.sign(Fm1)) * (c2 * F0
+                                                     + c1 * avg))
+
+        FX = face(st.im1(FX_r), FX_r) * grid.umask
+        FE = face(st.jm1(FE_r), FE_r) * grid.vmask
+        dm = -(grid.pm * grid.pn) * (st.dx_p(FX) + st.dy_p(FE))
+        new_bed.append(jnp.maximum(bed_mass[ised] + dm, 0.0))
+        bu_all.append(FX / (grid.on_u * dt))
+        bv_all.append(FE / (grid.om_v * dt))
+    return (jnp.stack(new_bed), jnp.stack(bu_all), jnp.stack(bv_all))
+
+
 def make_sed_hook(cfg: ModelConfig, sed: SedConfig, grid: Grid):
     def hook(t, sstate, Hz, bustr, bvstr):
         return sed_column(cfg, sed, grid, t, sstate, Hz, bustr, bvstr)

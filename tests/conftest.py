@@ -13,45 +13,42 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_use_thunk_runtime" not in flags:
+    # the XLA:CPU thunk runtime segfaults sporadically mid-suite on
+    # some sandbox host types (observed in backend_compile_and_load);
+    # fall back to the legacy runtime for tests
+    flags = flags + " --xla_cpu_use_thunk_runtime=false"
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compile cache: the suite's wall time is dominated by jit
-# compiles of the full step at many small shapes; cache them across
-# runs (and across the driver's test invocations).
+# NOTE: the persistent compilation cache is deliberately NOT enabled
+# for the suite: XLA:CPU AOT executable (de)serialization segfaults
+# sporadically on a subset of sandbox host types (observed in both the
+# read and write paths).  TPU benches keep their cache (bench.py);
+# CPU tests always compile fresh.
 
-
-def _host_cache_dir(base):
-    """CPU compile-cache directory keyed by the host CPU feature set.
-
-    The persistent cache stores XLA:CPU AOT executables; loading one
-    compiled on a host with different ISA features SIGILLs/segfaults
-    (the cache key does not include the full feature set).  Deriving
-    the directory from /proc/cpuinfo flags keeps caches from different
-    sandbox machines apart while still reusing warm entries on the
-    same machine."""
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as fh:
-            for line in fh:
-                if line.startswith("flags"):
-                    h = hashlib.sha1(line.encode()).hexdigest()[:8]
-                    return f"{base}_cpu_{h}"
-    except OSError:
-        pass
-    return base + "_cpu"
-
-
-jax.config.update("jax_compilation_cache_dir",
-                  _host_cache_dir(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running integration tests")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """XLA:CPU (jaxlib 0.9.0) segfaults in backend_compile_and_load
+    once ~90 executables have accumulated in one process (reproducible
+    mid-suite, never in isolation).  Dropping jax's caches after each
+    test module keeps the live-executable count bounded; module-scoped
+    fixtures still share compiles within a module."""
+    yield
+    import jax
+    jax.clear_caches()

@@ -93,3 +93,32 @@ class TestBedload:
         dm = ((nbn[0] - 5.0) * omn)[1:-1, 1:-1].sum()
         tot = (np.abs(nbn[0] - 5.0) * omn)[1:-1, 1:-1].sum()
         assert abs(dm) < 0.2 * tot + 1e-12
+
+
+def test_soulsby_wave_bedload():
+    """BEDLOAD_SOULSBY (sed_bedload.F:425-484): below critical Shields
+    nothing moves; waves at an angle to the current drive transverse
+    transport (phi_y) in addition to streamwise (phi_x)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu.core import sediment as sed_mod
+    from roms_tpu.functionals import upwelling
+
+    cfg = upwelling.make_config(dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    sed = sed_mod.SedConfig()
+    Mj, Li = cfg.shape2d
+    bed = jnp.ones((1, Mj, Li)) * 5.0
+    zero = jnp.zeros((Mj, Li))
+    # sub-critical: theta ~ 0.01 -> no transport
+    smgd = (2650.0 / cfg.rho0 - 1.0) * cfg.g * 2.0e-4
+    nb, bu, bv = sed_mod.bedload_soulsby(
+        cfg, sed, grid, bed, zero + 0.01 * smgd, zero, zero, zero)
+    assert float(jnp.abs(nb - bed).max()) == 0.0
+    # super-critical mean stress + waves at 45 degrees: both components
+    nb, bu, bv = sed_mod.bedload_soulsby(
+        cfg, sed, grid, bed, zero + 0.2 * smgd, zero + 0.3 * smgd,
+        zero, zero + jnp.pi / 4.0)
+    assert np.isfinite(np.asarray(nb)).all()
+    assert float(jnp.abs(np.asarray(bu)).max()) > 0.0
+    assert float(jnp.abs(np.asarray(bv)).max()) > 0.0
