@@ -32,6 +32,37 @@ from .step3d_uv import step3d_uv
 from .weights import power_law_weights
 
 
+def make_bvf_mix(cfg: ModelConfig, bvf_nu0: float = 1.0e-7,
+                 bvf_nu0c: float = 1.0, bvf_numin: float = 3.0e-5,
+                 bvf_numax: float = 4.0e-4):
+    """Brunt-Vaisala-frequency mixing (bvf_mix.F:88-115,
+    mod_scalars.F:1883-1886 defaults):
+
+        bvf < 0  ->  convective value bvf_nu0c (1 m2/s)
+        bvf > 0  ->  clip(bvf_nu0 / sqrt(bvf), numin, numax)
+
+    computed diagnostically from the time-n stratification."""
+    from .rho_eos import rho_eos
+
+    def vmix(state, grid, z_w):
+        _, _, _, _, bvf = rho_eos(cfg, state.t, state.z_r, state.Hz,
+                                  z_w)
+        cff = bvf_nu0 / jnp.sqrt(jnp.maximum(bvf, 1.0e-20))
+        stable = jnp.clip(cff, bvf_numin, bvf_numax)
+        Ak_i = jnp.where(bvf < 0.0, bvf_nu0c,
+                         jnp.where(bvf == 0.0, cfg.mixing.akv_bak,
+                                   stable))
+        # interface array with background top/bottom rows
+        Akv = jnp.concatenate(
+            [jnp.full_like(Ak_i[:1], cfg.mixing.akv_bak), Ak_i[1:-1],
+             jnp.full_like(Ak_i[:1], cfg.mixing.akv_bak)], axis=0) \
+            if Ak_i.shape[0] == cfg.N + 1 else Ak_i
+        Akt = jnp.stack([Akv for _ in range(cfg.NAT)])
+        return Akv, Akt
+
+    return vmix
+
+
 def default_vmix(cfg: ModelConfig):
     """Constant background vertical mixing (mod_mixing defaults)."""
     def vmix(state, grid, z_w):

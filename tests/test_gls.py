@@ -88,3 +88,30 @@ def test_my25_preset_runs_and_mixes():
     # turbulence developed somewhere in the wind-forced surface layer
     assert Akv.max() > 3.0 * cfg.mixing.akv_bak
     assert np.isfinite(Akv).all()
+
+
+def test_bvf_mix_closure():
+    """bvf_mix.F: stable stratification gives clip(nu0/sqrt(N2)) in
+    [numin, numax]; unstable columns get the convective 1 m2/s."""
+    import numpy as np
+    import jax.numpy as jnp
+    from roms_tpu.core.stepping import Model, make_bvf_mix
+    from roms_tpu.functionals import upwelling
+
+    cfg = upwelling.make_config(dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    vmix = make_bvf_mix(cfg)
+    Akv, Akt = vmix(s0, grid, s0.z_w)
+    a = np.asarray(Akv)[3:-3]
+    assert (a >= 3.0e-5 - 1e-12).all() and (a <= 4.0e-4 + 1e-12).all()
+    # invert the stratification -> convective value
+    t_inv = s0.t.at[0].set(s0.t[0][::-1])
+    s_inv = s0._replace(t=t_inv)
+    Akv_i, _ = vmix(s_inv, grid, s0.z_w)
+    assert float(np.asarray(Akv_i)[5:-5].max()) == 1.0
+    # model runs stably under the closure
+    m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+              vmix_fn=vmix)
+    s = m.run(s0, 10)
+    assert np.isfinite(np.asarray(s.t)).all()
