@@ -37,7 +37,7 @@ def _harmonic_z(a, b):
 
 
 def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
-             eq_tide=None):
+             eq_tide=None, Pair=None):
     """Splines density-Jacobian pressure gradient (prsgrd32.h:158-378).
 
     rho: density anomaly (N, Mj, Li); returns (ru, rv) in m4/s2.
@@ -66,6 +66,10 @@ def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
         # tide generating body force enters as a surface pressure
         # deficit (TIDE_GENERATING_FORCES, prsgrd32.h:286)
         P_top = P_top - g * eq_tide
+    if Pair is not None:
+        # inverse barometer: sea-level pressure anomaly in millibars
+        # (ATM_PRESS, prsgrd32.h:241-281)
+        P_top = P_top + 100.0 / cfg.rho0 * (Pair - 1013.25)
     # increments between levels k+1 and k (N-1 of them, top-down)
     dP = HalfGRho * ((rho[1:] + rho[:-1]) * (z_r[1:] - z_r[:-1])
                      - OneFifth * ((dRm[1:] - dRm[:-1])

@@ -88,7 +88,8 @@ class Model:
                  bbl_fn: Optional[Callable] = None,
                  eq_tide_fn: Optional[Callable] = None,
                  ice_fn: Optional[Callable] = None,
-                 wec_fn: Optional[Callable] = None):
+                 wec_fn: Optional[Callable] = None,
+                 pair_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
@@ -106,6 +107,7 @@ class Model:
         self.eq_tide_fn = eq_tide_fn
         self.ice_fn = ice_fn
         self.wec_fn = wec_fn
+        self.pair_fn = pair_fn
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
                                         var_rho=var_rho)
@@ -217,11 +219,12 @@ class Model:
             Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic,
             ghats=ghats_flux)
         eqt = self.eq_tide_fn(state.time) if self.eq_tide_fn else None
+        pair = self.pair_fn(state.time) if self.pair_fn else None
         if cfg.prsgrd == "sj":
             ru, rv = prsgrd.prsgrd31(cfg, grid, rho, z_r, z_w, Hz)
         else:
             ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz,
-                                     eq_tide=eqt)
+                                     eq_tide=eqt, Pair=pair)
         if cfg.mixing.smagorinsky:
             visc3d_r, diff3d_r = hmix.smagorinsky_coef(cfg, grid,
                                                        state.u, state.v)

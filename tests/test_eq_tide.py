@@ -76,3 +76,37 @@ class TestEquilibriumTide:
         z_off = np.abs(np.asarray(run(False).zeta)).max()
         assert z_on > 10.0 * max(z_off, 1e-12), (z_on, z_off)
         assert np.isfinite(z_on)
+
+
+def test_atm_press_inverse_barometer():
+    """ATM_PRESS (prsgrd32.h:241-281): a horizontal sea-level-pressure
+    gradient drives flow toward low pressure; uniform pressure is a
+    no-op."""
+    import dataclasses
+    from roms_tpu.functionals import upwelling
+    cfg = upwelling.make_config(dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    Mj, Li = cfg.shape2d
+    import jax.numpy as j
+    import numpy as np
+
+    def run(pair):
+        m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg),
+                  pair_fn=(lambda t: pair) if pair is not None
+                  else None)
+        return m.run(s0, 15)
+
+    s_none = run(None)
+    s_unif = run(j.full((Mj, Li), 1023.25))
+    # uniform anomaly: no gradient -> identical dynamics
+    assert np.abs(np.asarray(s_unif.u) - np.asarray(s_none.u)).max() \
+        < 1e-12
+    # low pressure in the north -> southward pressure force reversed:
+    # response differs from the unforced run
+    y = j.linspace(0.0, 1.0, Mj)[:, None] * j.ones((1, Li))
+    s_grad = run(1013.25 - 10.0 * y)
+    dv = np.abs(np.asarray(s_grad.v) - np.asarray(s_none.v)).max()
+    assert dv > 1e-4, dv
+    assert np.isfinite(np.asarray(s_grad.v)).all()
