@@ -127,10 +127,14 @@ def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
     return ru, rv
 
 
-def prsgrd31(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz):
-    """Standard density Jacobian (prsgrd31.h, non-WJ_GRADP branch):
-    downward accumulation of the geopotential gradient phix/phie with
-    the discrete Jacobian correction.  Alternative to prsgrd32."""
+def prsgrd31(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
+             wj_gradp: bool = False):
+    """Standard density Jacobian (prsgrd31.h): downward accumulation of
+    the geopotential gradient phix/phie with the discrete Jacobian
+    correction.  wj_gradp=True activates the WJ_GRADP weighted-Jacobian
+    variant (prsgrd31.h WJ branch): the vertical averaging weights are
+    skewed by gamma where adjacent columns have unequal layer
+    thicknesses, reducing the error over steep terrain."""
     g = cfg.g
     fac1 = 0.5 * g / cfg.rho0
     fac3 = 0.25 * g / cfg.rho0
@@ -142,10 +146,18 @@ def prsgrd31(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz):
         # surface slab (prsgrd31.h:150-175)
         phi_top = fac1 * drho[-1] * dzw_t
         # interior increments between k+1 and k (N-1 of them, top-down)
-        cff1 = drho[1:] + drho[:-1]
+        if wj_gradp:
+            dz_i = z_r[1:] - z_r[:-1]
+            dz_m = shift_m(z_r)[1:] - shift_m(z_r)[:-1]
+            gamma = 0.125 * (1.0 / (dz_i * dz_m)) * \
+                (dzr[:-1] + dzr[1:]) * (dz_i - dz_m)
+            cff1 = (1.0 + gamma) * drho[1:] + (1.0 - gamma) * drho[:-1]
+            cff4 = (1.0 + gamma) * dzr[1:] + (1.0 - gamma) * dzr[:-1]
+        else:
+            cff1 = drho[1:] + drho[:-1]
+            cff4 = dzr[1:] + dzr[:-1]
         cff2 = (rho[1:] + shift_m(rho)[1:]) - (rho[:-1] + shift_m(rho)[:-1])
         cff3 = (z_r[1:] + shift_m(z_r)[1:]) - (z_r[:-1] + shift_m(z_r)[:-1])
-        cff4 = dzr[1:] + dzr[:-1]
         dphi = fac3 * (cff1 * cff3 - cff2 * cff4)
         # phi[k] = phi_top + sum_{m=k}^{N-2} dphi[m]
         csum = jnp.cumsum(dphi[::-1], axis=0)[::-1]

@@ -220,8 +220,9 @@ class Model:
             ghats=ghats_flux)
         eqt = self.eq_tide_fn(state.time) if self.eq_tide_fn else None
         pair = self.pair_fn(state.time) if self.pair_fn else None
-        if cfg.prsgrd == "sj":
-            ru, rv = prsgrd.prsgrd31(cfg, grid, rho, z_r, z_w, Hz)
+        if cfg.prsgrd in ("sj", "sj_wj"):
+            ru, rv = prsgrd.prsgrd31(cfg, grid, rho, z_r, z_w, Hz,
+                                     wj_gradp=(cfg.prsgrd == "sj_wj"))
         else:
             ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz,
                                      eq_tide=eqt, Pair=pair)

@@ -122,3 +122,20 @@ class TestGyres:
         south = z[:20, :].mean()
         assert np.isfinite(north) and np.isfinite(south)
         assert np.abs(np.asarray(s.u)).max() < 1.0
+
+    def test_weighted_jacobian_scheme(self):
+        """WJ_GRADP (prsgrd31.h WJ branch): the weighted Jacobian cuts
+        the SEAMOUNT pressure-gradient error relative to the plain
+        standard Jacobian."""
+        def run(scheme):
+            cfg = ia.seamount_config().replace(prsgrd=scheme)
+            grid = ia.seamount_grid(cfg)
+            m = Model(cfg, grid, ia.zero_forcing(cfg))
+            s = m.run(ia.seamount_initial(cfg, grid), 30)
+            return np.abs(np.asarray(s.u)).max()
+
+        u_sj = run("sj")
+        u_wj = run("sj_wj")
+        assert np.isfinite(u_wj)
+        assert u_wj < 1.0e-2
+        assert u_wj <= 1.5 * u_sj       # no worse; typically better
