@@ -16,7 +16,10 @@ Supported syntax:
 
 Unrecognized keywords are retained in the returned dict so callers can
 inspect application-specific entries; `to_config` maps the physics
-subset onto the native dataclass tree.
+subset onto the native dataclass tree.  `strict=True` raises
+RomsError(ILLEGAL_INPUT) for any keyword stem outside the recognized
+vocabulary (read_phypar.F's behavior for bad keys), so a reference deck
+cannot silently configure physics the model then doesn't run.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ import re
 from typing import Dict, List, Union
 
 from .. import config as C
+from ..core.errors import ExitFlag, RomsError
 
 _COMMENT = re.compile(r"!.*$")
 _ASSIGN = re.compile(r"^\s*([A-Za-z0-9_()\s]+?)\s*==?\s*(.*)$")
@@ -134,12 +138,91 @@ def _first(v, default=None):
     return v[0] if isinstance(v, list) else v
 
 
-def to_config(params: Dict, **overrides) -> C.ModelConfig:
+# Keyword-stem vocabulary (read_phypar.F keyword tables).  Stems are the
+# keyword with any "(...)" index stripped.  "consumed" stems map onto
+# ModelConfig here; "accepted" stems are run-control / file-name / output
+# switches handled by the driver+IO layers (or deliberately inert, e.g.
+# PIO tuning) — both are legal in strict mode.
+_CONSUMED = {
+    "Lm", "Mm", "N", "NAT", "NT", "DT", "NDTFAST", "Vtransform",
+    "Vstretching", "THETA_S", "THETA_B", "TCLINE", "R0", "T0", "S0",
+    "TCOEF", "SCOEF", "VISC2", "VISC4", "TNU2", "TNU4", "AKV_BAK",
+    "AKT_BAK", "AKK_BAK", "AKP_BAK", "GLS_P", "GLS_M", "GLS_N",
+    "GLS_CMU0", "GLS_C1", "GLS_C2", "GLS_C3M", "GLS_C3P", "GLS_SIGK",
+    "GLS_SIGP", "GLS_Kmin", "GLS_Pmin", "ZOS", "Zos", "RDRG", "RDRG2",
+    "Zob", "RHO0", "GAMMA2", "LBC", "Hadvection", "Vadvection",
+    "DCRIT", "VolCons", "NTIMES",
+}
+_ACCEPTED = {
+    # run control / restart cadence / output cadence
+    "TITLE", "MyAppCPP", "VARNAME", "NRREC", "NRST", "NHIS", "NQCK",
+    "NAVG", "NDIA", "NSTA", "NFLT", "NINFO", "NTSAVG", "NTSDIA",
+    "LDEFOUT", "LcycleRST", "LcycleADJ", "LcycleTLM", "DSTART",
+    "TIME_REF", "NDEFHIS", "NDEFQCK", "NDEFAVG", "NDEFDIA", "NDEFADJ",
+    "NDEFTLM", "NDEFXTR", "NXTR", "ExtractFlag", "NTIMES_ANA",
+    "NTIMES_FCT", "NADJ", "NTLM", "NSFF", "NOBC", "NBCFILES",
+    "NCLMFILES", "NFFILES", "NGCNAME", "NUSER", "USER", "INP_LIB",
+    "OUT_LIB", "ERstr", "ERend", "Ngrids", "NestLayers",
+    "GridsInLayer", "NtileI", "NtileJ",
+    # tracer-family dimensions (mod_param NBT/NPT/NCS/NNS, Nbed)
+    "Nbed", "NPT", "NCS", "NNS",
+    # file names (io layer picks these up from the parsed dict)
+    "GRDNAME", "ININAME", "IRPNAME", "ITLNAME", "IADNAME", "FRCNAME",
+    "BRYNAME", "CLMNAME", "NUDNAME", "SSFNAME", "TIDENAME", "ADSNAME",
+    "FWDNAME", "HISNAME", "QCKNAME", "RSTNAME", "AVGNAME", "DIANAME",
+    "STANAME", "FLTNAME", "GSTNAME", "TLFNAME", "TLMNAME", "ADJNAME",
+    "GRXNAME", "XTRNAME", "DAINAME", "HARNAME", "APARNAM", "BPARNAM",
+    "SPARNAM", "SPOSNAM", "FPOSNAM", "USRNAME", "AVGBASE", "DIABASE",
+    "FOInameA", "FOInameB", "FCTnameA", "FCTnameB",
+    # output field switches
+    "Hout", "Qout", "Aout", "Dout",
+    # physics accepted but configured elsewhere / inert for now
+    "BVF_BAK", "AKT_LIMIT", "AKV_LIMIT", "TKENU2", "TKENU4",
+    "CHARNOK_ALPHA", "CRGBAN_CW", "ZOS_HSIG_ALPHA", "SZ_ALPHA",
+    "BLK_ZQ", "BLK_ZT", "BLK_ZW", "WTYPE", "LEVSFRC", "LEVBFRC",
+    "WEC_ALPHA", "OBCFAC", "TNUDG", "ZNUDG", "M2NUDG", "M3NUDG",
+    "LuvSrc", "LwSrc", "LtracerSrc", "LuvSponge", "LtracerSponge",
+    "LnudgeM2CLM", "LnudgeM3CLM", "LnudgeTCLM", "LsshCLM", "Lm2CLM",
+    "Lm3CLM", "LtracerCLM", "TIDE_START", "Lnodal",
+    # 4D-Var / GST / adjoint decks
+    "Nouter", "Ninner", "Nintervals", "Nsaddle", "NEV", "NCV", "NGST",
+    "Ritz_tol", "MaxIterGST", "LmultiGST", "LrstGST", "Lstate",
+    "Fstate", "SO_decay", "SO_sdev", "KstrS", "KendS", "DstrS",
+    "DendS", "ad_LBC", "ad_VISC2", "ad_VISC4", "ad_TNU2", "ad_TNU4",
+    "ad_AKT_fac", "ad_AKV_fac", "ad_Hadvection", "ad_Vadvection",
+    "ad_VolCons",
+    # NetCDF / PIO tuning
+    "NC_SHUFFLE", "NC_DEFLATE", "NC_DLEVEL", "PIO_METHOD",
+    "PIO_IOTASKS", "PIO_STRIDE", "PIO_BASE", "PIO_AGGREG", "PIO_REARR",
+    "PIO_REARRCOM", "PIO_REARRDIR", "PIO_C2I_HS", "PIO_C2I_Send",
+    "PIO_C2I_Preq", "PIO_I2C_HS", "PIO_I2C_Send", "PIO_I2C_Preq",
+}
+_RECOGNIZED = _CONSUMED | _ACCEPTED
+
+
+def check_keywords(params: Dict) -> List[str]:
+    """Return the list of keyword stems not in the known vocabulary."""
+    unknown = []
+    for key in params:
+        stem = re.sub(r"\(.*\)$", "", key)
+        if stem not in _RECOGNIZED:
+            unknown.append(key)
+    return unknown
+
+
+def to_config(params: Dict, strict: bool = False,
+              **overrides) -> C.ModelConfig:
     """Map parsed roms.in parameters onto a ModelConfig.
 
     Keyword meanings follow read_phypar.F; anything the native config
-    does not model is ignored.  `overrides` are applied last via
-    dataclasses.replace."""
+    does not model is ignored unless strict=True, which raises
+    RomsError(ILLEGAL_INPUT) on unknown keywords.  `overrides` are
+    applied last via dataclasses.replace."""
+    if strict:
+        unknown = check_keywords(params)
+        if unknown:
+            raise RomsError(ExitFlag.ILLEGAL_INPUT,
+                            "unknown keywords: " + ", ".join(unknown))
     g = params.get
 
     def tup(key, default):
@@ -189,6 +272,8 @@ def to_config(params: Dict, **overrides) -> C.ModelConfig:
     drag = C.BottomDragConfig(
         rdrg=rdrg, rdrg2=rdrg2,
         Zob=float(_first(g("Zob"), 0.02)))
+    volcons = tuple(e for e in ("west", "south", "east", "north")
+                    if params.get(f"VolCons({e})") is True)
     bc = C.BoundaryConfig(
         zeta=_lbc(params, "LBC(isFsur)"),
         ubar=_lbc(params, "LBC(isUbar)"),
@@ -196,7 +281,8 @@ def to_config(params: Dict, **overrides) -> C.ModelConfig:
         u=_lbc(params, "LBC(isUvel)"),
         v=_lbc(params, "LBC(isVvel)"),
         t=_lbc(params, "LBC(isTvar)"),
-        tke=_lbc(params, "LBC(isMtke)"))
+        tke=_lbc(params, "LBC(isMtke)"),
+        volcons=volcons)
 
     cfg = C.ModelConfig(
         Lm=int(g("Lm", 41)), Mm=int(g("Mm", 80)),
@@ -206,6 +292,7 @@ def to_config(params: Dict, **overrides) -> C.ModelConfig:
         vert=vert, eos=eos, mixing=mixing, drag=drag, bc=bc,
         rho0=float(_first(g("RHO0"), 1025.0)),
         gamma2=float(_first(g("GAMMA2"), 1.0)),
+        Dcrit=float(_first(g("DCRIT"), 0.10)),
         hadv=_adv_scheme(params, "Hadvection", C.UPSTREAM3),
         vadv=_adv_scheme(params, "Vadvection", C.CENTERED4))
     if overrides:
@@ -213,6 +300,7 @@ def to_config(params: Dict, **overrides) -> C.ModelConfig:
     return cfg
 
 
-def load_config(path: str, **overrides) -> C.ModelConfig:
+def load_config(path: str, strict: bool = False,
+                **overrides) -> C.ModelConfig:
     """One-call convenience: parse a roms.in file into a ModelConfig."""
-    return to_config(parse_roms_in(path), **overrides)
+    return to_config(parse_roms_in(path), strict=strict, **overrides)

@@ -109,3 +109,81 @@ def test_geostrophic_balance_maintained():
     ke1 = ke(s)
     assert np.isfinite(np.asarray(s.u)).all()
     assert abs(ke1 - ke0) < 0.10 * ke0, (ke0, ke1)
+
+
+class TestEOSCheckValues:
+    """Exact Jackett & McDougall check values (rho_eos.F:21-37):
+    T=3 C, S=35.5 PSU, Z=-5000 m.  These pin the discretization's EOS
+    to the reference's documented numbers at double precision."""
+
+    def _tz(self):
+        T = jnp.full((1, 1, 1), 3.0, jnp.float64)
+        S = jnp.full((1, 1, 1), 35.5, jnp.float64)
+        z = jnp.full((1, 1, 1), -5000.0, jnp.float64)
+        return jnp.stack([T, S]), z
+
+    def _cfg(self):
+        from roms_tpu import config as C
+        return upwelling.make_config(dtype="float64").replace(
+            eos=C.EOSConfig(linear=False))
+
+    def test_den(self):
+        from roms_tpu.core.rho_eos import rho_eos_jm95
+        t, z = self._tz()
+        den = float(rho_eos_jm95(self._cfg(), t, z)[0, 0, 0]) + 1000.0
+        assert abs(den - 1050.3639165364) < 1e-9, den
+
+    def test_den1(self):
+        from roms_tpu.core.rho_eos import _jm95_parts
+        t, _ = self._tz()
+        den1 = float(_jm95_parts(self._cfg(), t)[3][0, 0, 0])
+        assert abs(den1 - 1028.2845117925) < 1e-9, den1
+
+    def test_alpha_beta(self):
+        from roms_tpu.core.rho_eos import eos_alpha_beta
+        t, z = self._tz()
+        alpha, beta = eos_alpha_beta(self._cfg(), t, z)
+        assert abs(float(alpha.ravel()[0]) - 2.1014611551470e-04) < 1e-15
+        assert abs(float(beta.ravel()[0]) - 7.2575037309946e-04) < 1e-15
+
+
+def test_diag_vertical_courant_and_taxonomy():
+    """diag includes the |wvel|*dt/Hz vertical Courant term
+    (diag.F:243-249) and reports the blowup cause taxonomy."""
+    from roms_tpu.core import diag as diag_mod
+    cfg = upwelling.make_config(dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    d = diag_mod.diag(cfg, grid, s0)
+    assert int(d.exit_flag) == 0 and int(d.blowup_cause) == 0
+    # a convergent horizontal flow must produce nonzero W -> Cw > 0
+    Mj, Li = cfg.shape2d
+    x = np.linspace(-1, 1, Li)[None, :] * np.ones((Mj, 1))
+    u = -0.5 * np.broadcast_to(x, s0.u.shape)    # du/dx < 0: convergence
+    s1 = s0._replace(u=jnp.asarray(u))
+    d1 = diag_mod.diag(cfg, grid, s1)
+    assert float(d1.max_courant_w) > 0.0
+    assert float(d1.max_courant) >= float(d1.max_courant_w)
+    # blowup: non-finite field -> exit_flag 1, cause 1
+    s2 = s0._replace(zeta=s0.zeta.at[5, 5].set(jnp.nan))
+    d2 = diag_mod.diag(cfg, grid, s2)
+    assert int(d2.exit_flag) == 1 and int(d2.blowup_cause) == 1
+    assert "non-finite" in diag_mod.blowup_string(d2)
+
+
+def test_roms_in_strict_mode():
+    """strict=True accepts the full reference UPWELLING deck and rejects
+    unknown keywords with the ILLEGAL_INPUT exit code."""
+    import pytest
+    from roms_tpu.core.errors import RomsError
+    from roms_tpu.io import roms_in
+    path = "/root/reference/ROMS/External/roms_upwelling.in"
+    params = roms_in.parse_roms_in(path)
+    unknown = roms_in.check_keywords(params)
+    assert unknown == [], unknown
+    cfg = roms_in.to_config(params, strict=True)
+    assert cfg.Lm == 41 and cfg.Mm == 80 and cfg.N == 16
+    with pytest.raises(RomsError) as ei:
+        roms_in.to_config({"NOT_A_KEY": 1.0}, strict=True)
+    assert ei.value.exit_flag == 7
+    assert "NOT_A_KEY" in str(ei.value)
