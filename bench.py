@@ -3,8 +3,10 @@
 
 Runs the reference's scaling benchmark configuration (BENCHMARK3 grid
 2048x256x30, dt=150 s, ndtfast=20; ROMS/External/roms_benchmark3.in:94-96,
-231-233) with the TPU-native core and reports sustained grid-point
-throughput:
+231-233) with the FULL reference physics — LMD-KPP vertical mixing
+(RIMIX+CONVEC+SKPP+NONLOCAL), COARE bulk fluxes with longwave/albedo,
+solar source, MIX_GEO_TS, nonlinear EOS (ROMS/Include/benchmark.h:17-58)
+— and reports sustained grid-point throughput:
 
     value = interior_points * baroclinic_steps / wall_seconds
 
@@ -12,6 +14,9 @@ The reference publishes no numbers (BASELINE.md), so vs_baseline is null
 until Fortran reference timings are measured on comparable hardware.
 
 Usage: python bench.py [--size 1|2|3] [--steps N] [--dtype float32]
+                       [--variant full|light]
+(--variant light: constant vmix + analytic constant-Cd stress, the
+round-1 secondary metric for pure-throughput A/Bs)
 """
 
 import argparse
@@ -31,6 +36,9 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--variant", default="full", choices=["full", "light"],
+                   help="full: reference benchmark.h physics (KPP+COARE"
+                        "+solar); light: constant vmix + analytic stress")
     args = p.parse_args()
 
     import jax
@@ -48,10 +56,14 @@ def main():
     Lm = 512 * (2 ** (args.size - 1))
     Mm = 64 * (2 ** (args.size - 1))
     N = 30
-    cfg = benchmark.make_config(Lm=Lm, Mm=Mm, N=N, dtype=args.dtype)
+    full = args.variant == "full"
+    cfg = benchmark.make_config(Lm=Lm, Mm=Mm, N=N, dtype=args.dtype,
+                                full_physics=full)
     grid = benchmark.make_grid(cfg)
     state = benchmark.make_initial(cfg, grid)
-    model = Model(cfg, grid, benchmark.make_forcing_fn(cfg, grid))
+    forcing_fn = (benchmark.make_bulk_forcing_fn(cfg, grid) if full
+                  else benchmark.make_forcing_fn(cfg, grid))
+    model = Model(cfg, grid, forcing_fn)
 
     # Single-step jit: one compile, steady-state throughput measured
     # over repeated calls.  (No buffer donation: the tunneled TPU
@@ -70,8 +82,10 @@ def main():
 
     points = Lm * Mm * N
     value = points * args.steps / wall
+    suffix = "" if full else "_light"
     print(json.dumps({
-        "metric": f"benchmark{args.size}_gridpoints_per_sec_per_chip",
+        "metric": f"benchmark{args.size}_gridpoints_per_sec_per_chip"
+                  + suffix,
         "value": round(value, 1),
         "unit": "gridpoint-steps/s",
         "vs_baseline": None,

@@ -38,7 +38,12 @@ from ..grid.grid import Grid, build_grid
 
 def make_config(Lm: int = 512, Mm: int = 64, N: int = 30,
                 dt: float = 150.0, ndtfast: int = 20,
-                dtype: str = "float32") -> ModelConfig:
+                dtype: str = "float32",
+                full_physics: bool = False) -> ModelConfig:
+    """full_physics=True selects the reference benchmark.h CPP set:
+    LMD_MIXING (RIMIX+CONVEC+SKPP+NONLOCAL) + SOLAR_SOURCE; pair with
+    make_bulk_forcing_fn for BULK_FLUXES+LONGWAVE+ALBEDO.  The default
+    keeps the light constant-vmix variant for pure-throughput A/Bs."""
     lbc = LBC.ew_periodic()
     return ModelConfig(
         Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
@@ -47,7 +52,9 @@ def make_config(Lm: int = 512, Mm: int = 64, N: int = 30,
         eos=EOSConfig(linear=False),
         mixing=MixingConfig(visc2=5000.0, tnu2=(500.0, 500.0),
                             akv_bak=1.0e-4, akt_bak=(1.0e-5, 1.0e-5),
-                            vmix="constant", mix_geo_ts=True,
+                            vmix="lmd" if full_physics else "constant",
+                            solar_source=full_physics,
+                            mix_geo_ts=True,
                             splines_vdiff=True, splines_vvisc=True),
         drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
         bc=BoundaryConfig.uniform(lbc),
