@@ -229,11 +229,18 @@ class ModelConfig:
     Dcrit: float = 0.10       # m
     gamma2: float = 1.0       # slipperiness (free slip = 1)
 
-    # Tracer advection scheme selection per tracer family
-    # (Hadvection/Vadvection in roms_*.in; tadv.F).
+    # Tracer advection scheme selection (Hadvection/Vadvection in
+    # roms_*.in; tadv.F:146-180).  hadv/vadv are the defaults for every
+    # tracer; hadv_t/vadv_t give the per-tracer registry — a tuple of
+    # scheme names indexed by tracer (entries beyond its length fall
+    # back to the default), so e.g. MPDATA-for-bio + U3-for-temp is one
+    # config.  Being static config, mixed schemes specialize the trace
+    # exactly like the reference's per-tracer IF-dispatch.
     hadv: str = UPSTREAM3
     vadv: str = CENTERED4     # reference default for UPWELLING is CENTERED4
     # (actually SPLINES via ana config; see apps)
+    hadv_t: Optional[Tuple[str, ...]] = None
+    vadv_t: Optional[Tuple[str, ...]] = None
 
     # Adaptive Courant-limited implicit vertical advection
     # (OMEGA_IMPLICIT, omega.F:184-345 + step3d_*.F solves)
@@ -258,6 +265,17 @@ class ModelConfig:
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
+
+    def tracer_hadv(self, itrc: int) -> str:
+        """Per-tracer horizontal scheme (tadv.F registry semantics)."""
+        if self.hadv_t is not None and itrc < len(self.hadv_t):
+            return self.hadv_t[itrc]
+        return self.hadv
+
+    def tracer_vadv(self, itrc: int) -> str:
+        if self.vadv_t is not None and itrc < len(self.vadv_t):
+            return self.vadv_t[itrc]
+        return self.vadv
 
     @property
     def L(self) -> int:

@@ -42,15 +42,17 @@ def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
     # Tracer predictor -> t_half (tracer units at n+1/2)
     # ------------------------------------------------------------------
     from ..config import HSIMT, MPDATA
-    hsimt = cfg.hadv == HSIMT
-    mpdata = cfg.hadv == MPDATA
-    Gamma = 0.5 if (hsimt or mpdata) else 1.0 / 6.0  # tadv Gamma staging
-    cff = jnp.where(iic == 0, 0.5 * dt, (1.0 - Gamma) * dt)
-    cff1 = jnp.where(iic == 0, 1.0, 0.5 + Gamma)
-    cff2 = jnp.where(iic == 0, 0.0, 0.5 - Gamma)
-
     t_half = []
     for itrc in range(NT):
+        # per-tracer scheme registry (tadv.F:146-180); Gamma staging and
+        # the AB2 weights depend on the tracer's own scheme
+        h_s, v_s = cfg.tracer_hadv(itrc), cfg.tracer_vadv(itrc)
+        hsimt = h_s == HSIMT
+        mpdata = h_s == MPDATA
+        Gamma = 0.5 if (hsimt or mpdata) else 1.0 / 6.0
+        cff = jnp.where(iic == 0, 0.5 * dt, (1.0 - Gamma) * dt)
+        cff1 = jnp.where(iic == 0, 1.0, 0.5 + Gamma)
+        cff2 = jnp.where(iic == 0, 0.0, 0.5 - Gamma)
         if hsimt:
             FX, FE = advection.hadv_flux_hsimt(cfg, grid, t[itrc],
                                                Huon, Hvom, Hz)
@@ -59,16 +61,16 @@ def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
                                          "upwind1")
         else:
             FX, FE = advection.hadv_flux(cfg, grid, t[itrc], Huon, Hvom,
-                                         cfg.hadv)
+                                         h_s)
         th = Hz * (cff1 * t[itrc] + cff2 * t_prev[itrc]) - \
             cff * pmn * (st.dx_p(FX) + st.dy_p(FE))
         # vertical advection + implied new thickness (pre_step3d.F:655-686)
-        if cfg.vadv == HSIMT:
+        if v_s == HSIMT:
             FC = advection.vadv_flux_hsimt(cfg, grid, t[itrc], W, z_r)
-        elif cfg.vadv == MPDATA:
+        elif mpdata or v_s == MPDATA:
             FC = advection.vadv_flux(cfg, t[itrc], W, Hz, "upwind1")
         else:
-            FC = advection.vadv_flux(cfg, t[itrc], W, Hz, cfg.vadv)
+            FC = advection.vadv_flux(cfg, t[itrc], W, Hz, v_s)
         DC = 1.0 / (Hz - cff * pmn * (st.dx_p(Huon) + st.dy_p(Hvom)
                                       + (W[1:] - W[:-1])))
         th = DC * (th - cff * pmn * (FC[1:] - FC[:-1]))

@@ -37,7 +37,9 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
     dia = {"hadv": [], "vadv": [], "vdif": []}
     from ..config import HSIMT, MPDATA
     for itrc in range(cfg.NT):
-        if cfg.hadv == MPDATA:
+        # per-tracer scheme registry (tadv.F:146-180)
+        h_s, v_s = cfg.tracer_hadv(itrc), cfg.tracer_vadv(itrc)
+        if h_s == MPDATA:
             # monotone two-pass MPDATA replaces the centered corrector
             # advection entirely (step3d_t.F:873-1481)
             from . import mpdata as mpdata_mod
@@ -47,22 +49,22 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
             dia["hadv"].append(tn - t_part[itrc])   # lumped 3D adv
             dia["vadv"].append(jnp.zeros_like(tn))
         else:
-            if cfg.hadv == HSIMT:
+            if h_s == HSIMT:
                 FX, FE = advection.hadv_flux_hsimt(cfg, grid,
                                                    t_half[itrc],
                                                    Huon, Hvom, Hz)
             else:
                 FX, FE = advection.hadv_flux(cfg, grid, t_half[itrc],
-                                             Huon, Hvom, cfg.hadv)
+                                             Huon, Hvom, h_s)
             hadv_inc = -dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
             tn = t_part[itrc] + hadv_inc
             dia["hadv"].append(hadv_inc)
-            if cfg.vadv == HSIMT:
+            if v_s == HSIMT:
                 FC = advection.vadv_flux_hsimt(cfg, grid, t_half[itrc],
                                                W, z_r)
             else:
                 FC = advection.vadv_flux(cfg, t_half[itrc], W, Hz,
-                                         cfg.vadv)
+                                         v_s)
             vadv_inc = -dt * pmn * (FC[1:] - FC[:-1])
             tn = tn + vadv_inc
             dia["vadv"].append(vadv_inc)

@@ -72,11 +72,24 @@ def parse_roms_in(text_or_path: str) -> Dict:
     else:
         text = text_or_path
 
-    params: Dict = {}
+    # join "\"-continued logical lines (read_phypar multi-line plural
+    # values, e.g. per-tracer Hadvection rows)
+    logical: List[str] = []
+    pending = ""
     for raw in text.splitlines():
         line = _COMMENT.sub("", raw).strip()
         if not line:
             continue
+        if line.endswith("\\"):
+            pending += line[:-1].strip() + " "
+            continue
+        logical.append(pending + line)
+        pending = ""
+    if pending:
+        logical.append(pending)
+
+    params: Dict = {}
+    for line in logical:
         m = _ASSIGN.match(line)
         if not m:
             continue
@@ -130,6 +143,18 @@ def _adv_scheme(params: Dict, key: str, default: str) -> str:
     if isinstance(spec, list):
         spec = spec[0]
     return _HADV_MAP.get(str(spec).lower()[:2], default)
+
+
+def _adv_registry(params: Dict, key: str, default: str):
+    """Per-tracer scheme tuple (tadv.F:146-180) or None if uniform."""
+    spec = params.get(key)
+    if spec is None or not isinstance(spec, list):
+        return None
+    schemes = tuple(_HADV_MAP.get(str(s).lower()[:2], default)
+                    for s in spec)
+    if all(s == schemes[0] for s in schemes):
+        return None                      # uniform: use the global switch
+    return schemes
 
 
 def _first(v, default=None):
@@ -294,7 +319,9 @@ def to_config(params: Dict, strict: bool = False,
         gamma2=float(_first(g("GAMMA2"), 1.0)),
         Dcrit=float(_first(g("DCRIT"), 0.10)),
         hadv=_adv_scheme(params, "Hadvection", C.UPSTREAM3),
-        vadv=_adv_scheme(params, "Vadvection", C.CENTERED4))
+        vadv=_adv_scheme(params, "Vadvection", C.CENTERED4),
+        hadv_t=_adv_registry(params, "Hadvection", C.UPSTREAM3),
+        vadv_t=_adv_registry(params, "Vadvection", C.CENTERED4))
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     return cfg
