@@ -127,6 +127,56 @@ def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
     return ru, rv
 
 
+def prsgrd40(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
+             eq_tide=None, Pair=None):
+    """Finite-volume pressure Jacobian of Lin (1997) (prsgrd40.h).
+
+    P is accumulated downward in density-thickness units
+    (P[k-1] = P[k] + Hz[k]*rho[k], prsgrd40.h:224-229); FX is the
+    per-cell vertical integral of pressure; the face term FC integrates
+    P along the sloping interface; the free-surface slope enters as an
+    explicit barotropic term (prsgrd40.h:238-252).  Returns (ru, rv)
+    in m4/s2.
+    """
+    g = cfg.g
+    GRho = g / cfg.rho0
+
+    Mj, Li = rho.shape[-2:]
+    P_top = jnp.zeros((Mj, Li), rho.dtype)
+    if Pair is not None:
+        # ATM_PRESS (prsgrd40.h:205-209): fac=100/g, 1 atm = 1013.25 mb
+        P_top = P_top + (100.0 / g) * (Pair - 1013.25)
+    if eq_tide is not None:
+        P_top = P_top - g * eq_tide
+
+    # interface pressures, downward accumulation (N+1, Mj, Li)
+    rhoHz = Hz * rho
+    below = jnp.cumsum(rhoHz[::-1], axis=0)[::-1]      # sum_{m>=k}
+    P = jnp.concatenate([P_top[None] + below, P_top[None]], axis=0)
+    # per-cell vertical pressure integral
+    FX = 0.5 * Hz * (P[1:] + P[:-1])
+
+    def one_dir(shift_m, metric, mask, periodic, perf):
+        Pm, zwm = shift_m(P), shift_m(z_w)
+        Hzm, FXm = shift_m(Hz), shift_m(FX)
+        if periodic:
+            Pm, zwm = perf(Pm), perf(zwm)
+            Hzm, FXm = perf(Hzm), perf(FXm)
+        # FC at interfaces 0..N-1 (prsgrd40.h:240-242); FC[N]=0
+        FC_i = 0.5 * (z_w[:-1] - zwm[:-1]) * (P[:-1] + Pm[:-1])
+        zero = jnp.zeros_like(FC_i[:1])
+        FC = jnp.concatenate([FC_i, zero], axis=0)
+        surf = 0.5 * g * (Hzm + Hz) * (zwm[-1] - z_w[-1])[None]
+        return (surf + GRho * (FXm - FX + FC[1:] - FC[:-1])) \
+            * metric[None] * mask[None]
+
+    ru = one_dir(st.im1, grid.on_u, grid.umask, cfg.bc.ew_periodic,
+                 st.periodic_x)
+    rv = one_dir(st.jm1, grid.om_v, grid.vmask, cfg.bc.ns_periodic,
+                 st.periodic_y)
+    return ru, rv
+
+
 def prsgrd31(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
              wj_gradp: bool = False):
     """Standard density Jacobian (prsgrd31.h): downward accumulation of

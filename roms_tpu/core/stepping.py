@@ -223,6 +223,9 @@ class Model:
         if cfg.prsgrd in ("sj", "sj_wj"):
             ru, rv = prsgrd.prsgrd31(cfg, grid, rho, z_r, z_w, Hz,
                                      wj_gradp=(cfg.prsgrd == "sj_wj"))
+        elif cfg.prsgrd == "fv":
+            ru, rv = prsgrd.prsgrd40(cfg, grid, rho, z_r, z_w, Hz,
+                                     eq_tide=eqt, Pair=pair)
         else:
             ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz,
                                      eq_tide=eqt, Pair=pair)

@@ -139,3 +139,34 @@ class TestGyres:
         assert np.isfinite(u_wj)
         assert u_wj < 1.0e-2
         assert u_wj <= 1.5 * u_sj       # no worse; typically better
+
+
+class TestPrsgrd40:
+    """Finite-volume pressure Jacobian of Lin (1997) (prsgrd40.h)."""
+
+    def test_seamount_error_bounded(self):
+        cfg = ia.seamount_config().replace(prsgrd="fv")
+        grid = ia.seamount_grid(cfg)
+        m = Model(cfg, grid, ia.zero_forcing(cfg))
+        s = m.run(ia.seamount_initial(cfg, grid), 30)
+        umax = np.abs(np.asarray(s.u)).max()
+        assert np.isfinite(np.asarray(s.u)).all()
+        # FV scheme is between the standard and splines Jacobians in
+        # accuracy over steep terrain
+        assert umax < 1.0e-2, umax
+
+    def test_flat_bottom_no_flow(self):
+        """Over a flat bottom with level isopycnals every scheme's
+        pressure-gradient force is exactly zero -> fluid stays at
+        rest to roundoff."""
+        cfg = ia.seamount_config().replace(prsgrd="fv")
+        grid = ia.seamount_grid(cfg)
+        import jax.numpy as jnp
+        from roms_tpu.grid.grid import build_grid
+        Mj, Li = cfg.shape2d
+        flat = build_grid(cfg, h=np.full((Mj, Li), 5000.0),
+                          pm=np.asarray(grid.pm), pn=np.asarray(grid.pn),
+                          f=np.zeros((Mj, Li)))
+        m = Model(cfg, flat, ia.zero_forcing(cfg))
+        s = m.run(ia.seamount_initial(cfg, flat), 10)
+        assert np.abs(np.asarray(s.u)).max() < 1e-12
