@@ -194,6 +194,64 @@ def gls_prestep(cfg: ModelConfig, grid: Grid, mix: MixState,
     return tke_half, gls_half, tke_seed, gls_seed
 
 
+def shear2_spline(u, v, Hz):
+    """Parabolic-spline (du/dz)^2+(dv/dz)^2 at interior interfaces
+    (RI_SPLINES path, gls_corstep.F:278-310 / my25_corstep.F)."""
+    du_c = (u[1:] - u[:-1]) + (st.ip1(u)[1:] - st.ip1(u)[:-1])
+    dv_c = (v[1:] - v[:-1]) + (st.jp1(v)[1:] - st.jp1(v)[:-1])
+    lo = Hz[1:-1]
+    dg = 2.0 * Hz[1:] + 2.0 * Hz[:-1]
+    up = Hz[1:-1]
+    zpad = jnp.zeros_like(lo[:1])
+    dU = tridiag_solve(jnp.concatenate([zpad, lo], axis=0), dg,
+                       jnp.concatenate([up, zpad], axis=0), 3.0 * du_c)
+    dV = tridiag_solve(jnp.concatenate([zpad, lo], axis=0), dg,
+                       jnp.concatenate([up, zpad], axis=0), 3.0 * dv_c)
+    return dU * dU + dV * dV
+
+
+def n2s2_horavg(cfg, f):
+    """Horizontal smoothing of N2/S2 (N2S2_HORAVG branch)."""
+    fp = 0.25 * (f + st.ip1(f) + st.jp1(f) + st.ip1(st.jp1(f)))
+    if cfg.bc.ew_periodic:
+        fp = st.periodic_x(fp)
+    if cfg.bc.ns_periodic:
+        fp = st.periodic_y(fp)
+    return 0.25 * (fp + st.im1(fp) + st.jm1(fp) + st.im1jm1(fp))
+
+
+def corstep_advect(cfg, grid, tke_half, gls_half, tke_seed, gls_seed,
+                   Huon, Hvom, W):
+    """Corrector advection of the half-step interface fields shared by
+    gls_corstep and my25_corstep: horizontal 3rd-order upstream + C4-ish
+    vertical of Hz-weighted tke/psi.  Returns (tke_n, gls_n) >= 0."""
+    dt = cfg.dt
+    N = cfg.N
+    pmn = grid.pm * grid.pn
+    FXq, FEq = _hadv_interface(cfg, grid, tke_half[1:-1], Huon, Hvom)
+    FXp, FEp = _hadv_interface(cfg, grid, gls_half[1:-1], Huon, Hvom)
+    cffd = dt * pmn
+    tke_n = tke_seed - cffd * (st.dx_p(FXq) + st.dy_p(FEq))
+    gls_n_ = gls_seed - cffd * (st.dx_p(FXp) + st.dy_p(FEp))
+
+    Wc = 0.5 * (W[:-1] + W[1:])
+    c71, c112 = 7.0 / 12.0, 1.0 / 12.0
+
+    def vflux(qq):
+        Fi = Wc[1:-1] * (c71 * (qq[1:-2] + qq[2:-1])
+                         - c112 * (qq[:-3] + qq[3:]))
+        F1 = Wc[0] * (qq[0] / 3.0 + 5.0 / 6.0 * qq[1] - qq[2] / 6.0)
+        Fn = Wc[-1] * (qq[N] / 3.0 + 5.0 / 6.0 * qq[N - 1]
+                       - qq[N - 2] / 6.0)
+        return jnp.concatenate([F1[None], Fi, Fn[None]], axis=0)
+
+    FCq = vflux(tke_half)
+    FCp = vflux(gls_half)
+    tke_n = jnp.maximum(tke_n - cffd * (FCq[1:] - FCq[:-1]), 0.0)
+    gls_n_ = jnp.maximum(gls_n_ - cffd * (FCp[1:] - FCp[:-1]), 0.0)
+    return tke_n, gls_n_
+
+
 def gls_corstep(cfg: ModelConfig, grid: Grid, mix: MixState,
                 tke_half, gls_half, tke_seed, gls_seed,
                 u, v, Hz, z_r, z_w, Huon, Hvom, W, bvf,
@@ -226,65 +284,16 @@ def gls_corstep(cfg: ModelConfig, grid: Grid, mix: MixState,
     sqrt2 = math.sqrt(2.0)
 
     # ---- shear^2 at interior interfaces (RI_SPLINES path) --------------
-    # Parabolic-spline du/dz averaged to rho centers (gls_corstep.F:278-310)
-    du_c = (u[1:] - u[:-1]) + (st.ip1(u)[1:] - st.ip1(u)[:-1])
-    dv_c = (v[1:] - v[:-1]) + (st.jp1(v)[1:] - st.jp1(v)[:-1])
-    ones = jnp.ones_like(Hz[:1])
-    lower = jnp.concatenate([jnp.zeros_like(ones), Hz[1:-1]], axis=0)
-    diag_ = jnp.concatenate([ones, 2.0 * (Hz[:-1] + Hz[1:])[:-1]],
-                            axis=0)
-    # Solve the reference's recursive spline sweep exactly: system over
-    # interfaces k=1..N-1 with coefficients (Hz[k], 2(Hz[k]+Hz[k+1]),
-    # Hz[k+1]) -- 0-based layers k-1,k.
-    lo = Hz[1:-1]
-    dg = 2.0 * Hz[1:] + 2.0 * Hz[:-1]
-    up = Hz[1:-1]
-    dU = tridiag_solve(
-        jnp.concatenate([jnp.zeros_like(lo[:1]), lo], axis=0),
-        dg,
-        jnp.concatenate([up, jnp.zeros_like(up[:1])], axis=0),
-        3.0 * du_c)
-    dV = tridiag_solve(
-        jnp.concatenate([jnp.zeros_like(lo[:1]), lo], axis=0),
-        dg,
-        jnp.concatenate([up, jnp.zeros_like(up[:1])], axis=0),
-        3.0 * dv_c)
-    shear2 = dU * dU + dV * dV            # (N-1,...) interfaces 1..N-1
+    shear2 = shear2_spline(u, v, Hz)      # (N-1,...) interfaces 1..N-1
     buoy2 = bvf[1:-1]
 
     # ---- horizontal average of N2/S2 (N2S2_HORAVG) -----------------------
-    def horavg(f):
-        fp = 0.25 * (f + st.ip1(f) + st.jp1(f) + st.ip1(st.jp1(f)))
-        if cfg.bc.ew_periodic:
-            fp = st.periodic_x(fp)
-        if cfg.bc.ns_periodic:
-            fp = st.periodic_y(fp)
-        return 0.25 * (fp + st.im1(fp) + st.jm1(fp) + st.im1jm1(fp))
-    shear2 = horavg(shear2)
-    buoy2_a = horavg(buoy2)
+    shear2 = n2s2_horavg(cfg, shear2)
+    buoy2_a = n2s2_horavg(cfg, buoy2)
 
     # ---- corrector advection of half-step fields -------------------------
-    FXq, FEq = _hadv_interface(cfg, grid, tke_half[1:-1], Huon, Hvom)
-    FXp, FEp = _hadv_interface(cfg, grid, gls_half[1:-1], Huon, Hvom)
-    cffd = dt * pmn
-    tke_n = tke_seed - cffd * (st.dx_p(FXq) + st.dy_p(FEq))
-    gls_n_ = gls_seed - cffd * (st.dx_p(FXp) + st.dy_p(FEp))
-
-    Wc = 0.5 * (W[:-1] + W[1:])
-    c71, c112 = 7.0 / 12.0, 1.0 / 12.0
-
-    def vflux(qq):
-        Fi = Wc[1:-1] * (c71 * (qq[1:-2] + qq[2:-1])
-                         - c112 * (qq[:-3] + qq[3:]))
-        F1 = Wc[0] * (qq[0] / 3.0 + 5.0 / 6.0 * qq[1] - qq[2] / 6.0)
-        Fn = Wc[-1] * (qq[N] / 3.0 + 5.0 / 6.0 * qq[N - 1]
-                       - qq[N - 2] / 6.0)
-        return jnp.concatenate([F1[None], Fi, Fn[None]], axis=0)
-
-    FCq = vflux(tke_half)
-    FCp = vflux(gls_half)
-    tke_n = jnp.maximum(tke_n - cffd * (FCq[1:] - FCq[:-1]), 0.0)
-    gls_n_ = jnp.maximum(gls_n_ - cffd * (FCp[1:] - FCp[:-1]), 0.0)
+    tke_n, gls_n_ = corstep_advect(cfg, grid, tke_half, gls_half,
+                                   tke_seed, gls_seed, Huon, Hvom, W)
 
     # ---- production / dissipation sources (gls_corstep.F:596-654) -------
     tke0 = mix.tke[1:-1]

@@ -106,6 +106,9 @@ def initial_state(cfg: ModelConfig, grid: Grid, *, zeta=None, u=None, v=None,
     if mix is None and cfg.mixing.vmix == "gls":
         from .gls import initial_mix
         mix = initial_mix(cfg)
+    elif mix is None and cfg.mixing.vmix == "my25":
+        from .my25 import initial_mix_my25
+        mix = initial_mix_my25(cfg)
 
     return State(
         time=jnp.asarray(time0, dtype),

@@ -178,7 +178,7 @@ class Model:
             bustr, bvstr = set_vbc.bottom_drag(cfg, grid, state.u,
                                                state.v, Hz, z_r, z_w)
             bbl_new = state.bbl
-        use_gls = cfg.mixing.vmix == "gls"
+        use_gls = cfg.mixing.vmix in ("gls", "my25")
         ghats_flux = None
         if use_gls:
             Akv, Akt = state.mix.Akv, state.mix.Akt
@@ -313,13 +313,21 @@ class Model:
             W2, Wi2 = omega_mod.omega(cfg, grid, Huon2, Hvom2,
                                       z_w2), None
         if use_gls:
-            # gls_corstep (main3d.F:1019-1021) runs before step3d_t so
-            # tracers diffuse with the updated Akt.
-            mix_new = gls_mod.gls_corstep(
-                cfg, grid, state.mix, tke_half, gls_half, tke_seed,
-                gls_seed, state.u, state.v, Hz2, z_r2, z_w2,
-                Huon2, Hvom2, W2, bvf, forcing.sustr, forcing.svstr,
-                bustr, bvstr)
+            # gls_corstep / my25_corstep (main3d.F:1019-1021) runs
+            # before step3d_t so tracers diffuse with the updated Akt.
+            if cfg.mixing.vmix == "my25":
+                from . import my25 as my25_mod
+                mix_new = my25_mod.my25_corstep(
+                    cfg, grid, state.mix, tke_half, gls_half, tke_seed,
+                    gls_seed, state.u, state.v, Hz2, z_r2, z_w2,
+                    Huon2, Hvom2, W2, bvf, forcing.sustr, forcing.svstr,
+                    bustr, bvstr)
+            else:
+                mix_new = gls_mod.gls_corstep(
+                    cfg, grid, state.mix, tke_half, gls_half, tke_seed,
+                    gls_seed, state.u, state.v, Hz2, z_r2, z_w2,
+                    Huon2, Hvom2, W2, bvf, forcing.sustr, forcing.svstr,
+                    bustr, bvstr)
             Akt_t = mix_new.Akt
         else:
             mix_new = state.mix
