@@ -30,9 +30,10 @@ class HistoryWriter:
 
     def __init__(self, path: str, cfg: ModelConfig, grid,
                  fields=("zeta", "ubar", "vbar", "u", "v", "temp",
-                         "salt")):
+                         "salt"), checksum: str = None):
         self.cfg = cfg
         self.fields = fields
+        self.checksum = checksum      # 'bitsum' | 'adler32' | 'crc32'
         self.nrec = 0
         Mj, Li = cfg.shape2d
         N = cfg.N
@@ -75,6 +76,7 @@ class HistoryWriter:
             v[:] = np.asarray(getattr(grid, key), np.float64)
 
         self._vars = {}
+        self._hash_vars = {}
         for key in self.fields:
             info = REGISTRY[key]
             dims = ("ocean_time",) + dims_for(info.location, N)
@@ -82,6 +84,13 @@ class HistoryWriter:
             v.long_name = info.long_name
             v.units = info.units
             self._vars[key] = v
+            if self.checksum:
+                # get_hash.F analog: per-record field checksums stored
+                # as a parallel record variable
+                hv = f.createVariable(info.name + "_checksum", "i",
+                                      ("ocean_time",))
+                hv.long_name = f"{self.checksum} checksum of {info.name}"
+                self._hash_vars[key] = hv
         self.f = f
 
     def _extract(self, state, key):
@@ -106,8 +115,12 @@ class HistoryWriter:
         t = float(np.asarray(state.time if time is None else time))
         self._time[i] = t
         for key in self.fields:
-            self._vars[key][i] = np.asarray(self._extract(state, key),
-                                            np.float32)
+            val = np.asarray(self._extract(state, key), np.float32)
+            self._vars[key][i] = val
+            if self.checksum:
+                from .checksum import get_hash
+                h = get_hash(val, self.checksum)
+                self._hash_vars[key][i] = np.int32(h & 0x7FFFFFFF)
         self.nrec += 1
         self.f.flush()
 
