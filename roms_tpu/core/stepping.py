@@ -185,18 +185,31 @@ class Model:
         elif cfg.mixing.vmix == "lmd":
             # LMD-KPP (main3d.F:525-529): interior Ri mixing + surface
             # boundary layer, diagnostic from the time-n state.
-            Akv, Akt = lmd_mod.lmd_vmix_interior(cfg, state.u, state.v,
-                                                 bvf, Hz)
-            Akv, Akt, ghats, hsbl = lmd_mod.lmd_skpp(
-                cfg, grid, state.t, state.u, state.v, pden, bvf, Hz,
-                z_r, z_w, forcing, Akv, Akt)
-            if cfg.mixing.bkpp:
-                ksbl = jnp.maximum(jnp.sum(
-                    (z_w[:-1] < hsbl[None]).astype(jnp.int32), axis=0), 1)
-                Akv, Akt, hbbl = lmd_mod.lmd_bkpp(
+            from ..ops import pallas_kpp
+            if not cfg.mixing.bkpp and pallas_kpp.use_pallas_kpp():
+                # fused single-pass Pallas kernel (~40x less HBM
+                # traffic than the whole-array path; see
+                # ops/pallas_kpp.py)
+                import os as _os
+                Akv, Akt, ghats, hsbl = pallas_kpp.lmd_kpp_fused(
+                    cfg, grid, state.t, state.u, state.v, pden, bvf,
+                    Hz, z_r, z_w, forcing,
+                    interpret=bool(_os.environ.get(
+                        "ROMS_TPU_PALLAS_KPP_INTERPRET")))
+            else:
+                Akv, Akt = lmd_mod.lmd_vmix_interior(cfg, state.u,
+                                                     state.v, bvf, Hz)
+                Akv, Akt, ghats, hsbl = lmd_mod.lmd_skpp(
                     cfg, grid, state.t, state.u, state.v, pden, bvf, Hz,
-                    z_r, z_w, forcing, bustr, bvstr, Akv, Akt,
-                    ksbl_guard=ksbl)
+                    z_r, z_w, forcing, Akv, Akt)
+                if cfg.mixing.bkpp:
+                    ksbl = jnp.maximum(jnp.sum(
+                        (z_w[:-1] < hsbl[None]).astype(jnp.int32),
+                        axis=0), 1)
+                    Akv, Akt, hbbl = lmd_mod.lmd_bkpp(
+                        cfg, grid, state.t, state.u, state.v, pden, bvf,
+                        Hz, z_r, z_w, forcing, bustr, bvstr, Akv, Akt,
+                        ksbl_guard=ksbl)
             ghats_flux = Akt * ghats
         else:
             Akv, Akt = self.vmix_fn(state, grid, z_w)
