@@ -800,3 +800,246 @@ def make_nemuro_hook(cfg: ModelConfig, bio: NemuroConfig, grid: Grid):
     def hook(t, Hz, z_w, forcing):
         return nemuro(cfg, bio, grid, t, Hz, z_w, forcing.srflx)
     return hook
+
+
+# ---------------------------------------------------------------------------
+# NPZD with iron limitation (ROMS/Nonlinear/Biology/npzd_iron.h)
+# ---------------------------------------------------------------------------
+
+IFEDIS, IFEPHY = 4, 5                   # iron tracers after NPZD block
+
+
+@dataclass(frozen=True)
+class IronNPZDConfig(NPZDConfig):
+    """npzd_iron.in defaults (IRON_LIMIT branch)."""
+    T_Fe: float = 1.0          # iron uptake timescale (day)
+    A_Fe: float = 0.6          # empirical Fe:C power
+    B_Fe: float = 64.0         # empirical Fe:C coefficient (1/M-C)
+    K_FeC: float = 16.9        # Fe:C half-saturation (muM-Fe/M-C)
+    FeRR: float = 0.5          # Fe remineralization fraction
+    FeMax: float = 2.0         # iron-relaxation value (mmol/m3)
+    FeNudgTime: float = 5.0    # iron nudging timescale (day)
+    iron_relax: bool = False   # coastal source nudging (IRON_RELAX)
+
+
+def npzd_iron(cfg: ModelConfig, bio: IronNPZDConfig, grid: Grid, t,
+              Hz, z_w, srflx, relax_mask=None):
+    """NPZD-Powell with iron limitation (npzd_iron.h:436-610): two
+    extra tracers Fdis (dissolved iron) and Fphy (phytoplankton-
+    associated iron); growth is reduced by min(Fe-limit, N-limit), iron
+    is taken up with growth and relaxed toward the empirical Fe:C
+    curve FCratioE = B_Fe * Fdis^A_Fe over T_Fe days."""
+    nb = cfg.NAT
+    dtdays = cfg.dt * constants.sec2day / max(bio.BioIter, 1)
+    FeN2FeC = (16.0 / 106.0) * 1.0e3     # npzd_iron.h:215-216
+    FeC2FeN = (106.0 / 16.0) * 1.0e-3
+
+    NO3_0 = jnp.maximum(t[nb + INO3], bio.MinVal)
+    Phy_0 = jnp.maximum(t[nb + IPHY], bio.MinVal)
+    Zoo_0 = jnp.maximum(t[nb + IZOO], bio.MinVal)
+    Det_0 = jnp.maximum(t[nb + IDET], bio.MinVal)
+    Fdis_0 = jnp.maximum(t[nb + IFEDIS], bio.MinVal)
+    Fphy_0 = jnp.maximum(t[nb + IFEPHY], bio.MinVal)
+    NO3, Phy, Zoo, Det = NO3_0, Phy_0, Zoo_0, Det_0
+    Fdis, Fphy = Fdis_0, Fphy_0
+
+    PARsur = bio.PARfrac * srflx * cfg.rho0 * constants.Cp
+
+    for _ in range(max(bio.BioIter, 1)):
+        if bio.iron_relax and relax_mask is not None:
+            # IRON_RELAX coastal source (npzd_iron.h:308-313)
+            fc = cfg.dt / (bio.FeNudgTime * 86400.0)
+            Fdis = Fdis + fc * relax_mask[None] * (bio.FeMax - Fdis)
+
+        Att = (bio.AttSW + bio.AttPhy * Phy) * Hz
+        atn_above = jnp.cumsum(Att[::-1], axis=0)[::-1] - Att
+        ExpAtt = jnp.exp(-Att)
+        Itop = PARsur[None] * jnp.exp(-atn_above)
+        Light = jnp.where(PARsur[None] > 0.0,
+                          Itop * (1.0 - ExpAtt) / Att, 0.0)
+
+        # iron-limited uptake (npzd_iron.h:445-467)
+        FNratio = Fphy / jnp.maximum(bio.MinVal, Phy)
+        FCratio = FNratio * FeN2FeC
+        FCratioE = bio.B_Fe * Fdis ** bio.A_Fe
+        Flimit = FCratio * FCratio / (FCratio * FCratio
+                                      + bio.K_FeC * bio.K_FeC)
+        Nlimit = 1.0 / (bio.K_NO3 + NO3)
+        FNlim = jnp.minimum(1.0, Flimit / (NO3 * Nlimit))
+        cff1 = dtdays * bio.Vm_NO3 * bio.PhyIS
+        cff4 = 1.0 / jnp.sqrt(bio.Vm_NO3 ** 2
+                              + bio.PhyIS ** 2 * Light * Light + 1e-30)
+        cff = Phy * cff1 * cff4 * Light * FNlim * Nlimit
+        NO3 = NO3 / (1.0 + cff)
+        Phy = Phy + NO3 * cff
+
+        # iron uptake proportional to growth (npzd_iron.h:470-475)
+        fac = cff * NO3 * FNratio / jnp.maximum(bio.MinVal, Fdis)
+        Fdis = Fdis / (1.0 + fac)
+        Fphy = Fphy + Fdis * fac
+        # relax toward the empirical Fe:C curve (npzd_iron.h:477-491)
+        cff6 = Phy * dtdays * (FCratioE - FCratio) / bio.T_Fe * FeC2FeN
+        up = cff6 >= 0.0
+        cffp = jnp.abs(cff6) / jnp.maximum(bio.MinVal,
+                                           jnp.where(up, Fdis, Fphy))
+        Fdis = jnp.where(up, Fdis / (1.0 + cffp),
+                         Fdis + Fphy * cffp / (1.0 + cffp))
+        Fphy = jnp.where(up, Fphy + Fdis * cffp,
+                         Fphy / (1.0 + cffp))
+
+        # grazing; phyto-iron follows grazed phytoplankton with FeRR
+        # remineralized to the dissolved pool (npzd_iron.h:505-524)
+        cffg = Zoo * dtdays * bio.ZooGR * \
+            (1.0 - jnp.exp(-bio.Ivlev * Phy)) / Phy
+        Phy = Phy / (1.0 + cffg)
+        Zoo = Zoo + Phy * (1.0 - bio.ZooEEN - bio.ZooEED) * cffg
+        NO3 = NO3 + Phy * bio.ZooEEN * cffg
+        Det = Det + Phy * bio.ZooEED * cffg
+        Fphy = Fphy / (1.0 + cffg)
+        Fdis = Fdis + Fphy * cffg * bio.FeRR
+
+        # mortalities + remineralization (npzd_iron.h:527-575)
+        c2, c3 = dtdays * bio.PhyMRN, dtdays * bio.PhyMRD
+        Phy = Phy / (1.0 + c2 + c3)
+        NO3 = NO3 + Phy * c2
+        Det = Det + Phy * c3
+        Fphy = Fphy / (1.0 + c2 + c3)
+        Fdis = Fdis + Fphy * (c2 + c3) * bio.FeRR
+        c2, c3 = dtdays * bio.ZooMRN, dtdays * bio.ZooMRD
+        Zoo = Zoo / (1.0 + c2 + c3)
+        NO3 = NO3 + Zoo * c2
+        Det = Det + Zoo * c3
+        c2 = dtdays * bio.DetRR
+        Det = Det / (1.0 + c2)
+        NO3 = NO3 + Det * c2
+
+        def sink(q, w_mday):
+            if w_mday == 0.0:
+                return q
+            w = w_mday / 86400.0 * cfg.dt / max(bio.BioIter, 1)
+            flux = jnp.minimum(w, 0.9 * Hz[1:]) * q[1:]
+            dq = jnp.concatenate([flux, jnp.zeros_like(q[:1])], axis=0) \
+                - jnp.concatenate([jnp.zeros_like(q[:1]), flux], axis=0)
+            return q + dq / Hz
+
+        Phy = sink(Phy, bio.wPhy)
+        Det = sink(Det, bio.wDet)
+        Fphy = sink(Fphy, bio.wPhy)
+
+    inc = jnp.zeros_like(t)
+    for i, (new, old) in enumerate([(NO3, NO3_0), (Phy, Phy_0),
+                                    (Zoo, Zoo_0), (Det, Det_0),
+                                    (Fdis, Fdis_0), (Fphy, Fphy_0)]):
+        inc = inc.at[nb + i].set(new - old)
+    return inc
+
+
+def make_iron_npzd_hook(cfg: ModelConfig, bio: IronNPZDConfig,
+                        grid: Grid, relax_mask=None):
+    """bio_fn hook: cfg.NT = NAT + 6 with (NO3, Phyt, Zoop, SDet,
+    Fdis, Fphy)."""
+    def hook(t, Hz, z_w, forcing):
+        return npzd_iron(cfg, bio, grid, t, Hz, z_w, forcing.srflx,
+                         relax_mask=relax_mask)
+    return hook
+
+
+# ---------------------------------------------------------------------------
+# Red tide (ROMS/Nonlinear/Biology/red_tide.h) — Alexandrium fundyense
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RedTideConfig:
+    """red_tide.in defaults (Stock et al. 2005; He et al. 2008)."""
+    Gmax: float = 0.3          # maximum growth rate (1/day)
+    G_r: float = 0.3           # light-response threshold (1/day)
+    G_eff: float = 1.0e-2      # growth efficiency ((m2/W)/day)
+    Kn: float = 1.0            # DIN half-saturation (mmol/m3)
+    AttW: float = 0.13         # water light attenuation (1/m)
+    AttS: float = 2.0          # sediment attenuation (1/cm)
+    E_light: float = 9.65      # light germination threshold (W/m2)
+    E_dark: float = 0.48       # dark germination threshold (W/m2)
+    g_light: float = 0.0157    # light germination rate (%/day)
+    g_dark: float = 0.0048     # dark germination rate (%/day)
+    Dg: float = 1.0            # cyst germination layer depth (cm)
+    Tmin_growth: float = 5.0   # minimum growth temperature (C)
+    Mor_a: float = 0.01        # mortality amplitude (1/day)
+    Mor_b: float = 0.0         # mortality offset
+    Mor_Q10: float = 2.0       # mortality Q10
+    Mor_T0: float = 10.0       # mortality reference T (C)
+    wDino: float = -10.0       # upward swimming (m/day, negative=up)
+    DIN_Cdepth: float = 5.0    # deep DIN value (mmol/m3)
+    MinVal: float = 1.0e-6
+    srad_Cdepth: float = 200.0
+
+
+def red_tide(cfg: ModelConfig, bio: RedTideConfig, grid: Grid, t,
+             Hz, z_w, srflx, cyst_ini, din_obs=None):
+    """Dinoflagellate population model (red_tide.h): cyst germination
+    from the bottom sediment layer regulated by near-bottom light,
+    growth limited by min(light, DIN) above a temperature threshold,
+    Q10 mortality, upward swimming.  One tracer iDino = t[NAT];
+    cyst_ini: (Mj, Li) initial cyst abundance (cysts/cm2); din_obs:
+    optional DIN field, else the deep constant DIN_Cdepth is used.
+    (The endogenous-clock germination modulation of red_tide.h:295-341
+    is collapsed to 1; hook a seasonal factor through cyst_ini.)"""
+    nb = cfg.NAT
+    dtdays = cfg.dt * constants.sec2day
+    Dino0 = jnp.maximum(t[nb], 0.0)
+    temp = t[0]
+
+    # light at depth (W/m2), water-only attenuation (red_tide.h:342-366)
+    depth_r = z_w[-1][None] - 0.5 * (z_w[:-1] + z_w[1:])
+    Rad = srflx[None] * cfg.rho0 * constants.Cp * \
+        jnp.exp(-bio.AttW * depth_r)
+
+    # germination flux from the cyst layer into the bottom cell
+    E_bot = Rad[0] * jnp.exp(-bio.AttS * bio.Dg * 0.5)
+    germ_rate = jnp.where(
+        E_bot > bio.E_light, bio.g_light,
+        jnp.where(E_bot < bio.E_dark, bio.g_dark,
+                  bio.g_dark + (E_bot - bio.E_dark)
+                  / (bio.E_light - bio.E_dark)
+                  * (bio.g_light - bio.g_dark)))
+    germ = germ_rate * bio.Dg * 100.0 * 0.01      # fraction/day
+    # cysts/cm2 -> cells/m3 into the bottom layer (red_tide.h:394-400)
+    cell_flux = cyst_ini * germ * 1.0e4 * dtdays / jnp.maximum(Hz[0],
+                                                               0.01)
+
+    # growth: light- and DIN-limited (red_tide.h:417-467)
+    G_fac = jnp.where(temp >= bio.Tmin_growth, 1.0, 0.0)
+    cffG = bio.Gmax * G_fac + bio.G_r
+    G_light = jnp.maximum(0.0, cffG * jnp.tanh(bio.G_eff * Rad / cffG)
+                          - bio.G_r)
+    DIN = din_obs if din_obs is not None else bio.DIN_Cdepth
+    G_DIN = bio.Gmax * G_fac * DIN / (jnp.maximum(bio.Kn, 0.0) + DIN)
+    G = jnp.minimum(G_light, G_DIN)
+
+    # Q10 mortality (red_tide.h:484-486)
+    M_rate = bio.Mor_a * bio.Mor_Q10 ** ((temp - bio.Mor_T0) * 0.1) \
+        + bio.Mor_b
+
+    Dino = Dino0 * (1.0 + dtdays * (G - M_rate))
+    Dino = Dino.at[0].add(cell_flux)
+    Dino = jnp.maximum(Dino, 0.0)
+
+    # upward swimming (negative sinking): upwind flux toward surface
+    w = abs(bio.wDino) / 86400.0 * cfg.dt
+    flux = jnp.minimum(w, 0.9 * Hz[:-1]) * Dino[:-1]     # (N-1,...)
+    Dino = Dino - jnp.concatenate([flux, jnp.zeros_like(Dino[:1])],
+                                  axis=0) / Hz \
+        + jnp.concatenate([jnp.zeros_like(Dino[:1]), flux],
+                          axis=0) / Hz
+
+    inc = jnp.zeros_like(t)
+    inc = inc.at[nb].set(Dino - Dino0)
+    return inc
+
+
+def make_red_tide_hook(cfg: ModelConfig, bio: RedTideConfig, grid: Grid,
+                       cyst_ini, din_obs=None):
+    """bio_fn hook: cfg.NT = NAT + 1 with the dinoflagellate tracer."""
+    def hook(t, Hz, z_w, forcing):
+        return red_tide(cfg, bio, grid, t, Hz, z_w, forcing.srflx,
+                        cyst_ini, din_obs=din_obs)
+    return hook

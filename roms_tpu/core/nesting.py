@@ -185,3 +185,84 @@ def run_two_way(parent_model, child_model, spec: RefineSpec,
             s_child = child_model.step_with_obc(s_child, obc_k)
         s_parent = two_way_feedback(s_parent, s_child, spec)
     return s_parent, s_child
+
+
+# ---------------------------------------------------------------------------
+# Composite / mosaic grids (nesting.F:35-60 classes 2 and 3)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ContactRegion:
+    """Donor-receiver contact for same-resolution composite/mosaic
+    grids (mod_nesting.F T_NGC contact-region analog).
+
+    The receiver grid's rho-point (j, i) coincides with the donor's
+    rho-point (j + dj, i + di): aligned composite grids (overlapping
+    sub-rectangles of one conceptual lattice) and mosaic grids
+    (edge-abutting tiles) are both expressed this way, so the contact
+    "interpolation weights" are exact injections (set_contact.F reduces
+    to identity weights for coincident points)."""
+    donor: int
+    receiver: int
+    edge: str            # receiver edge refreshed from the donor
+    di: int              # receiver->donor rho-index offset in xi
+    dj: int              # and in eta
+
+
+def _edge_indices(edge: str, Mj: int, Li: int):
+    """(j, i) index arrays of a receiver's boundary ring points."""
+    import numpy as np
+    if edge == "west":
+        j = np.arange(Mj); i = np.zeros(Mj, int)
+    elif edge == "east":
+        j = np.arange(Mj); i = np.full(Mj, Li - 1)
+    elif edge == "south":
+        j = np.zeros(Li, int); i = np.arange(Li)
+    else:
+        j = np.full(Li, Mj - 1); i = np.arange(Li)
+    return j, i
+
+
+def composite_obc(states, cfgs, regions, receiver: int):
+    """Assemble the OBC data pytree for one receiver grid by sampling
+    donor interiors at the receiver's contact edges (the reference's
+    get_composite donor extraction, nesting.F).  Edges with no contact
+    region are omitted (physical boundaries keep their own BCs)."""
+    cfg_r = cfgs[receiver]
+    Mj, Li = cfg_r.shape2d
+    out = {"zeta": {}, "ubar": {}, "vbar": {}, "u": {}, "v": {},
+           "t": {itrc: {} for itrc in range(cfg_r.NT)}}
+    for reg in regions:
+        if reg.receiver != receiver:
+            continue
+        sd = states[reg.donor]
+        j, i = _edge_indices(reg.edge, Mj, Li)
+        jd = jnp.asarray(j + reg.dj)
+        id_ = jnp.asarray(i + reg.di)
+
+        def sample(F):
+            return F[..., jd, id_]
+
+        out["zeta"][reg.edge] = sample(sd.zeta)
+        out["ubar"][reg.edge] = sample(sd.ubar)
+        out["vbar"][reg.edge] = sample(sd.vbar)
+        out["u"][reg.edge] = sample(sd.u)
+        out["v"][reg.edge] = sample(sd.v)
+        for itrc in range(cfg_r.NT):
+            out["t"][itrc][reg.edge] = sample(sd.t[itrc])
+    return out
+
+
+def run_composite(models, states, regions, nsteps: int):
+    """Advance a set of composite/mosaic grids: each step, every grid
+    integrates with contact-edge boundary data sampled from its donors
+    at the current time level (bulk-synchronous donor exchange, the
+    nesting.F composite cycle).  Returns the list of final states."""
+    cfgs = [m.cfg for m in models]
+    states = list(states)
+    for n in range(nsteps):
+        obcs = [composite_obc(states, cfgs, regions, r)
+                for r in range(len(models))]
+        states = [m.step_with_obc(s, o)
+                  for m, s, o in zip(models, states, obcs)]
+    return states

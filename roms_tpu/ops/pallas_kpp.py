@@ -143,17 +143,17 @@ def kpp_block(p, u_r, v_r, pden, bvf, Hz, z_w,
     Akt = jnp.concatenate([zt, Akt_i, zt], axis=0)
 
     # ---- surface buoyancy flux at interfaces -----------------------------
-    depth_w = z_w[-1][None] - z_w
+    depth_w = z_w[N][None] - z_w
     swdk_w = _swdk(depth_w, jw)
     Bflux = Bo[None] + Bosol[None] * (1.0 - swdk_w)
 
     # ---- bulk Richardson number (lmd_skpp.F) ----------------------------
     c3, c6 = 1.0 / 3.0, 1.0 / 6.0
-    Rref = pden[-1] + Hz[-1] * (c3 * dR[-1] + c6 * dR[-2])
-    Uref = u_r[-1] + Hz[-1] * (c3 * dU[-1] + c6 * dU[-2])
-    Vref = v_r[-1] + Hz[-1] * (c3 * dV[-1] + c6 * dV[-2])
+    Rref = pden[N - 1] + Hz[N - 1] * (c3 * dR[N] + c6 * dR[N - 1])
+    Uref = u_r[N - 1] + Hz[N - 1] * (c3 * dU[N] + c6 * dU[N - 1])
+    Vref = v_r[N - 1] + Hz[N - 1] * (c3 * dV[N] + c6 * dV[N - 1])
 
-    depth_k = z_w[-1][None] - z_w[:-1]
+    depth_k = z_w[N][None] - z_w[:-1]
     Bf_k = Bflux[:-1]
     sl_dpth0 = LMD_EPSILON * depth_k
     sigma = jnp.where(Bf_k < 0.0, jnp.minimum(sl_dpth0, depth_k),
@@ -187,15 +187,15 @@ def kpp_block(p, u_r, v_r, pden, bvf, Hz, z_w,
     hsbl = jnp.where(found, hsbl_x, z_w[1])
 
     # ---- Ekman / Monin-Obukhov caps under stable forcing -----------------
-    swdk_bl = _swdk(z_w[-1] - hsbl, jw)
+    swdk_bl = _swdk(z_w[N] - hsbl, jw)
     Bfsfc = Bo + Bosol * (1.0 - swdk_bl)
     hekman = LMD_CEKMAN * Ustar / jnp.maximum(absf, _EPS)
     hmonob = LMD_CMONOB * Ustar ** 3 / \
         jnp.maximum(vonKar * Bfsfc, _EPS)
-    cap = z_w[-1] - jnp.minimum(jnp.minimum(hekman, hmonob),
-                                z_w[-1] - hsbl)
+    cap = z_w[N] - jnp.minimum(jnp.minimum(hekman, hmonob),
+                                z_w[N] - hsbl)
     hsbl = jnp.where((Ustar > 0.0) & (Bfsfc > 0.0), cap, hsbl)
-    hsbl = jnp.clip(hsbl, z_w[0], z_w[-1])
+    hsbl = jnp.clip(hsbl, z_w[0], z_w[N])
 
     # ksbl: number of interfaces z_w[0..N-1] strictly below hsbl
     ksbl = izero
@@ -204,9 +204,9 @@ def kpp_block(p, u_r, v_r, pden, bvf, Hz, z_w,
     ksbl = jnp.maximum(ksbl, 1)
 
     # ---- boundary-layer scales and profile matching ----------------------
-    swdk_bl = _swdk(z_w[-1] - hsbl, jw)
+    swdk_bl = _swdk(z_w[N] - hsbl, jw)
     Bfsfc = Bo + Bosol * (1.0 - swdk_bl)
-    zbl = z_w[-1] - hsbl
+    zbl = z_w[N] - hsbl
     sl_dpth = LMD_EPSILON * zbl
     sig_bl = jnp.where(Bfsfc > 0.0, zbl, LMD_EPSILON * zbl)
     wm_bl, ws_bl = _wscale(Ustar, vonKar * sig_bl * Bfsfc, vonKar)
@@ -235,7 +235,7 @@ def kpp_block(p, u_r, v_r, pden, bvf, Hz, z_w,
     # ---- interior overwrite with shape-function profile ------------------
     kif = jax.lax.broadcasted_iota(jnp.int32, (N - 1, 1, 1), 0) + 1
     inside = kif > ksbl[None]
-    depth_i = z_w[-1][None] - z_w[1:-1]
+    depth_i = z_w[N][None] - z_w[1:-1]
     Bf_i = Bflux[1:-1]
     sigma_i = jnp.where(Bf_i < 0.0,
                         jnp.minimum(sl_dpth[None], depth_i), depth_i)

@@ -261,3 +261,87 @@ def test_nemuro_nitrogen_and_silicon_budgets():
     assert np.abs(dSi.sum(axis=0)).max() < 1e-10     # Si conserved
     # production happened in the lit surface layer
     assert float(np.asarray(inc[nb + bio_mod.INM_PS])[-1].mean()) > 0.0
+
+
+class TestIronNPZD:
+    def _run(self, nsteps=8, relax=False):
+        import dataclasses
+        import jax.numpy as jnp
+        from roms_tpu.core.biology import (IronNPZDConfig,
+                                           make_iron_npzd_hook)
+        from roms_tpu.core.stepping import Model
+        from roms_tpu.functionals import upwelling
+        cfg = upwelling.make_config(Lm=12, Mm=12, N=8, dtype="float64")
+        cfg = cfg.replace(NT=cfg.NAT + 6)
+        grid = upwelling.make_grid(cfg)
+        s0 = upwelling.make_initial(cfg, grid)
+        import numpy as np
+        shp = np.asarray(s0.t[0]).shape
+        t = np.zeros((cfg.NT,) + shp)
+        t[0] = np.asarray(s0.t[0])
+        t[1] = np.asarray(s0.t[1])
+        t[2] = 5.0     # NO3
+        t[3] = 0.5     # Phy
+        t[4] = 0.3     # Zoo
+        t[5] = 0.1     # Det
+        t[6] = 0.5     # Fdis
+        t[7] = 0.05    # Fphy
+        t = jnp.asarray(t)
+        s0 = s0._replace(t=t, t_prev=t)
+        bio = IronNPZDConfig(iron_relax=relax)
+        mask = jnp.ones(cfg.shape2d) if relax else None
+        m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg),
+                  bio_fn=make_iron_npzd_hook(cfg, bio, grid,
+                                             relax_mask=mask))
+        return cfg, m.run(s0, nsteps)
+
+    def test_stable_and_conservative(self):
+        import numpy as np
+        cfg, s = self._run()
+        T = np.asarray(s.t)
+        assert np.isfinite(T).all()
+        # all bio tracers stay non-negative (implicit positivity scheme)
+        assert T[2:].min() > -1e-8
+        # nitrogen pool (NO3+Phy+Zoo+Det) conserved to advection error
+        n_tot = T[2:6].sum(axis=0)
+        assert abs(n_tot.mean() - 5.9) < 0.3
+
+    def test_iron_relaxation_sources_iron(self):
+        import numpy as np
+        _, s_off = self._run(relax=False)
+        _, s_on = self._run(relax=True)
+        fe_off = np.asarray(s_off.t[6]).mean()
+        fe_on = np.asarray(s_on.t[6]).mean()
+        assert fe_on > fe_off   # nudging toward FeMax=2 adds iron
+
+
+def test_red_tide_bloom():
+    import numpy as np
+    import jax.numpy as jnp
+    from roms_tpu.core.biology import RedTideConfig, make_red_tide_hook
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import upwelling
+    cfg = upwelling.make_config(Lm=12, Mm=12, N=8, dtype="float64")
+    cfg = cfg.replace(NT=cfg.NAT + 1)
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    shp = np.asarray(s0.t[0]).shape
+    t = np.zeros((cfg.NT,) + shp)
+    t[0] = np.asarray(s0.t[0]) + 8.0
+    t[1] = np.asarray(s0.t[1])
+    t = jnp.asarray(t)
+    s0 = s0._replace(t=t, t_prev=t)
+    cysts = jnp.full(cfg.shape2d, 1000.0)      # cysts/cm2
+    bio = RedTideConfig()
+    m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+              vmix_fn=upwelling.make_vmix_fn(cfg),
+              bio_fn=make_red_tide_hook(cfg, bio, grid, cysts))
+    s = m.run(s0, 10)
+    D = np.asarray(s.t[2])
+    assert np.isfinite(D).all()
+    assert D.min() >= -0.01 * D.max()
+    # germination seeded cells into the water column
+    assert D.max() > 0.0
+    # upward swimming: after enough steps cells appear above the bottom
+    assert D[1:].max() > 0.0

@@ -1,0 +1,186 @@
+"""R4D-Var representer driver, balance operator, and the full GST
+propagator set (VERDICT round-1 item 8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roms_tpu.assim.i4dvar import Control, Observations, observe_trajectory
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import upwelling
+
+
+def _setup(Lm=10, Mm=10, N=5):
+    cfg = upwelling.make_config(Lm=Lm, Mm=Mm, N=N, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  upwelling.make_vmix_fn(cfg))
+    x0 = model.run(upwelling.make_initial(cfg, grid), 2)
+    return cfg, grid, model, x0
+
+
+def _obs_all_temp(cfg, model, grid, x_true, nsteps):
+    jj, ii = np.meshgrid(np.arange(1, cfg.shape2d[0] - 1),
+                         np.arange(1, cfg.shape2d[1] - 1), indexing="ij")
+    kk = np.full_like(jj, cfg.N - 1)
+    idx = jnp.asarray(np.stack([kk.ravel(), jj.ravel(), ii.ravel()],
+                               axis=1))
+    y = observe_trajectory(model, grid, x_true,
+                           Observations(nsteps, "temp", idx, None, 0.1),
+                           nsteps)
+    return Observations(step=nsteps, field="temp", indices=idx,
+                        values=y, error=0.05)
+
+
+class TestR4DVar:
+    def test_representer_check(self):
+        """Picard consistency (picard_roms.h analog): RPM -> TLM as the
+        increment amplitude shrinks, at first order."""
+        from roms_tpu.assim.r4dvar import representer_check
+        cfg, grid, model, x0 = _setup()
+        obs = _obs_all_temp(cfg, model, grid, x0, 2)
+        key = jax.random.PRNGKey(3)
+        dx = Control(
+            zeta=jnp.zeros_like(x0.zeta),
+            u=jnp.zeros_like(x0.u), v=jnp.zeros_like(x0.v),
+            t=0.5 * jax.random.normal(key, x0.t.shape, x0.t.dtype))
+        # at finite amplitude the truncation term dominates; at small
+        # amplitude the defect floors at the model's upwind-switching
+        # nonsmoothness (~1e-5) — both must show RPM ~= TLM
+        d_big, d_small = representer_check(model, grid, x0, obs, 2, dx,
+                                           eps=1.0)
+        assert d_small < d_big, (d_big, d_small)   # converging
+        assert d_small < 1e-3, d_small             # Picard-consistent
+
+    @pytest.mark.slow
+    def test_r4dvar_twin(self):
+        from roms_tpu.assim.r4dvar import r4dvar
+        cfg, grid, model, x0 = _setup()
+        bump = 0.5 * jnp.exp(
+            -((jnp.arange(cfg.shape2d[0])[:, None] - 5.0) ** 2
+              + (jnp.arange(cfg.shape2d[1])[None, :] - 5.0) ** 2) / 8.0)
+        x_true = x0._replace(t=x0.t.at[0].add(bump[None]))
+        obs = _obs_all_temp(cfg, model, grid, x_true, 3)
+        sig = Control(zeta=0.01, u=0.01, v=0.01, t=0.3)
+        x_a, stats = r4dvar(model, grid, x0, obs, 3, sig, n_inner=5)
+        assert stats["rms_innovation_a"] < \
+            0.5 * stats["rms_innovation_b"], stats
+
+
+class TestBalance:
+    def test_balanced_increment_structure(self):
+        from roms_tpu.assim.balance import make_balance
+        cfg, grid, model, x0 = _setup()
+        K = make_balance(cfg, grid, x0)
+        # pure warm anomaly in the unbalanced control
+        dT = jnp.ones_like(x0.t[0]) * jnp.exp(
+            -((jnp.arange(cfg.shape2d[0])[:, None] - 5.0) ** 2
+              + (jnp.arange(cfg.shape2d[1])[None, :] - 5.0) ** 2) / 4.0)
+        ctrl = Control(zeta=jnp.zeros_like(x0.zeta),
+                       u=jnp.zeros_like(x0.u),
+                       v=jnp.zeros_like(x0.v),
+                       t=jnp.stack([dT, jnp.zeros_like(dT)]))
+        out = K(ctrl)
+        # warm water -> lighter -> balanced sea level RISES
+        assert float(out.zeta.max()) > 0.0
+        assert float(jnp.abs(out.zeta).max()) < 0.1
+        # geostrophic circulation appears around the anomaly
+        assert float(jnp.abs(out.u).max()) > 0.0
+        assert float(jnp.abs(out.v).max()) > 0.0
+        assert np.isfinite(np.asarray(out.u)).all()
+
+    def test_balanced_bsqrt_composes(self):
+        from roms_tpu.assim.balance import make_balanced_bsqrt
+        cfg, grid, model, x0 = _setup()
+        sig = Control(zeta=0.01, u=0.01, v=0.01, t=0.3)
+        bs = make_balanced_bsqrt(cfg, grid, x0, sig)
+        key = jax.random.PRNGKey(0)
+        ctrl = Control(zeta=jnp.zeros_like(x0.zeta),
+                       u=jnp.zeros_like(x0.u),
+                       v=jnp.zeros_like(x0.v),
+                       t=jax.random.normal(key, x0.t.shape, x0.t.dtype))
+        out = bs(ctrl)
+        assert np.isfinite(np.asarray(out.zeta)).all()
+        assert float(jnp.abs(out.zeta).max()) > 0.0
+
+
+class TestGSTPropagators:
+    def _traj(self, model, grid, x0, nsteps=2):
+        def traj(dx):
+            s = x0._replace(t=x0.t + dx["t"], u=x0.u + dx["u"])
+            for _ in range(nsteps):
+                s = model.step_impl(s, grid)
+            return {"t": s.t, "u": s.u}
+        return traj, {"t": jnp.zeros_like(x0.t),
+                      "u": jnp.zeros_like(x0.u)}
+
+    def test_fte_afte_same_spectrum(self):
+        """FTE and AFTE eigenvalues agree (M and M^T share spectra)."""
+        from roms_tpu.core.gst import arnoldi_eigenmodes
+        cfg, grid, model, x0 = _setup(Lm=8, Mm=8, N=4)
+        traj, z0 = self._traj(model, grid, x0)
+        ev_f, vecs_f = arnoldi_eigenmodes(traj, z0, nvec=2, niter=8)
+        ev_a, _ = arnoldi_eigenmodes(traj, z0, nvec=2, niter=8,
+                                     adjoint=True)
+        assert np.all(np.isfinite(np.abs(ev_f)))
+        # leading magnitudes agree to Arnoldi accuracy
+        assert abs(abs(ev_f[0]) - abs(ev_a[0])) < 0.05 * abs(ev_f[0])
+        assert np.isfinite(np.asarray(vecs_f[0]["t"])).all()
+
+    def test_forcing_singular_vectors(self):
+        from roms_tpu.core.gst import forcing_singular_vectors
+        cfg, grid, model, x0 = _setup(Lm=8, Mm=8, N=4)
+
+        def forced(f):
+            s = x0
+            for _ in range(2):
+                s = model.step_impl(s, grid)
+                s = s._replace(t=s.t + f["t"])
+            return {"t": s.t}
+        f0 = {"t": jnp.zeros_like(x0.t)}
+        sigma, vecs = forcing_singular_vectors(forced, f0, nvec=2,
+                                               niter=6)
+        assert sigma[0] > 0 and np.all(np.isfinite(sigma))
+        assert sigma[0] >= sigma[1] - 1e-12
+
+    def test_stochastic_optimals_and_trace(self):
+        from roms_tpu.core.gst import so_trace, stochastic_optimals
+        cfg, grid, model, x0 = _setup(Lm=8, Mm=8, N=4)
+        traj1, z0 = self._traj(model, grid, x0, nsteps=1)
+        traj2, _ = self._traj(model, grid, x0, nsteps=2)
+        evals, vecs = stochastic_optimals([traj1, traj2], z0, nvec=2,
+                                          niter=6)
+        assert evals[0] > 0
+        tr = so_trace([traj1, traj2], z0, nsamples=4)
+        # trace >= sum of leading eigenvalues
+        assert tr >= evals[0] - 1e-6
+
+    def test_hessian_singular_vectors(self):
+        from roms_tpu.core.gst import hessian_singular_vectors
+        cfg, grid, model, x0 = _setup(Lm=8, Mm=8, N=4)
+        obs = _obs_all_temp(cfg, model, grid, x0, 2)
+        from roms_tpu.assim.i4dvar import make_bsqrt, _zeros_control
+        sig = Control(zeta=0.01, u=0.01, v=0.01, t=0.3)
+        bs = make_bsqrt(sig)
+        dx0 = _zeros_control(x0)
+
+        def h_of_c(c):
+            from roms_tpu.assim.i4dvar import _add_control
+            return observe_trajectory(model, grid,
+                                      _add_control(x0, c), obs, 2)
+        _, vjp_fn = jax.vjp(h_of_c, dx0)
+        oR = 1.0 / obs.error ** 2
+
+        def hvp(v):
+            _, gv = jax.jvp(h_of_c, (dx0,), (bs(v),))
+            (c,) = vjp_fn(oR * gv)
+            gt = bs(Control(*jax.tree_util.tree_leaves(c)))
+            return Control(*[a + b for a, b in zip(
+                jax.tree_util.tree_leaves(v),
+                jax.tree_util.tree_leaves(gt))])
+
+        evals, vecs = hessian_singular_vectors(hvp, dx0, nvec=2,
+                                               niter=5)
+        # preconditioned Hessian I + ... has eigenvalues >= 1
+        assert evals[0] >= 1.0 - 1e-8
