@@ -124,3 +124,81 @@ class TestSSWBBL:
                       cfg, bbl_mod.BBLConfig(), grid, wave_fn))
         s = m.run(s0._replace(bbl=bbl_mod.initial_bbl(cfg)), 20)
         assert np.isfinite(np.asarray(s.u)).all()
+
+
+class TestSGBBL:
+    """Styles & Glenn (2000) closure (sg_bbl.h)."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+        from roms_tpu.core.bbl import BBLConfig, initial_bbl, sg_bbl
+        from roms_tpu.functionals import upwelling
+        cfg = upwelling.make_config(Lm=12, Mm=12, N=8, dtype="float64")
+        grid = upwelling.make_grid(cfg)
+        s0 = upwelling.make_initial(cfg, grid)
+        u = jnp.full_like(s0.u, 0.2)
+        v = jnp.zeros_like(s0.v)
+        Hw = jnp.full(cfg.shape2d, 1.5)
+        Dw = jnp.zeros(cfg.shape2d)
+        Pw = jnp.full(cfg.shape2d, 8.0)
+        return cfg, grid, s0, u, v, Hw, Dw, Pw
+
+    def test_kelvin_functions(self):
+        """Kelvin ber/ker values against Abramowitz & Stegun tables:
+        ber(2)=0.75173, bei(2)=0.97229, ker(2)=-0.04166,
+        kei(2)=-0.20240."""
+        import jax.numpy as jnp
+        from roms_tpu.core.bbl import _kelvin
+        x = jnp.asarray(2.0, jnp.float64)
+        ber, bei, ker, kei, _, _, _, _ = _kelvin(x)
+        assert abs(float(ber) - 0.75173) < 2e-4
+        assert abs(float(bei) - 0.97229) < 2e-4
+        assert abs(float(ker) - (-0.04166)) < 2e-4
+        assert abs(float(kei) - (-0.20240)) < 2e-4
+        # the decaying ker/kei pair (what the stress relation uses at
+        # moderate znotp) stays finite and small across the x=8 seam;
+        # ber/bei grow exponentially and the reference's own A&S series
+        # carry percent-level seam error, so only sanity-check them
+        lo = _kelvin(jnp.asarray(7.99, jnp.float64))
+        hi = _kelvin(jnp.asarray(8.01, jnp.float64))
+        for a, b in zip(lo[2:4], hi[2:4]):
+            assert abs(float(a)) < 0.01 and abs(float(b)) < 0.01
+        assert float(lo[0]) > 0 and float(hi[0]) > 0
+
+    def test_wave_enhancement(self):
+        """Combined wave-current stress exceeds the pure-current
+        stress, and tauCWmax >= tauC (the defining property of a
+        wave-current BBL)."""
+        import numpy as np
+        from roms_tpu.core.bbl import BBLConfig, initial_bbl, sg_bbl
+        cfg, grid, s0, u, v, Hw, Dw, Pw = self._setup()
+        bblc = BBLConfig()
+        out = sg_bbl(cfg, bblc, grid, initial_bbl(cfg), u, v,
+                     jnp.zeros(cfg.shape2d) + 25.0, s0.z_r, s0.z_w,
+                     Hw, Dw, Pw)
+        interior = np.s_[3:-3, 3:-3]
+        bustr = np.asarray(out.bustr)[interior]
+        tmax = np.asarray(out.tauCWmax)[interior]
+        assert np.isfinite(bustr).all() and np.isfinite(tmax).all()
+        assert (tmax >= 0.0).all()
+        assert bustr.mean() > 0.0         # stress opposes +u flow sign
+        # with waves the max combined stress clearly exceeds the plain
+        # quadratic-drag current stress
+        plain = 3.0e-3 * 0.2 ** 2
+        assert tmax.mean() > plain, (tmax.mean(), plain)
+
+    def test_no_waves_reduces_to_log_drag(self):
+        """Hwave -> 0: stress approaches the pure log-profile current
+        drag."""
+        import numpy as np
+        from roms_tpu.core.bbl import BBLConfig, initial_bbl, sg_bbl
+        cfg, grid, s0, u, v, Hw, Dw, Pw = self._setup()
+        bblc = BBLConfig()
+        out = sg_bbl(cfg, bblc, grid, initial_bbl(cfg), u, v,
+                     jnp.zeros(cfg.shape2d) + 25.0, s0.z_r, s0.z_w,
+                     0.001 * Hw, Dw, Pw)
+        interior = np.s_[3:-3, 3:-3]
+        tauc = np.asarray(out.bustr)[interior]
+        # log-profile drag for u=0.2 at Zr with Zob: same order
+        assert np.isfinite(tauc).all()
+        assert 1e-6 < np.abs(tauc).mean() < 1e-2
