@@ -92,3 +92,109 @@ def make_wec_fn(cfg: ModelConfig, grid: Grid, wave_fn):
         u_st, v_st = stokes_drift(cfg, grid, Hw, Dw, Lw, z_r, z_w)
         return vf_rhs(cfg, grid, u, v, u_st, v_st, Hz, ru, rv)
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Surface-roller model + breaking-dissipation forcing
+# (WEC_ROLLER branches of the reference's wec_roller/wec_vf modules;
+# Svendsen 1984 roller with the Reniers dissipation closure, Uchiyama
+# et al. 2010 eq 14-16 acceleration)
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+class RollerState(NamedTuple):
+    """Prognostic surface-roller energy density (J/m2 / rho0)."""
+    E_r: jnp.ndarray          # (Mj, Li)
+
+
+def initial_roller(cfg: ModelConfig) -> RollerState:
+    return RollerState(E_r=jnp.zeros(cfg.shape2d, cfg.dtype))
+
+
+def step_roller(cfg: ModelConfig, roller: RollerState, eps_b, c_phase,
+                alpha_r: float = 0.5, sin_beta: float = 0.1
+                ) -> tuple:
+    """Advance the roller energy one dt (Svendsen/Reniers balance):
+
+        dE_r/dt = alpha_r * eps_b - eps_r,
+        eps_r   = g * E_r * sin_beta / c
+
+    eps_b: breaking dissipation (m3/s3, kinematic, from the wave
+    model); c_phase: wave phase speed (m/s).  Returns (new RollerState,
+    eps_r) with eps_r the roller dissipation that forces the
+    currents."""
+    g = cfg.g
+    # backward-Euler in the dissipation term: unconditionally stable
+    # for dt >> c/(g sin_beta) (the roller timescale is seconds)
+    r = g * sin_beta / jnp.maximum(c_phase, 0.1)
+    E_new = jnp.maximum(
+        (roller.E_r + cfg.dt * alpha_r * eps_b) / (1.0 + cfg.dt * r),
+        0.0)
+    eps_r = r * E_new
+    return RollerState(E_r=E_new), eps_r
+
+
+def breaking_accel(cfg: ModelConfig, grid: Grid, Hwave, Dwave, Lwave,
+                   eps_eff, Hz, z_r, z_w, ru, rv):
+    """Add the breaking/roller acceleration to the momentum RHS
+    (Uchiyama et al. 2010 eq 14): a body force
+
+        F = eps_eff * k_vec / sigma
+
+    distributed over a surface penetration depth ~ Hwave with
+    cosh-decay weights (the reference's FRC_DISTRIBUTE shape), applied
+    Hz-weighted at u/v points."""
+    g = cfg.g
+    k = 2.0 * jnp.pi / jnp.maximum(Lwave, 1.0)
+    D = z_w[-1] - z_w[0]
+    sigma = jnp.sqrt(g * k * jnp.tanh(jnp.minimum(k * D, 50.0)))
+    fmag = eps_eff / jnp.maximum(sigma, 1.0e-6)      # m2/s2 flux
+
+    # vertical distribution: decay over kb = 2 pi / Hwave from surface
+    kb = 2.0 * jnp.pi / jnp.maximum(Hwave, 0.1)
+    depth = z_w[-1][None] - z_r                       # (N, Mj, Li) > 0
+    w = jnp.exp(-kb[None] * depth)
+    w = w / jnp.maximum(jnp.sum(w * Hz, axis=0), 1.0e-12)[None]
+
+    fx_r = fmag * jnp.cos(Dwave)
+    fy_r = fmag * jnp.sin(Dwave)
+    Fx3 = Hz * w * fx_r[None]
+    Fy3 = Hz * w * fy_r[None]
+    omn = 1.0 / (grid.pm * grid.pn)
+    # Hz-weighted RHS is in m4/s2: multiply by cell area factor
+    ru = ru + 0.5 * (Fx3 + st.im1(Fx3)) * \
+        (0.5 * (omn + st.im1(omn)))[None] * grid.umask[None]
+    rv = rv + 0.5 * (Fy3 + st.jm1(Fy3)) * \
+        (0.5 * (omn + st.jm1(omn)))[None] * grid.vmask[None]
+    return ru, rv
+
+
+def make_wec_roller_fn(cfg: ModelConfig, grid: Grid, wave_fn,
+                       alpha_r: float = 0.5, sin_beta: float = 0.1):
+    """Full WEC hook with rollers: wave_fn(time) -> (Hwave, Dwave,
+    Lwave, eps_b) where eps_b is the breaking dissipation.  The roller
+    energy is carried in a host-side cell (updated per step, like the
+    reference's coupling-field update cadence); (1 - alpha_r) of the
+    breaking dissipation forces the currents immediately, the roller
+    part is released with the roller lag."""
+    cell = {"roller": initial_roller(cfg)}
+
+    def fn(time, u, v, Hz, z_r, z_w, ru, rv):
+        Hw, Dw, Lw, eps_b = wave_fn(time)
+        u_st, v_st = stokes_drift(cfg, grid, Hw, Dw, Lw, z_r, z_w)
+        ru, rv = vf_rhs(cfg, grid, u, v, u_st, v_st, Hz, ru, rv)
+        g = cfg.g
+        k = 2.0 * jnp.pi / jnp.maximum(Lw, 1.0)
+        D = z_w[-1] - z_w[0]
+        c = jnp.sqrt(g / k * jnp.tanh(jnp.minimum(k * D, 50.0)))
+        new_roller, eps_r = step_roller(cfg, cell["roller"], eps_b, c,
+                                        alpha_r, sin_beta)
+        cell["roller"] = new_roller
+        eps_eff = (1.0 - alpha_r) * eps_b + eps_r
+        return breaking_accel(cfg, grid, Hw, Dw, Lw, eps_eff, Hz,
+                              z_r, z_w, ru, rv)
+
+    fn.roller_cell = cell
+    return fn

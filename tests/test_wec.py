@@ -73,3 +73,63 @@ class TestWEC:
         assert np.isfinite(np.asarray(s.u)).all()
         # waves induce a response in the otherwise weak interior flow
         assert np.abs(np.asarray(s.v)).max() > 0.0
+
+
+class TestRoller:
+    def test_roller_energy_balance(self):
+        """Roller spins up toward the Svendsen equilibrium
+        E_eq = alpha*eps_b*c/(g*sin_beta) and releases dissipation with
+        a lag."""
+        import jax.numpy as jnp
+        import numpy as np
+        from roms_tpu.core.wec import initial_roller, step_roller
+        from roms_tpu.functionals import upwelling
+        # short dt so the roller lag (tau = c/(g sin_beta) ~ 5 s) is
+        # resolved; the backward-Euler update is stable for any dt
+        cfg = upwelling.make_config(Lm=8, Mm=8, N=4,
+                                    dtype="float64").replace(dt=1.0)
+        r = initial_roller(cfg)
+        eps_b = jnp.full(cfg.shape2d, 1.0e-4)
+        c = jnp.full(cfg.shape2d, 5.0)
+        eps_hist = []
+        for _ in range(200):
+            r, eps_r = step_roller(cfg, r, eps_b, c)
+            eps_hist.append(float(eps_r.mean()))
+        E_eq = 0.5 * 1.0e-4 * 5.0 / (9.81 * 0.1)
+        assert abs(float(r.E_r.mean()) - E_eq) < 0.05 * E_eq
+        # at equilibrium the roller releases alpha_r*eps_b
+        assert abs(eps_hist[-1] - 0.5 * 1.0e-4) < 0.05 * 1e-4
+        # lag: early dissipation much smaller than equilibrium
+        assert eps_hist[0] < 0.5 * eps_hist[-1]
+        # stability at large dt: one 300 s step lands on equilibrium
+        cfg2 = cfg.replace(dt=300.0)
+        r2, e2 = step_roller(cfg2, initial_roller(cfg2), eps_b, c)
+        assert abs(float(r2.E_r.mean()) - E_eq) < 0.05 * E_eq
+
+    def test_breaking_accel_drives_downwave_flow(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from roms_tpu.core.stepping import Model
+        from roms_tpu.core.wec import make_wec_roller_fn
+        from roms_tpu.functionals import upwelling
+        cfg = upwelling.make_config(Lm=12, Mm=12, N=8, dtype="float64")
+        grid = upwelling.make_grid(cfg)
+        s0 = upwelling.make_initial(cfg, grid)
+        shp = cfg.shape2d
+
+        def wave_fn(time):
+            return (jnp.full(shp, 1.0), jnp.zeros(shp),   # east waves
+                    jnp.full(shp, 50.0), jnp.full(shp, 2.0e-4))
+
+        m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg),
+                  wec_fn=make_wec_roller_fn(cfg, grid, wave_fn))
+        s = s0
+        for _ in range(10):
+            s = m.step(s)
+        u = np.asarray(s.u)
+        assert np.isfinite(u).all()
+        # surface flow accelerates in the wave direction (+x)
+        assert u[-1, 4:-4, 4:-4].mean() > 0.0
+        # forcing is surface-intensified
+        assert abs(u[-1, 6, 6]) > abs(u[0, 6, 6])
