@@ -247,8 +247,15 @@ class ModelConfig:
     omega_implicit: bool = False
 
     # Pressure-gradient scheme: 'djs' (splines density Jacobian,
-    # DJ_GRADPS default) or 'sj' (standard Jacobian, prsgrd31).
+    # DJ_GRADPS default), 'sj'/'sj_wj' (standard/weighted Jacobian,
+    # prsgrd31), or 'fv' (finite-volume Lin 97, prsgrd40).
     prsgrd: str = "djs"
+
+    # Scalar self-attraction-and-loading tide factor beta:
+    # zeta_SAL = beta * zeta, weakening the surface pressure gradient
+    # to g*(1-beta)*grad(zeta) (Accad & Pekeris 1978 scalar
+    # approximation of the reference's SAL loading tide).
+    sal_scalar: float = 0.0
 
     # Momentum advection: 'up3' (default UV_ADV), 'c2', 'c4', or None.
     uv_hadv: str = "up3"

@@ -61,7 +61,8 @@ def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
     # ---- pressure at rho points, integrated downward (:189-219) ---------
     cff1 = 1.0 / (z_r[-1] - z_r[-2])
     cff2 = 0.5 * (rho[-1] - rho[-2]) * (z_w[-1] - z_r[-1]) * cff1
-    P_top = g * z_w[-1] + GRho * (rho[-1] + cff2) * (z_w[-1] - z_r[-1])
+    P_top = g * (1.0 - cfg.sal_scalar) * z_w[-1] \
+        + GRho * (rho[-1] + cff2) * (z_w[-1] - z_r[-1])
     if eq_tide is not None:
         # tide generating body force enters as a surface pressure
         # deficit (TIDE_GENERATING_FORCES, prsgrd32.h:286)
@@ -166,7 +167,8 @@ def prsgrd40(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
         FC_i = 0.5 * (z_w[:-1] - zwm[:-1]) * (P[:-1] + Pm[:-1])
         zero = jnp.zeros_like(FC_i[:1])
         FC = jnp.concatenate([FC_i, zero], axis=0)
-        surf = 0.5 * g * (Hzm + Hz) * (zwm[-1] - z_w[-1])[None]
+        surf = 0.5 * g * (1.0 - cfg.sal_scalar) * (Hzm + Hz) * \
+            (zwm[-1] - z_w[-1])[None]
         return (surf + GRho * (FXm - FX + FC[1:] - FC[:-1])) \
             * metric[None] * mask[None]
 

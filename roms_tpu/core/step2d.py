@@ -89,6 +89,9 @@ def _flux_state(cfg: ModelConfig, grid: Grid, zeta, ubar, vbar):
 
 
 def _gzeta(cfg, rhoS, rhoA, zwrk, var_rho: bool):
+    if cfg.sal_scalar:
+        # scalar SAL: the gradient-driving elevation is (1-beta)*zeta
+        zwrk = (1.0 - cfg.sal_scalar) * zwrk
     """Pressure-gradient free-surface factors (step2d_LF_AM3.h:905-983)."""
     if var_rho:
         fac = 1000.0 / cfg.rho0

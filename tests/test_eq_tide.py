@@ -110,3 +110,35 @@ def test_atm_press_inverse_barometer():
     dv = np.abs(np.asarray(s_grad.v) - np.asarray(s_none.v)).max()
     assert dv > 1e-4, dv
     assert np.isfinite(np.asarray(s_grad.v)).all()
+
+
+def test_scalar_sal_weakens_restoring_force():
+    """Scalar SAL (zeta_SAL = beta*zeta): the barotropic restoring
+    force scales by (1-beta), so the initial acceleration from a free-
+    surface bump is reduced by exactly that factor."""
+    import numpy as np
+    import jax.numpy as jnp
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import upwelling
+
+    def accel(beta):
+        cfg = upwelling.make_config(Lm=16, Mm=16, N=4,
+                                    dtype="float64").replace(
+            sal_scalar=beta)
+        grid = upwelling.make_grid(cfg)
+        s0 = upwelling.make_initial(cfg, grid)
+        Mj, Li = cfg.shape2d
+        x = np.arange(Li)
+        bump = 0.1 * np.exp(-((x - Li / 2.0) ** 2) / 8.0)
+        zeta = jnp.asarray(np.broadcast_to(bump[None, :], (Mj, Li)))
+        s0 = s0._replace(zeta=zeta)
+        m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg))
+        s1 = m.step(s0)
+        return float(np.abs(np.asarray(s1.ubar)).max())
+
+    a0 = accel(0.0)
+    a1 = accel(0.1)
+    assert a0 > 0.0
+    assert a1 < a0
+    assert abs(a1 / a0 - 0.9) < 0.08, (a0, a1)
