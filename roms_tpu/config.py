@@ -251,6 +251,12 @@ class ModelConfig:
     # prsgrd31), or 'fv' (finite-volume Lin 97, prsgrd40).
     prsgrd: str = "djs"
 
+    # Barotropic engine: 'lf_am3' (the reference's wired default,
+    # step2d_LF_AM3.h) or 'fb' (generalized FB AB3-AM4,
+    # step2d_FB.h — present but unwired in the reference; wired here
+    # as the modern single-stage scheme).
+    step2d: str = "lf_am3"
+
     # Scalar self-attraction-and-loading tide factor beta:
     # zeta_SAL = beta * zeta, weakening the surface pressure gradient
     # to g*(1-beta)*grad(zeta) (Accad & Pekeris 1978 scalar

@@ -105,6 +105,28 @@ def _gzeta(cfg, rhoS, rhoA, zwrk, var_rho: bool):
     return gzeta, gzeta2, gzetaSA
 
 
+def _pg2d(cfg: ModelConfig, grid: Grid, gzeta, gzeta2, gzetaSA, zwrk,
+          rhoA, var_rho: bool):
+    """Barotropic pressure-gradient RHS terms (m4/s2,
+    step2d_LF_AM3.h:1098-1211 / step2d_FB.h pressure section)."""
+    g = cfg.g
+    h = grid.h
+    cff1 = 0.5 * g
+    third = 1.0 / 3.0
+    pg_u = (st.im1(h) + h) * (st.im1(gzeta) - gzeta) + \
+           (st.im1(gzeta2) - gzeta2)
+    pg_v = (st.jm1(h) + h) * (st.jm1(gzeta) - gzeta) + \
+           (st.jm1(gzeta2) - gzeta2)
+    if var_rho:
+        pg_u = pg_u + (st.im1(h) - h) * (
+            st.im1(gzetaSA) + gzetaSA
+            + third * (st.im1(rhoA) - rhoA) * (st.im1(zwrk) - zwrk))
+        pg_v = pg_v + (st.jm1(h) - h) * (
+            st.jm1(gzetaSA) + gzetaSA
+            + third * (st.jm1(rhoA) - rhoA) * (st.jm1(zwrk) - zwrk))
+    return cff1 * grid.on_u * pg_u, cff1 * grid.om_v * pg_v
+
+
 def _rhs2d_momentum(cfg: ModelConfig, grid: Grid, ubar, vbar,
                     Drhs, DUon, DVom, gzeta, gzeta2, gzetaSA, zwrk, rhoA,
                     var_rho: bool):
@@ -119,22 +141,8 @@ def _rhs2d_momentum(cfg: ModelConfig, grid: Grid, ubar, vbar,
     ewp = cfg.bc.ew_periodic
     nsp = cfg.bc.ns_periodic
 
-    # --- pressure gradient ----------------------------------------------
-    cff1 = 0.5 * g
-    third = 1.0 / 3.0
-    pg_u = (st.im1(h) + h) * (st.im1(gzeta) - gzeta) + \
-           (st.im1(gzeta2) - gzeta2)
-    pg_v = (st.jm1(h) + h) * (st.jm1(gzeta) - gzeta) + \
-           (st.jm1(gzeta2) - gzeta2)
-    if var_rho:
-        pg_u = pg_u + (st.im1(h) - h) * (
-            st.im1(gzetaSA) + gzetaSA
-            + third * (st.im1(rhoA) - rhoA) * (st.im1(zwrk) - zwrk))
-        pg_v = pg_v + (st.jm1(h) - h) * (
-            st.jm1(gzetaSA) + gzetaSA
-            + third * (st.jm1(rhoA) - rhoA) * (st.jm1(zwrk) - zwrk))
-    rhs_u = cff1 * grid.on_u * pg_u
-    rhs_v = cff1 * grid.om_v * pg_v
+    rhs_u, rhs_v = _pg2d(cfg, grid, gzeta, gzeta2, gzetaSA, zwrk,
+                         rhoA, var_rho)
 
     # --- horizontal advection (4th-order centered, reference default) ---
     if cfg.uv_adv:

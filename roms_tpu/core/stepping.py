@@ -109,8 +109,13 @@ class Model:
         self.wec_fn = wec_fn
         self.pair_fn = pair_fn
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
-        self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
-                                        var_rho=var_rho)
+        if cfg.step2d == "fb":
+            from .step2d_fb import make_fast_loop_fb
+            self.fast_loop = make_fast_loop_fb(cfg, self.nfast, w1, w2,
+                                               var_rho=var_rho)
+        else:
+            self.fast_loop = make_fast_loop(cfg, self.nfast, w1, w2,
+                                            var_rho=var_rho)
         self._step_jit = jax.jit(self._step_grid)
 
     def _step_grid(self, state: State, grid: Grid) -> State:
