@@ -59,6 +59,14 @@ class IceConfig:
     Li: float = 3.34e5           # latent heat (J/kg)
     ai_max: float = 0.999
     hi_min: float = 0.01
+    # MK full thermodynamics constants (ice_mk.h:275-290)
+    rhos: float = 330.0          # snow density (kg/m3)
+    AlphIc: float = 2.034        # ice conductivity (W/m/K)
+    AlphSn: float = 0.31         # snow conductivity (W/m/K)
+    sice_ref: float = 3.2        # reference ice salinity (psu)
+    cp_w: float = 3990.0         # seawater heat capacity
+    min_ai: float = 0.01
+    mk_full: bool = False        # use the full MK snow+brine scheme
 
 
 class IceState(NamedTuple):
@@ -70,14 +78,15 @@ class IceState(NamedTuple):
     syy: jnp.ndarray
     sxy: jnp.ndarray
     ti: jnp.ndarray              # interior ice temperature (degC)
+    hsn: jnp.ndarray             # mean snow thickness over cell (m)
 
 
 def initial_ice(cfg: ModelConfig, ai0=0.0, hi0=0.0,
-                ti0=-5.0) -> IceState:
+                ti0=-5.0, hsn0=0.0) -> IceState:
     shp = cfg.shape2d
     z = jnp.zeros(shp, cfg.dtype)
     return IceState(ai=z + ai0, hi=z + hi0, ui=z, vi=z,
-                    sxx=z, syy=z, sxy=z, ti=z + ti0)
+                    sxx=z, syy=z, sxy=z, ti=z + ti0, hsn=z + hsn0)
 
 
 def freezing_point(S, z=0.0):
@@ -326,6 +335,121 @@ def ice_thermo(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
     return ai_new, hi_new, sflx, ti_new
 
 
+
+
+def ice_thermo_mk(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
+                  ai, hi, hsn, ti, sst, sss, tair, qnet_ao,
+                  snowfall=None, qio_coef=1.0e-4):
+    """Full Mellor-Kantha thermodynamics (ice_mk.h:355-700): snow
+    layer, brine-fraction-corrected conductivity, prognostic interior
+    temperature with brine heat capacity, snow/ice interface
+    temperature, surface melt of snow before ice, snowfall
+    accumulation, and snow-ice flooding conversion.
+
+    Returns (ai, hi, hsn, ti, sflx)."""
+    dt = cfg.dt
+    eps = 1.0e-8
+    frln = -0.0543
+    hfus = icfg.Li
+    min_ai = icfg.min_ai
+
+    iced = ai > min_ai
+    ice_thick = 0.05 + hi / (ai + eps)            # ice_mk.h:366-369
+    snow_thick = hsn / (ai + eps)
+    sice = jnp.minimum(icfg.sice_ref, sss)
+    t_fr = frln * sss                              # t0mk ocean freeze
+    ti_s = jnp.minimum(ti, -eps)
+
+    # brine-corrected conductivity (ice_mk.h:371-379)
+    brnfr = jnp.clip(frln * sice / ti_s, 0.0, 0.2)
+    corfac = 1.0 / (0.5 * (1.0 + jnp.exp(-(hi ** 2))))
+    alph = icfg.AlphIc * jnp.maximum(1.0 - 1.2 * brnfr, 0.25) * corfac
+    Coa = 2.0 * alph * snow_thick / (icfg.AlphSn * ice_thick)
+
+    # surface temperature from the conductive/atmospheric balance
+    # (ice_mk.h:385-415; the bulk-flux Qai is linearized as c_atm)
+    b2d = 2.0 * alph / (ice_thick * (1.0 + Coa))
+    ts = (icfg.c_atm * tair + b2d * ti) / (icfg.c_atm + b2d)
+    ts = jnp.clip(jnp.where(iced, ts, sst), -45.0, 0.0)
+
+    # interior temperature with brine heat capacity (ice_mk.h:420-458)
+    cot = -frln * sice * hfus / \
+        (jnp.minimum(ti_s, frln * icfg.sice_ref)) ** 2 + icfg.ci
+    cff1 = icfg.rhoi * cot * ice_thick ** 2
+    cff2 = ts - (2.0 + Coa) * ti
+    ti_new = ti + dt * (2.0 * alph / cff1) * (t_fr + cff2 / (1.0 + Coa))
+    ti_new = jnp.maximum(ti_new, -35.0)
+    ti_new = jnp.minimum(ti_new, frln * icfg.sice_ref)
+    ti_new = jnp.minimum(ti_new, jnp.maximum(ts, t_fr))
+    ti_new = jnp.where(iced, ti_new, sst)
+
+    # conductive fluxes (ice_mk.h:462-476)
+    hicehinv = 1.0 / (0.5 * ice_thick)
+    Qio_c = alph * (t_fr - ti_new) * hicehinv      # into ice base
+    # ocean->ice turbulent flux
+    qio = qio_coef * cfg.rho0 * icfg.cp_w * jnp.maximum(sst - t_fr, 0.0)
+
+    # effective latent heat (ice_mk.h:534-537)
+    cffb = 1.0 - brnfr
+    hfus1 = hfus * cffb + ts * icfg.cp_w - \
+        (cffb * icfg.ci + brnfr * icfg.cp_w) * ti_new
+    hfus1 = jnp.maximum(hfus1, 0.1 * hfus)
+    rhoLi = icfg.rhoi * hfus1
+
+    # basal growth/melt (m/s of ice)
+    wai = (Qio_c - qio) / rhoLi
+
+    # surface melt: excess atmospheric heat when ts is pinned at 0
+    # melts snow first, then ice (ice_mk.h:540-610)
+    q_sfc = jnp.maximum(icfg.c_atm * (tair - ts)
+                        - b2d * (ts - ti_new), 0.0)
+    melting = iced & (ts >= -eps)
+    wsm = jnp.where(melting, q_sfc / (icfg.rhos * hfus), 0.0)
+    dsn_melt = jnp.minimum(dt * wsm * ai, hsn)
+    q_left = jnp.maximum(q_sfc - dsn_melt * icfg.rhos * hfus
+                         / (dt * jnp.maximum(ai, eps)), 0.0)
+    w_sfc_ice = jnp.where(melting, q_left / rhoLi, 0.0)
+
+    # open-water growth/melt (Hibler 79)
+    wao = -qnet_ao / rhoLi
+    wao = jnp.where(sst <= t_fr + 0.05, jnp.maximum(wao, 0.0),
+                    jnp.minimum(wao, 0.0))
+
+    dvol = dt * (ai * (wai - w_sfc_ice)
+                 + (1.0 - ai) * jnp.maximum(wao, 0.0))
+    hi_new = jnp.maximum(hi + dvol, 0.0)
+
+    # snow budget: snowfall accumulates on ice (ws, ice_mk.h:517-525)
+    hsn_new = hsn - dsn_melt
+    if snowfall is not None:
+        hsn_new = hsn_new + dt * jnp.maximum(snowfall, 0.0) * ai
+
+    # snow-ice flooding (Archimedes): when the snow load pushes the
+    # ice surface below the waterline, the flooded snow converts to
+    # ice.  Solving rhos*(hsn-f) = (rho0-rhoi)*(hi + f*rhos/rhoi) for
+    # the converted snow thickness f zeroes the excess load exactly
+    # while conserving mass (ice gain = f*rhos/rhoi).
+    load = icfg.rhos * hsn_new - (cfg.rho0 - icfg.rhoi) * hi_new
+    flood = jnp.maximum(load * icfg.rhoi / (icfg.rhos * cfg.rho0), 0.0)
+    hi_new = hi_new + flood * icfg.rhos / icfg.rhoi
+    hsn_new = jnp.maximum(hsn_new - flood, 0.0)
+
+    # Hibler concentration equation
+    dai_grow = dt * (1.0 - ai) * jnp.maximum(wao, 0.0) / icfg.h0
+    dai_melt = jnp.where(hi > eps,
+                         0.5 * ai * jnp.minimum(dvol, 0.0)
+                         / jnp.maximum(hi, eps), 0.0)
+    ai_new = jnp.clip(ai + dai_grow + dai_melt, 0.0, icfg.ai_max)
+    gone = hi_new <= 0.0
+    ai_new = jnp.where(gone, 0.0, ai_new) * grid.rmask
+    hi_new = hi_new * grid.rmask
+    hsn_new = jnp.where(gone, 0.0, hsn_new) * grid.rmask
+
+    growth = (hi_new - hi - flood * icfg.rhos / icfg.rhoi) / dt
+    sflx = growth * (sss - sice) * icfg.rhoi / cfg.rho0
+    return ai_new, hi_new, hsn_new, ti_new, sflx
+
+
 def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
                 atm_fn):
     """Per-step sea-ice hook.
@@ -342,7 +466,12 @@ def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
     dte = cfg.dt / icfg.nevp
 
     def fn(time, ice, uw, vw, sst, sss, sse):
-        uwind, vwind, tair, qao = atm_fn(time)
+        atm = atm_fn(time)
+        if len(atm) == 5:
+            uwind, vwind, tair, qao, snowfall = atm
+        else:
+            uwind, vwind, tair, qao = atm
+            snowfall = None
         # air-ice stress (ice_vbc.F): rho_air*Cd_ai*|W|*W at u/v pts
         wmag = jnp.sqrt(uwind ** 2 + vwind ** 2)
         tau_ax = 0.5 * ((icfg.rho_air * icfg.Cd_ai * wmag * uwind)
@@ -364,10 +493,16 @@ def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
             length=icfg.nevp)
 
         ai, hi = ice_advect(cfg, icfg, grid, ice.ai, ice.hi, ui, vi)
-        ai, hi, sflx, ti = ice_thermo(cfg, icfg, grid, ai, hi, sst,
-                                      sss, tair, qao, ti=ice.ti)
+        if icfg.mk_full:
+            ai, hi, hsn, ti, sflx = ice_thermo_mk(
+                cfg, icfg, grid, ai, hi, ice.hsn, ice.ti, sst, sss,
+                tair, qao, snowfall=snowfall)
+        else:
+            ai, hi, sflx, ti = ice_thermo(cfg, icfg, grid, ai, hi, sst,
+                                          sss, tair, qao, ti=ice.ti)
+            hsn = ice.hsn
         new = IceState(ai=ai, hi=hi, ui=ui, vi=vi,
-                       sxx=sxx, syy=syy, sxy=sxy, ti=ti)
+                       sxx=sxx, syy=syy, sxy=sxy, ti=ti, hsn=hsn)
 
         # ocean surface stress: open-water wind stress blended with
         # ice-ocean drag (ice_vbc.F)

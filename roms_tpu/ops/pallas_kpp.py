@@ -294,7 +294,7 @@ def kpp_pallas(cfg, u_r, v_r, pden, bvf, Hz, z_w, Ustar, Bo, Bosol,
     Mj, Li = u_r.shape[-2:]
     dtype = u_r.dtype
     BJ = 8
-    BI = min(512, max(128, ((Li + 127) // 128) * 128))
+    BI = min(256, max(128, ((Li + 127) // 128) * 128))
     grid = (pl.cdiv(Mj, BJ), pl.cdiv(Li, BI))
 
     p = dict(N=N, rho0=cfg.rho0, akv_bak=cfg.mixing.akv_bak,

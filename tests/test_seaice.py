@@ -127,3 +127,76 @@ class TestPrognosticTemp:
         s = m.run(s0i, 10)
         assert np.isfinite(np.asarray(s.ice.hi)).all()
         assert np.asarray(s.ice.hi).mean() > 0.2
+
+
+class TestMKThermo:
+    """Full Mellor-Kantha snow+brine thermodynamics (ice_mk.h)."""
+
+    def _cfg(self):
+        import dataclasses
+        from roms_tpu.core.seaice import IceConfig
+        from roms_tpu.functionals import upwelling
+        cfg = upwelling.make_config(Lm=8, Mm=8, N=4, dtype="float64")
+        return cfg, IceConfig(mk_full=True)
+
+    def test_cold_air_grows_ice_warm_air_melts(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from roms_tpu.core.seaice import ice_thermo_mk
+        from roms_tpu.functionals import upwelling
+        cfg, icfg = self._cfg()
+        grid = upwelling.make_grid(cfg)
+        shp = cfg.shape2d
+        ai = jnp.full(shp, 0.9)
+        hi = jnp.full(shp, 1.0)
+        hsn = jnp.full(shp, 0.1)
+        ti = jnp.full(shp, -5.0)
+        sst = jnp.full(shp, -1.8)
+        sss = jnp.full(shp, 34.0)
+        qao = jnp.full(shp, -50.0)       # losing heat to atmosphere
+        cold = jnp.full(shp, -20.0)
+        warm = jnp.full(shp, 5.0)
+        aic, hic, hsnc, tic, _ = ice_thermo_mk(
+            cfg, icfg, grid, ai, hi, hsn, ti, sst, sss, cold, qao)
+        aiw, hiw, hsnw, tiw, _ = ice_thermo_mk(
+            cfg, icfg, grid, ai, hi, hsn, ti, sst, sss, warm,
+            -qao)
+        a = np.asarray
+        assert np.isfinite(a(hic)).all() and np.isfinite(a(hiw)).all()
+        interior = np.s_[2:-2, 2:-2]
+        # cold air: basal conduction grows ice; warm air melts it
+        assert a(hic)[interior].mean() > a(hiw)[interior].mean()
+        # warm air melts snow
+        assert a(hsnw)[interior].mean() < a(hsn)[interior].mean()
+        # interior temperature stays physical
+        assert (a(tic)[interior] <= 0.0).all()
+        assert (a(tic)[interior] >= -35.0).all()
+
+    def test_snowfall_and_flooding(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from roms_tpu.core.seaice import ice_thermo_mk
+        from roms_tpu.functionals import upwelling
+        cfg, icfg = self._cfg()
+        grid = upwelling.make_grid(cfg)
+        shp = cfg.shape2d
+        ai = jnp.full(shp, 0.9)
+        hi = jnp.full(shp, 0.3)
+        hsn = jnp.full(shp, 0.5)         # heavy snow load -> flooding
+        ti = jnp.full(shp, -5.0)
+        sst = jnp.full(shp, -1.8)
+        sss = jnp.full(shp, 34.0)
+        tair = jnp.full(shp, -10.0)
+        qao = jnp.full(shp, -20.0)
+        snow = jnp.full(shp, 1.0e-7)     # snowfall m/s
+        ai2, hi2, hsn2, ti2, _ = ice_thermo_mk(
+            cfg, icfg, grid, ai, hi, hsn, ti, sst, sss, tair, qao,
+            snowfall=snow)
+        a = np.asarray
+        interior = np.s_[2:-2, 2:-2]
+        # flooding converted part of the snow into ice
+        assert a(hsn2)[interior].mean() < 0.5
+        assert a(hi2)[interior].mean() > 0.3
+        # Archimedes: remaining snow load no longer floods
+        load = icfg.rhos * a(hsn2) - (cfg.rho0 - icfg.rhoi) * a(hi2)
+        assert (load[interior] < 1e-6).all()
