@@ -157,3 +157,13 @@ def test_float_vertical_random_walk():
     # no Akt -> deterministic, unchanged in still water
     f2 = flt_mod.step_floats(cfg, grid, f0, u, u, W, Hz, grid.sc_r)
     assert float(jnp.abs(f2.s - f0.s).max()) == 0.0
+
+
+def test_region_report():
+    """timers.F-style region table builds and reports every major phase
+    plus the full-step roofline line."""
+    from roms_tpu.utils.regions import region_report
+    cfg, grid, state, model = _small_model()
+    rpt = region_report(model, state, reps=2)
+    for phrase in ("pre_step3d", "prsgrd", "fast_loop", "FULL STEP"):
+        assert phrase in rpt, rpt
