@@ -1043,3 +1043,205 @@ def make_red_tide_hook(cfg: ModelConfig, bio: RedTideConfig, grid: Grid,
         return red_tide(cfg, bio, grid, t, Hz, z_w, forcing.srflx,
                         cyst_ini, din_obs=din_obs)
     return hook
+
+
+# ---------------------------------------------------------------------------
+# EcoSim bio-optical ecosystem model (ROMS/Nonlinear/Biology/ecosim.h),
+# reduced configuration
+# ---------------------------------------------------------------------------
+# The reference EcoSim resolves NBands=60 spectral irradiance, Nphy
+# pigment-resolved phytoplankton groups with C/N/P/Si/Fe quotas,
+# bacterioplankton, colored/uncolored DOM and fecal pools (2576 lines).
+# This implementation keeps the defining structure — spectral light
+# attenuation with per-group pigment absorption, carbon-based groups
+# with dynamic N quota and photoacclimating chlorophyll, bacteria
+# consuming DOM, fecal regeneration — at a configurable (reduced)
+# band/group count; P/Si/Fe quotas and the full pigment spectra are
+# out of scope and documented as such.
+
+@dataclass(frozen=True)
+class EcoSimConfig:
+    """Reduced EcoSim parameters (ecosim_mod.h defaults where they
+    map)."""
+    nphy: int = 2
+    nbands: int = 6               # spectral bands over 400-700 nm
+    # water absorption/scattering per band (m-1), blue->red
+    a_water: Tuple[float, ...] = (0.015, 0.04, 0.06, 0.1, 0.25, 0.55)
+    b_water: Tuple[float, ...] = (0.005, 0.004, 0.003, 0.003, 0.002,
+                                  0.002)
+    # per-group chl-specific absorption peak (m2/mg chl) per band
+    a_chl: Tuple[float, ...] = (0.035, 0.028, 0.02, 0.012, 0.008,
+                                0.016)
+    GtALG_max: Tuple[float, ...] = (1.5, 1.0)     # max growth (1/day)
+    alfa: Tuple[float, ...] = (0.04, 0.02)        # initial slope
+    K_NO3: Tuple[float, ...] = (0.5, 1.0)         # uptake half-sat
+    C2N_min: float = 5.0          # Redfield-ish quota bounds (mol)
+    C2N_max: float = 12.0
+    C2CHL_min: float = 30.0       # g C / g chl
+    C2CHL_max: float = 120.0
+    ExALG: float = 0.05           # exudation fraction of growth
+    grazing: Tuple[float, ...] = (0.1, 0.1)       # 1/day loss rate
+    fec_frac: float = 0.3         # grazing to fecal; rest to DOM
+    GtBAC_max: float = 2.0        # bacterial max growth (1/day)
+    K_DOC: float = 25.0
+    BacGE: float = 0.3            # growth efficiency
+    RegenR: float = 0.1           # fecal regeneration (1/day)
+    wFec: float = 5.0             # fecal sinking (m/day)
+    nitrif: float = 0.05          # NH4 -> NO3 (1/day)
+    MinVal: float = 1.0e-6
+
+
+# tracer layout after the NAT tracers:
+IES_NO3, IES_NH4, IES_DOC, IES_DON, IES_FEC_C, IES_FEC_N, IES_BAC = \
+    range(7)
+# then per group g: PhyC, PhyN, Chl at IES_PHY0 + 3*g + (0,1,2)
+IES_PHY0 = 7
+
+
+def ecosim_nt(cfg: ModelConfig, eco: EcoSimConfig) -> int:
+    return cfg.NAT + IES_PHY0 + 3 * eco.nphy
+
+
+def ecosim(cfg: ModelConfig, eco: EcoSimConfig, grid: Grid, t, Hz,
+           z_w, srflx):
+    """One EcoSim source/sink step; returns the tracer increment."""
+    nb = cfg.NAT
+    dtdays = cfg.dt * constants.sec2day
+    mv = eco.MinVal
+
+    NO3 = jnp.maximum(t[nb + IES_NO3], mv)
+    NH4 = jnp.maximum(t[nb + IES_NH4], mv)
+    DOC = jnp.maximum(t[nb + IES_DOC], mv)
+    DON = jnp.maximum(t[nb + IES_DON], mv)
+    FecC = jnp.maximum(t[nb + IES_FEC_C], mv)
+    FecN = jnp.maximum(t[nb + IES_FEC_N], mv)
+    Bac = jnp.maximum(t[nb + IES_BAC], mv)
+    Phy = [jnp.maximum(t[nb + IES_PHY0 + 3 * g], mv)
+           for g in range(eco.nphy)]
+    PhyN = [jnp.maximum(t[nb + IES_PHY0 + 3 * g + 1], mv)
+            for g in range(eco.nphy)]
+    Chl = [jnp.maximum(t[nb + IES_PHY0 + 3 * g + 2], mv)
+           for g in range(eco.nphy)]
+    out = {k: v for k, v in zip(
+        ("NO3", "NH4", "DOC", "DON", "FecC", "FecN", "Bac"),
+        (NO3, NH4, DOC, DON, FecC, FecN, Bac))}
+
+    # ---- spectral light (ecosim.h:600-760 reduced): per band,
+    # attenuation by water + chlorophyll of all groups + CDOM-ish DOC
+    Ed0 = jnp.maximum(srflx * cfg.rho0 * constants.Cp, 0.0)  # W/m2
+    frac_band = 1.0 / eco.nbands
+    par_layers = 0.0
+    for ib in range(eco.nbands):
+        att = eco.a_water[ib] + eco.b_water[ib] \
+            + 0.001 * DOC * jnp.exp(-0.014 * (ib - 0.5))
+        for g in range(eco.nphy):
+            att = att + eco.a_chl[ib] * Chl[g]
+        att_dz = att * Hz
+        above = jnp.cumsum(att_dz[::-1], axis=0)[::-1] - att_dz
+        Etop = Ed0[None] * frac_band * jnp.exp(-above)
+        Eavg = Etop * (1.0 - jnp.exp(-att_dz)) / jnp.maximum(att_dz,
+                                                             1e-12)
+        par_layers = par_layers + Eavg
+
+    # ---- phytoplankton groups: light x quota limited growth ---------
+    tot_uptake_NO3 = 0.0
+    tot_uptake_NH4 = 0.0
+    for g in range(eco.nphy):
+        C2CHL = jnp.clip(Phy[g] * 12.0 / jnp.maximum(Chl[g], mv),
+                         eco.C2CHL_min, eco.C2CHL_max)
+        Gt_ll = eco.GtALG_max[g] * (1.0 - jnp.exp(
+            -eco.alfa[g] * par_layers / jnp.maximum(
+                eco.GtALG_max[g], mv)))
+        # N-quota limitation (Droop-ish on C:N)
+        C2N = jnp.clip(Phy[g] / jnp.maximum(PhyN[g], mv),
+                       eco.C2N_min, eco.C2N_max)
+        quota_lim = (eco.C2N_max - C2N) / (eco.C2N_max - eco.C2N_min)
+        mu = jnp.maximum(Gt_ll * quota_lim, 0.0)          # 1/day
+        growth = dtdays * mu * Phy[g]
+        exud = eco.ExALG * growth
+        out_g = Phy[g] + growth - exud
+        # N uptake toward the minimum C:N quota, NH4 preferred
+        n_demand = dtdays * eco.GtALG_max[g] * PhyN[g] * \
+            (NO3 + NH4) / (eco.K_NO3[g] + NO3 + NH4)
+        f_nh4 = NH4 / jnp.maximum(NO3 + NH4, mv)
+        up_nh4 = jnp.minimum(n_demand * f_nh4, 0.5 * NH4)
+        up_no3 = jnp.minimum(n_demand - up_nh4, 0.5 * NO3)
+        PhyN_g = PhyN[g] + up_nh4 + up_no3
+        tot_uptake_NO3 = tot_uptake_NO3 + up_no3
+        tot_uptake_NH4 = tot_uptake_NH4 + up_nh4
+        # photoacclimation: chl relaxes toward balanced C2CHL target
+        # (low light -> more chl)
+        C2CHL_tgt = jnp.clip(
+            eco.C2CHL_max - (eco.C2CHL_max - eco.C2CHL_min)
+            * par_layers / (par_layers + 30.0),
+            eco.C2CHL_min, eco.C2CHL_max)
+        Chl_tgt = out_g * 12.0 / C2CHL_tgt
+        Chl_g = Chl[g] + dtdays * mu * (Chl_tgt - Chl[g])
+        # grazing closure: to fecal + DOM
+        graze = dtdays * eco.grazing[g] * Phy[g]
+        grazeN = graze * PhyN_g / jnp.maximum(Phy[g], mv)
+        out_g = out_g - graze
+        PhyN_g = PhyN_g - grazeN
+        Chl_g = Chl_g * (1.0 - dtdays * eco.grazing[g])
+        out["FecC"] = out["FecC"] + eco.fec_frac * graze
+        out["FecN"] = out["FecN"] + eco.fec_frac * grazeN
+        out["DOC"] = out["DOC"] + (1.0 - eco.fec_frac) * graze + exud
+        out["DON"] = out["DON"] + (1.0 - eco.fec_frac) * grazeN
+        out[f"PhyC{g}"] = jnp.maximum(out_g, 0.0)
+        out[f"PhyN{g}"] = jnp.maximum(PhyN_g, 0.0)
+        out[f"Chl{g}"] = jnp.maximum(Chl_g, 0.0)
+
+    out["NO3"] = out["NO3"] - tot_uptake_NO3
+    out["NH4"] = out["NH4"] - tot_uptake_NH4
+
+    # ---- bacterioplankton: DOC/DON consumption (ecosim.h BAC loops) -
+    mu_bac = dtdays * eco.GtBAC_max * DOC / (eco.K_DOC + DOC)
+    consumC = jnp.minimum(mu_bac * Bac / eco.BacGE, 0.5 * out["DOC"])
+    growthB = eco.BacGE * consumC
+    respC = consumC - growthB
+    consumN = jnp.minimum(consumC * DON / jnp.maximum(DOC, mv),
+                          0.5 * out["DON"])
+    out["Bac"] = out["Bac"] + growthB - dtdays * 0.05 * Bac
+    out["DOC"] = out["DOC"] - consumC + dtdays * 0.05 * Bac
+    out["DON"] = out["DON"] - consumN
+    out["NH4"] = out["NH4"] + consumN          # remineralization
+    # ---- fecal regeneration + sinking; nitrification ----------------
+    regen = dtdays * eco.RegenR
+    out["NH4"] = out["NH4"] + regen * out["FecN"]
+    out["DOC"] = out["DOC"] + regen * out["FecC"]
+    out["FecC"] = out["FecC"] * (1.0 - regen)
+    out["FecN"] = out["FecN"] * (1.0 - regen)
+    nit = dtdays * eco.nitrif * out["NH4"]
+    out["NH4"] = out["NH4"] - nit
+    out["NO3"] = out["NO3"] + nit
+
+    def sink(q, w_mday):
+        w = w_mday / 86400.0 * cfg.dt
+        flux = jnp.minimum(w, 0.9 * Hz[1:]) * q[1:]
+        dq = jnp.concatenate([flux, jnp.zeros_like(q[:1])], axis=0) \
+            - jnp.concatenate([jnp.zeros_like(q[:1]), flux], axis=0)
+        return q + dq / Hz
+
+    out["FecC"] = sink(out["FecC"], eco.wFec)
+    out["FecN"] = sink(out["FecN"], eco.wFec)
+
+    inc = jnp.zeros_like(t)
+    order = ["NO3", "NH4", "DOC", "DON", "FecC", "FecN", "Bac"]
+    olds = [NO3, NH4, DOC, DON, FecC, FecN, Bac]
+    for i, (k, old) in enumerate(zip(order, olds)):
+        inc = inc.at[nb + i].set(out[k] - old)
+    for g in range(eco.nphy):
+        inc = inc.at[nb + IES_PHY0 + 3 * g].set(
+            out[f"PhyC{g}"] - Phy[g])
+        inc = inc.at[nb + IES_PHY0 + 3 * g + 1].set(
+            out[f"PhyN{g}"] - PhyN[g])
+        inc = inc.at[nb + IES_PHY0 + 3 * g + 2].set(
+            out[f"Chl{g}"] - Chl[g])
+    return inc
+
+
+def make_ecosim_hook(cfg: ModelConfig, eco: EcoSimConfig, grid: Grid):
+    """bio_fn hook; cfg.NT must equal ecosim_nt(cfg, eco)."""
+    def hook(t, Hz, z_w, forcing):
+        return ecosim(cfg, eco, grid, t, Hz, z_w, forcing.srflx)
+    return hook

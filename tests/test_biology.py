@@ -345,3 +345,51 @@ def test_red_tide_bloom():
     assert D.max() > 0.0
     # upward swimming: after enough steps cells appear above the bottom
     assert D[1:].max() > 0.0
+
+
+def test_ecosim_reduced():
+    """Reduced EcoSim: spectral light drives quota-limited growth;
+    bacteria consume DOM; nitrogen bookkeeping closes."""
+    import dataclasses
+    from roms_tpu.core.biology import (EcoSimConfig, ecosim_nt,
+                                       make_ecosim_hook)
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import upwelling
+    eco = EcoSimConfig()
+    cfg0 = upwelling.make_config(Lm=10, Mm=10, N=8, dtype="float64")
+    cfg = cfg0.replace(NT=ecosim_nt(cfg0, eco))
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    shp = np.asarray(s0.t[0]).shape
+    t = np.full((cfg.NT,) + shp, 1.0e-6)
+    t[0] = np.asarray(s0.t[0]); t[1] = 35.0
+    t[2] = 8.0           # NO3
+    t[3] = 0.5           # NH4
+    t[4] = 10.0          # DOC
+    t[5] = 1.0           # DON
+    t[8] = 0.1           # Bac
+    for g in range(eco.nphy):
+        t[9 + 3 * g] = 1.0       # PhyC
+        t[9 + 3 * g + 1] = 0.15  # PhyN
+        t[9 + 3 * g + 2] = 0.2   # Chl
+    tj = jnp.asarray(t)
+    s0 = s0._replace(t=tj, t_prev=tj)
+    base = upwelling.make_forcing_fn(cfg, grid)
+
+    def forcing(time):
+        f = base(time)
+        return f._replace(srflx=jnp.full(cfg.shape2d, 2.0e-4))
+
+    m = Model(cfg, grid, forcing, upwelling.make_vmix_fn(cfg),
+              bio_fn=make_ecosim_hook(cfg, eco, grid))
+    s = m.run(s0, 20)
+    T = np.asarray(s.t)
+    assert np.isfinite(T).all()
+    assert T[2:].min() > -1e-6          # positivity
+    # light-driven growth: surface phytoplankton carbon increased
+    assert T[9][-1].mean() > 1.0
+    # nutrient drawdown near the surface
+    assert T[2][-1].mean() < 8.0
+    # chlorophyll stays within the physical C:Chl window
+    c2chl = T[9][-1] * 12.0 / np.maximum(T[11][-1], 1e-9)
+    assert (c2chl[2:-2, 2:-2] < 1.5 * eco.C2CHL_max).all()
