@@ -53,17 +53,47 @@ class AtmState(NamedTuple):
     srflx: jnp.ndarray     # shortwave (Celsius m/s), incl. albedo
 
 
+
+
+def _arctan(x):
+    """arctan via double range reduction + odd Taylor polynomial.
+
+    Mosaic (Pallas TPU) has no atan lowering, so both the XLA and the
+    fused-kernel paths share this implementation (identical results on
+    either path).  Reduction: atan(x)=sign(x)atan(|x|); |x|>1 ->
+    pi/2 - atan(1/|x|); t>tan(pi/8) -> pi/4 + atan((t-1)/(t+1)); the
+    residual |u| <= tan(pi/8) Taylor series (8 odd terms) is accurate
+    to ~2e-9."""
+    sgn = jnp.sign(x)
+    t = jnp.abs(x)
+    big = t > 1.0
+    t = jnp.where(big, 1.0 / jnp.maximum(t, 1.0e-30), t)
+    tan_pi8 = 0.4142135623730951
+    fold = t > tan_pi8
+    u = jnp.where(fold, (t - 1.0) / (t + 1.0), t)
+    u2 = u * u
+    # odd Taylor series sum u^(2k+1) (-1)^k/(2k+1), k=0..7
+    p = -1.0 / 15.0
+    for c in (1.0 / 13.0, -1.0 / 11.0, 1.0 / 9.0, -1.0 / 7.0,
+              1.0 / 5.0, -1.0 / 3.0, 1.0):
+        p = p * u2 + c
+    a = u * p
+    a = jnp.where(fold, 0.25 * _PI + a, a)
+    a = jnp.where(big, 0.5 * _PI - a, a)
+    return sgn * a
+
+
 def bulk_psiu(ZoL):
     """Momentum stability function (bulk_flux.F:1465-1528)."""
     r3 = 1.0 / 3.0
     x = jnp.maximum(1.0 - 15.0 * ZoL, _EPS) ** 0.25
     psik = (2.0 * jnp.log(0.5 * (1.0 + x))
             + jnp.log(0.5 * (1.0 + x * x))
-            - 2.0 * jnp.arctan(x) + 0.5 * _PI)
+            - 2.0 * _arctan(x) + 0.5 * _PI)
     s3 = math.sqrt(3.0)
     y = jnp.maximum(1.0 - 10.15 * ZoL, _EPS) ** r3
     psic = (1.5 * jnp.log(r3 * (1.0 + y + y * y))
-            - s3 * jnp.arctan((1.0 + 2.0 * y) / s3) + _PI / s3)
+            - s3 * _arctan((1.0 + 2.0 * y) / s3) + _PI / s3)
     Fw = ZoL * ZoL / (1.0 + ZoL * ZoL)
     unstable = (1.0 - Fw) * psik + Fw * psic
     cff = jnp.minimum(50.0, 0.35 * ZoL)
@@ -80,7 +110,7 @@ def bulk_psit(ZoL):
     s3 = math.sqrt(3.0)
     y = jnp.maximum(1.0 - 34.15 * ZoL, _EPS) ** r3
     psic = (1.5 * jnp.log(r3 * (1.0 + y + y * y))
-            - s3 * jnp.arctan((1.0 + 2.0 * y) / s3) + _PI / s3)
+            - s3 * _arctan((1.0 + 2.0 * y) / s3) + _PI / s3)
     Fw = ZoL * ZoL / (1.0 + ZoL * ZoL)
     unstable = (1.0 - Fw) * psik + Fw * psic
     cff = jnp.minimum(50.0, 0.35 * ZoL)
@@ -96,16 +126,13 @@ def _sat_vapor(TC, Pair):
     return cff
 
 
-def bulk_flux(cfg: ModelConfig, atm: AtmState, sst, sss, rho_surf,
-              lrflx_data=None, cool_skin: bool = False,
-              coare35: bool = False):
-    """Compute surface fluxes.
-
-    sst/sss: surface tracer fields (Mj, Li); rho_surf: surface in-situ
-    density anomaly.  Returns (sustr, svstr, stflx_T, stflx_S, lrflx,
-    lhflx, shflx, evap) with stresses at U/V points (kinematic m2/s2)
-    and fluxes in Celsius m/s, PSU m/s.
-    """
+def bulk_flux_rho(cfg: ModelConfig, atm: AtmState, sst, sss,
+                  rho_surf, cool_skin: bool = False,
+                  coare35: bool = False):
+    """COARE fluxes at rho points — the pure elementwise core, shared
+    by the XLA path and the fused Pallas kernel (ops/pallas_bulk.py).
+    Returns (Taux, Tauy, stflx_T, stflx_S, lrflx, lhflx, shflx, evap)
+    with stresses still at rho points in N/m2."""
     g = constants.g
     vonKar = constants.vonKar
     rho0 = cfg.rho0
@@ -272,8 +299,24 @@ def bulk_flux(cfg: ModelConfig, atm: AtmState, sst, sss, rho_surf,
     stflx_T = atm.srflx + lrflx + lhflx + shflx
     evap = LHeat / (Hlv + _EPS)
     stflx_S = (evap - atm.rain) * sss / RHOW
+    return Taux, Tauy, stflx_T, stflx_S, lrflx, lhflx, shflx, evap
 
+
+def bulk_flux(cfg: ModelConfig, atm: AtmState, sst, sss, rho_surf,
+              lrflx_data=None, cool_skin: bool = False,
+              coare35: bool = False):
+    """Compute surface fluxes.
+
+    sst/sss: surface tracer fields (Mj, Li); rho_surf: surface in-situ
+    density anomaly.  Returns (sustr, svstr, stflx_T, stflx_S, lrflx,
+    lhflx, shflx, evap) with stresses at U/V points (kinematic m2/s2)
+    and fluxes in Celsius m/s, PSU m/s.
+    """
+    (Taux, Tauy, stflx_T, stflx_S, lrflx, lhflx, shflx,
+     evap) = bulk_flux_rho(cfg, atm, sst, sss, rho_surf,
+                           cool_skin=cool_skin, coare35=coare35)
     # stresses to staggered points, kinematic (bulk_flux.F tail)
+    rho0 = cfg.rho0
     sustr = 0.5 * (Taux + st.im1(Taux)) / rho0
     svstr = 0.5 * (Tauy + st.jm1(Tauy)) / rho0
     return sustr, svstr, stflx_T, stflx_S, lrflx, lhflx, shflx, evap
@@ -286,9 +329,20 @@ def make_bulk_forcing(cfg: ModelConfig, atm_fn, cool_skin=False,
     """
     def forcing(time, sst, sss, rho_surf):
         atm = atm_fn(time)
-        (sustr, svstr, stT, stS, *_rest) = bulk_flux(
-            cfg, atm, sst, sss, rho_surf, cool_skin=cool_skin,
-            coare35=coare35)
+        from ..ops import pallas_kpp
+        if pallas_kpp.use_pallas_kpp():
+            # single fused elementwise kernel (ops/pallas_bulk.py)
+            import os as _os
+            from ..ops.pallas_bulk import bulk_flux_pallas
+            (sustr, svstr, stT, stS) = bulk_flux_pallas(
+                cfg, atm, sst, sss, rho_surf, cool_skin=cool_skin,
+                coare35=coare35,
+                interpret=bool(_os.environ.get(
+                    "ROMS_TPU_PALLAS_KPP_INTERPRET")))
+        else:
+            (sustr, svstr, stT, stS, *_rest) = bulk_flux(
+                cfg, atm, sst, sss, rho_surf, cool_skin=cool_skin,
+                coare35=coare35)
         zeros = jnp.zeros_like(sustr)
         stflx = jnp.stack([stT, stS] + [zeros] * (cfg.NT - 2))
         btflx = jnp.zeros_like(stflx)

@@ -683,3 +683,32 @@ def uv3dmix2_geo(cfg: ModelConfig, grid: Grid, u, v, u_part, v_part,
         + dt * (cff3v + cff4v)
     rvfrc = rvfrc + jnp.sum(cff1v - cff2v + cff3v + cff4v, axis=0)
     return u_part, v_part, rufrc, rvfrc
+
+
+def uv3dmix4_geo(cfg: ModelConfig, grid: Grid, u, v, u_part, v_part,
+                 Hz, z_r, rufrc, rvfrc, visc3d_r=None):
+    """Biharmonic momentum viscosity rotated along geopotentials
+    (uv3dmix4_geo.h): the rotated harmonic stress operator of
+    uv3dmix2_geo applied twice with sqrt(VISC4) coefficients and the
+    boundary clamp between passes.  (TPU-first composition: the first
+    pass keeps the thickness weighting and converts back to velocity
+    units, where the reference's hand-written first pass is
+    unweighted — same operator to O(dHz), one code path.)"""
+    if cfg.mixing.visc4 <= 0.0 and visc3d_r is None:
+        return u_part, v_part, rufrc, rvfrc
+    ones3 = jnp.ones_like(Hz)
+    visc_r1 = visc3d_r if visc3d_r is not None \
+        else grid.visc4_r[None] * ones3
+    zu = jnp.zeros_like(u)
+    zv = jnp.zeros_like(v)
+    z2 = jnp.zeros_like(rufrc)
+    up1, vp1, _, _ = uv3dmix2_geo(cfg, grid, u, v, zu, zv, Hz, z_r,
+                                  z2, z2, visc3d_r=visc_r1)
+    Hz_u = 0.5 * (Hz + st.im1(Hz))
+    Hz_v = 0.5 * (Hz + st.jm1(Hz))
+    LapU = _lap_bc(cfg, cfg.bc.u, up1 / (cfg.dt * Hz_u))
+    LapV = _lap_bc(cfg, cfg.bc.v, vp1 / (cfg.dt * Hz_v))
+    up2, vp2, rf2, rv2 = uv3dmix2_geo(cfg, grid, LapU, LapV, zu, zv,
+                                      Hz, z_r, z2, z2,
+                                      visc3d_r=visc_r1)
+    return (u_part - up2, v_part - vp2, rufrc - rf2, rvfrc - rv2)

@@ -301,8 +301,14 @@ class Model:
             u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_s(
                 cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc,
                 rvfrc, visc3d_r=visc3d_r)
-        u_part, v_part, rufrc, rvfrc = hmix.uv3dmix4_s(
-            cfg, grid, state.u, state.v, u_part, v_part, Hz, rufrc, rvfrc)
+        if cfg.mixing.mix_geo_uv:
+            u_part, v_part, rufrc, rvfrc = hmix.uv3dmix4_geo(
+                cfg, grid, state.u, state.v, u_part, v_part, Hz, z_r,
+                rufrc, rvfrc)
+        else:
+            u_part, v_part, rufrc, rvfrc = hmix.uv3dmix4_s(
+                cfg, grid, state.u, state.v, u_part, v_part, Hz,
+                rufrc, rvfrc)
         if use_gls:
             # gls_prestep (main3d.F:634-636): AB2 advection of tke/psi
             tke_half, gls_half, tke_seed, gls_seed = gls_mod.gls_prestep(

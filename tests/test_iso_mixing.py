@@ -143,3 +143,43 @@ def test_uv3dmix2_geo():
     s = m.run(ia.seamount_initial(cfg, grid), 30)
     assert np.isfinite(np.asarray(s.u)).all()
     assert np.abs(np.asarray(s.u)).max() < 0.05
+
+
+def test_uv3dmix4_geo():
+    """Rotated biharmonic momentum viscosity: damps grid-scale noise,
+    leaves a uniform flow untouched, stays stable coupled."""
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu.core import hmix
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import upwelling
+    cfg = upwelling.make_config(Lm=16, Mm=16, N=6, dtype="float64")
+    cfg = cfg.replace(mixing=dataclasses.replace(
+        cfg.mixing, mix_geo_uv=True, visc4=1.0e8, visc2=0.0))
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    Hz, z_r = s0.Hz, s0.z_r
+    z2 = jnp.zeros_like(s0.zeta)
+    # uniform flow: the operator must vanish in the interior
+    u_u = jnp.full_like(s0.u, 0.1)
+    v_u = jnp.zeros_like(s0.v)
+    up, vp, rf, rv = hmix.uv3dmix4_geo(
+        cfg, grid, u_u, v_u, jnp.zeros_like(u_u), jnp.zeros_like(v_u),
+        Hz, z_r, z2, z2)
+    assert np.abs(np.asarray(up)[:, 4:-4, 4:-4]).max() < 1e-10
+    # checkerboard noise is damped (increment opposes the noise)
+    jj, ii = np.meshgrid(np.arange(cfg.shape2d[0]),
+                         np.arange(cfg.shape2d[1]), indexing="ij")
+    noise = 0.01 * (-1.0) ** (jj + ii)
+    u_n = jnp.asarray(np.broadcast_to(noise[None], s0.u.shape))
+    up, vp, _, _ = hmix.uv3dmix4_geo(
+        cfg, grid, u_n, v_u, jnp.zeros_like(u_n), jnp.zeros_like(v_u),
+        Hz, z_r, z2, z2)
+    corr = float(jnp.sum(up[:, 4:-4, 4:-4] * u_n[:, 4:-4, 4:-4]))
+    assert corr < 0.0, corr
+    # coupled run stays finite
+    m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+              vmix_fn=upwelling.make_vmix_fn(cfg))
+    s = m.run(s0, 10)
+    assert np.isfinite(np.asarray(s.u)).all()

@@ -85,3 +85,25 @@ def test_fused_step_matches_jnp_step(setup):
                                atol=1e-10)
     np.testing.assert_allclose(a(s_pal.t), a(s_ref.t), rtol=1e-7,
                                atol=1e-10)
+
+
+def test_pallas_bulk_matches_reference():
+    """Fused COARE kernel (interpret mode) equals the XLA path."""
+    import jax.numpy as jnp
+    from roms_tpu.core.bulk_flux import bulk_flux
+    from roms_tpu.ops.pallas_bulk import bulk_flux_pallas
+    cfg = benchmark.make_config(Lm=126, Mm=30, N=8, dtype="float64",
+                                full_physics=True)
+    grid = benchmark.make_grid(cfg)
+    state = benchmark.make_initial(cfg, grid)
+    atm = benchmark.make_atm_fn(cfg, grid)(jnp.asarray(43200.0))
+    sst = state.t[0][-1] + 0.5
+    sss = state.t[1][-1]
+    rho_s = jnp.zeros_like(sst) + 25.0
+    ref = bulk_flux(cfg, atm, sst, sss, rho_s)
+    pal = bulk_flux_pallas(cfg, atm, sst, sss, rho_s, interpret=True)
+    for a, b, name in zip(pal, ref[:4],
+                          ("sustr", "svstr", "stT", "stS")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-14,
+                                   err_msg=name)
