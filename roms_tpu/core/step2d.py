@@ -63,7 +63,8 @@ class FastCarry(NamedTuple):
     avg: FastAverages
 
 
-def _flux_state(cfg: ModelConfig, grid: Grid, zeta, ubar, vbar):
+def _flux_state(cfg: ModelConfig, grid: Grid, zeta, ubar, vbar,
+                sources=None):
     """Total depth and vertically integrated mass fluxes at the krhs state.
 
     step2d_LF_AM3.h:624-714: Drhs = zeta+h; DUon = ubar*0.5*(Drhs_i+Drhs_{i-1})*on_u.
@@ -72,6 +73,11 @@ def _flux_state(cfg: ModelConfig, grid: Grid, zeta, ubar, vbar):
     Drhs = zeta + grid.h
     DUon = ubar * st.avg_x(Drhs) * grid.on_u
     DVom = vbar * st.avg_y(Drhs) * grid.om_v
+    if sources is not None and sources.qbar_u is not None:
+        # LuvSrc: river mass flux through u/v faces (step2d LuvSrc
+        # block); on land-masked faces add == the reference's set
+        DUon = DUon + sources.qbar_u
+        DVom = DVom + sources.qbar_v
     bc = cfg.bc
     if bc.ew_periodic:
         Drhs = st.periodic_x(Drhs)
@@ -334,7 +340,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
         """iif is the 1-based fast-step index (traced)."""
         first = (iif == 1)
-        Drhs, DUon, DVom = _flux_state(cfg, grid, c.zeta, c.ubar, c.vbar)
+        Drhs, DUon, DVom = _flux_state(cfg, grid, c.zeta, c.ubar,
+                                       c.vbar, sources)
 
         # ---- fast-time averaging, predictor branch (:742-800) ----
         cffA1 = jnp.where(first, 0.0, w1j[jnp.maximum(iif - 2, 0)])
@@ -418,7 +425,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
         first = (iif == 1)
         avg = c.avg
-        Drhs, DUon, DVom = _flux_state(cfg, grid, zeta_p, ubar_p, vbar_p)
+        Drhs, DUon, DVom = _flux_state(cfg, grid, zeta_p, ubar_p,
+                                       vbar_p, sources)
 
         # fast-averaging corrector branch (:795-806)
         cffA2 = jnp.where(first, w2j[iif - 1], (5.0 / 12.0) * w2j[iif - 1])
@@ -511,7 +519,7 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         # Auxiliary (nfast+1) predictor pass: final accumulation only
         # (step2d_LF_AM3.h:821-860 + RETURN before time stepping).
         _, DUon, DVom = _flux_state(cfg, grid, carry.zeta, carry.ubar,
-                                    carry.vbar)
+                                    carry.vbar, sources)
         cffA1 = w1j[nfast - 1]
         cffA2 = (8.0 / 12.0) * w2j[nfast] - (1.0 / 12.0) * w2j[nfast + 1]
         avg = carry.avg

@@ -131,6 +131,11 @@ class Model:
 
         # ---- prep: fluxes, EOS, forcing, closures (main3d.F:348-535) ----
         Huon, Hvom = set_massflux(grid, state.u, state.v, Hz)
+        if self.sources is not None and self.sources.qsrc_u is not None:
+            # LuvSrc per-layer river flux through the faces feeds
+            # continuity (omega) and advection (step3d LuvSrc block)
+            Huon = Huon + self.sources.qsrc_u
+            Hvom = Hvom + self.sources.qsrc_v
         if cfg.bc.ew_periodic:
             Huon, Hvom = st.periodic_x(Huon), st.periodic_x(Hvom)
         if cfg.bc.ns_periodic:
@@ -283,6 +288,14 @@ class Model:
             pmn_ = grid.pm * grid.pn
             t_part = t_part + cfg.dt * pmn_[None, None] * \
                 self.sources.qsrc[None] * self.sources.tsrc
+        if self.sources is not None and self.sources.qsrc_u is not None:
+            # LuvSrc tracer input: correct the face-advected tracer to
+            # the riverine concentration (advection carried ~t_cell
+            # through the face; net input must be q*Tsrc)
+            pmn_ = grid.pm * grid.pn
+            qface = self.sources.qsrc_u + self.sources.qsrc_v
+            t_part = t_part + cfg.dt * pmn_[None, None] * \
+                qface[None] * (self.sources.tsrc - state.t)
         ru, rv = rhs3d.rhs3d_momentum(cfg, grid, state.u, state.v, Hz,
                                       Huon, Hvom, W, ru, rv)
         if self.wec_fn is not None:
