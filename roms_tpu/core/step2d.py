@@ -34,7 +34,7 @@ from .. import constants
 from ..config import ModelConfig, PERIODIC
 from ..grid.grid import Grid
 from ..ops import stencil as st
-from . import boundary, obc as obc_mod
+from . import boundary, obc as obc_mod, wetdry as wd
 
 
 class FastAverages(NamedTuple):
@@ -365,6 +365,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         if sources is not None:
             # LwSrc vertical volume influx (step2d_LF_AM3.h:1020-1036)
             zeta_new = zeta_new + sources.qbar * pmn * dtfast
+        if cfg.wetdry:
+            zeta_new = wd.clamp_dry_zeta(cfg, grid, zeta_new)
         cff4 = 4.0 / 25.0
         cff5 = 1.0 - 2.0 * cff4
         zwrk = jnp.where(first,
@@ -410,6 +412,12 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         vbar_new = (vb_base * Dv_stp + pmn4_v * cffdt * rhs_v) / Dv_new
         ubar_new = ubar_new * grid.umask
         vbar_new = vbar_new * grid.vmask
+        if cfg.wetdry:
+            # draining-only flow through part-dry faces
+            # (step2d_LF_AM3.h:2471-2486)
+            wm = wd.compute_wet_masks(cfg, grid, zeta_new)
+            ubar_new = wd.mask_momentum(ubar_new, wm.umask_wet)
+            vbar_new = wd.mask_momentum(vbar_new, wm.vmask_wet)
         ubar_new, vbar_new = _uv_bc(cfg, grid, ubar_new, vbar_new,
                                     c.zeta, c.ubar, c.vbar, obc,
                                     z_new=zeta_new, dt2d=dtfast)
@@ -442,6 +450,8 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         zeta_new = jnp.where(first, zeta_be, zeta_am3) * grid.rmask
         if sources is not None:
             zeta_new = zeta_new + sources.qbar * pmn * dtfast
+        if cfg.wetdry:
+            zeta_new = wd.clamp_dry_zeta(cfg, grid, zeta_new)
         cff4 = 2.0 / 5.0
         cff5 = 1.0 - cff4
         zwrk = jnp.where(first,
@@ -477,6 +487,10 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         vbar_new = (c.vbar * Dv_stp + pmn4_v * rhs_v_t) / Dv_new
         ubar_new = ubar_new * grid.umask
         vbar_new = vbar_new * grid.vmask
+        if cfg.wetdry:
+            wm = wd.compute_wet_masks(cfg, grid, zeta_new)
+            ubar_new = wd.mask_momentum(ubar_new, wm.umask_wet)
+            vbar_new = wd.mask_momentum(vbar_new, wm.vmask_wet)
         ubar_new, vbar_new = _uv_bc(cfg, grid, ubar_new, vbar_new,
                                     c.zeta, c.ubar, c.vbar, obc,
                                     z_new=zeta_new, dt2d=dtfast)

@@ -343,6 +343,13 @@ class Model:
             cfg, grid, u_part, v_part, ru, rv, Hz2, z_r2, Akv, avg,
             Huon, Hvom, iic, u_old=state.u, v_old=state.v, obc=obc,
             Wi=Wi)
+        if cfg.wetdry:
+            # 3D wet/dry coupling (step3d_uv.F WET_DRY): gate the new
+            # baroclinic momentum with the filtered-free-surface masks
+            from . import wetdry as wd
+            wm = wd.compute_wet_masks(cfg, grid, avg.Zt_avg1)
+            un = wd.mask_momentum(un, wm.umask_wet[None])
+            vn = wd.mask_momentum(vn, wm.vmask_wet[None])
         if cfg.omega_implicit:
             W2, Wi2 = omega_mod.omega_split(cfg, grid, Huon2, Hvom2,
                                             z_w2)
