@@ -50,3 +50,35 @@ def test_partition_error():
     with pytest.raises(RomsError) as ei:
         make_mesh(8, shape=(3, 2))
     assert ei.value.exit_flag == 6
+
+
+def test_explicit_halo_exchange():
+    """shard_map + ppermute halo refresh (the mp_exchange.F analog):
+    after exchanging, every shard's ring equals the neighbor's interior
+    edge — verified against the numpy ground truth on an 8-device
+    mesh, corners included (two-phase W/E-then-N/S)."""
+    import jax.numpy as jnp
+    from roms_tpu.parallel.halo import (blocks_with_halo,
+                                        make_halo_exchange)
+    mesh = make_mesh(8, shape=(2, 4))
+    rng = np.random.default_rng(1)
+    Mj, Li = 16, 32                     # divisible by (2, 4)
+    g = rng.normal(size=(Mj, Li))
+    stale = blocks_with_halo(g * 0.0, mesh)      # zeroed rings
+    # fill interiors with the true data, rings left stale (zero)
+    fresh = blocks_with_halo(g, mesh)
+    neta, nxi = 2, 4
+    bj, bi = Mj // neta + 2, Li // nxi + 2
+    blocks = fresh.copy()
+    for jb in range(neta):
+        for ib in range(nxi):
+            blk = blocks[jb * bj:(jb + 1) * bj, ib * bi:(ib + 1) * bi]
+            blk[0, :] = 0.0
+            blk[-1, :] = 0.0
+            blk[:, 0] = 0.0
+            blk[:, -1] = 0.0
+    exchange = make_halo_exchange(mesh)
+    out = np.asarray(exchange(jnp.asarray(blocks)))
+    # after the exchange the blocks match the ground-truth haloed
+    # layout (rings = neighbor interiors, wrap included)
+    np.testing.assert_allclose(out, fresh, atol=1e-14)
