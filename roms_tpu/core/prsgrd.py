@@ -222,3 +222,232 @@ def prsgrd31(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
     ru = -0.5 * (Hz + st.im1(Hz)) * phix * grid.on_u[None]
     rv = -0.5 * (Hz + st.jm1(Hz)) * phie * grid.om_v[None]
     return ru, rv
+
+
+def _weno_parabolic(rho, Hz, eps=1.0e-8):
+    """Parabolic WENO side limits + weighted interface densities
+    (shared by prsgrd42/prsgrd44; prsgrd44.h:229-295).
+
+    Returns (r1, aR, aL) with r1 the (N+1,...) interface densities
+    (non-NEUMANN boundary extrapolation) and aR/aL the per-cell side
+    limits."""
+    d_i = (rho[1:] - rho[:-1]) / (Hz[1:] + Hz[:-1])   # (N-1,...)
+
+    dR_c = Hz[1:-1] * d_i[1:]
+    dL_c = Hz[1:-1] * d_i[:-1]
+    opp = dR_c * dL_c < 0.0
+    dR_c = jnp.where(opp, 0.0, dR_c)
+    dL_c = jnp.where(opp, 0.0, dL_c)
+    cffc = Hz[:-2] + 2.0 * Hz[1:-1] + Hz[2:]
+    cffR = cffc * d_i[1:]
+    cffL = cffc * d_i[:-1]
+    dR_c = jnp.where(jnp.abs(dR_c) > jnp.abs(cffL), cffL, dR_c)
+    dL_c = jnp.where(jnp.abs(dL_c) > jnp.abs(cffR), cffR, dL_c)
+    cfft = (dR_c - dL_c) / (Hz[:-2] + Hz[1:-1] + Hz[2:])
+    dR_c = dR_c - cfft * Hz[2:]
+    dL_c = dL_c + cfft * Hz[:-2]
+    aR_int = rho[1:-1] + dR_c
+    aL_int = rho[1:-1] - dL_c
+    dRq_int = (2.0 * dR_c - dL_c) ** 2
+    dLq_int = (2.0 * dL_c - dR_c) ** 2
+
+    aL_top = aR_int[-1]
+    aR_top = 2.0 * rho[-1] - aL_top
+    dR_top = (2.0 * aR_top + aL_top - 3.0 * rho[-1]) ** 2
+    dL_top = (3.0 * rho[-1] - 2.0 * aL_top - aR_top) ** 2
+    aR_bot = aL_int[0]
+    aL_bot = 2.0 * rho[0] - aR_bot
+    dR_bot = (2.0 * aR_bot + aL_bot - 3.0 * rho[0]) ** 2
+    dL_bot = (3.0 * rho[0] - 2.0 * aL_bot - aR_bot) ** 2
+
+    aR = jnp.concatenate([aR_bot[None], aR_int, aR_top[None]], axis=0)
+    aL = jnp.concatenate([aL_bot[None], aL_int, aL_top[None]], axis=0)
+    dRq = jnp.concatenate([dR_bot[None], dRq_int, dR_top[None]],
+                          axis=0)
+    dLq = jnp.concatenate([dL_bot[None], dLq_int, dL_top[None]],
+                          axis=0)
+
+    wL = jnp.maximum(dLq[:-1], eps)
+    wR = jnp.maximum(dRq[1:], eps)
+    r1_i = (wR * aR[:-1] + wL * aL[1:]) / (wR + wL)   # (N-1,...)
+    r1_N = 2.0 * rho[-1] - r1_i[-1]
+    r1_0 = 2.0 * rho[0] - r1_i[0]
+    r1 = jnp.concatenate([r1_0[None], r1_i, r1_N[None]], axis=0)
+    return r1, aR, aL
+
+
+def _minmod3(dR, dL):
+    """Three-way harmonic-ish limiter of prsgrd42.h:318-332."""
+    return jnp.where(
+        dR * dL < 0.0, 0.0,
+        jnp.where(jnp.abs(dR) > 2.0 * jnp.abs(dL), 3.0 * dL,
+                  jnp.where(jnp.abs(dL) > 2.0 * jnp.abs(dR), 3.0 * dR,
+                            dR + dL)))
+
+
+def _p_and_surface(cfg, grid, rho, Hz, eq_tide, Pair):
+    """Interface pressure accumulation shared by the FV schemes."""
+    g = cfg.g
+    P_top = jnp.zeros_like(rho[0])
+    if Pair is not None:
+        P_top = P_top + (100.0 / g) * (Pair - 1013.25)
+    if eq_tide is not None:
+        P_top = P_top - g * eq_tide
+    rhoHz = Hz * rho
+    below = jnp.cumsum(rhoHz[::-1], axis=0)[::-1]
+    return jnp.concatenate([P_top[None] + below, P_top[None]], axis=0)
+
+
+def prsgrd42(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
+             eq_tide=None, Pair=None):
+    """Finite-volume scheme with parabolic WENO interface densities and
+    minmod-limited quadratic corrections plus the upstream-biased
+    sigma-correction stage (prsgrd42.h).  Returns (ru, rv) m4/s2."""
+    g = cfg.g
+    GRho05 = 0.5 * g / cfg.rho0
+    c6, c24 = 1.0 / 6.0, g / (24.0 * cfg.rho0)
+    eps = 1.0e-8
+
+    r_f, _, _ = _weno_parabolic(rho, Hz, eps)
+    P = _p_and_surface(cfg, grid, rho, Hz, eq_tide, Pair)
+    rrv = _minmod3(r_f[1:] - rho, rho - r_f[:-1])
+    FX = 0.5 * Hz * (P[1:] + P[:-1] + c6 * rrv * Hz)
+
+    def raw_dir(shift_m, mask, periodic, perf):
+        Pm, rm = shift_m(P), shift_m(r_f)
+        zwm, Hzm, FXm = shift_m(z_w), shift_m(Hz), shift_m(FX)
+        if periodic:
+            Pm, rm = perf(Pm), perf(rm)
+            zwm, Hzm, FXm = perf(zwm), perf(Hzm), perf(FXm)
+        dh = z_w[:-1] - zwm[:-1]
+        delP = Pm[:-1] - P[:-1]
+        rr = _minmod3(dh * r_f[:-1] - delP, delP - dh * rm[:-1])
+        FC_i = 0.5 * dh * (P[:-1] + Pm[:-1] + c6 * rr)
+        FC = jnp.concatenate([FC_i, jnp.zeros_like(FC_i[:1])], axis=0)
+        raw = 2.0 * (FXm - FX + FC[1:] - FC[:-1]) / (Hzm + Hz)
+        return raw * mask[None], zwm, Hzm
+
+    def finalize(raw, zwm, Hzm, shift_m, shift_p, metric,
+                 periodic, perf):
+        # upstream-biased sigma correction (prsgrd42.h:415-470)
+        rawm = shift_m(raw)
+        rawp = shift_p(raw)
+        if periodic:
+            rawm, rawp = perf(rawm), perf(rawp)
+        dhk = c24 * (z_w[1:-1] - shift_m(z_w)[1:-1])   # interfaces 1..N-1
+        FCk = jnp.maximum(dhk, 0.0) * (raw[1:] + rawp[:-1]
+                                       - raw[:-1] - rawm[1:]) \
+            + jnp.minimum(dhk, 0.0) * (raw[:-1] + rawp[1:]
+                                       - raw[1:] - rawm[:-1])
+        dh0 = c24 * (z_w[0] - shift_m(z_w)[0])
+        FC0 = jnp.maximum(dh0, 0.0) * (raw[0] - rawm[0]) \
+            + jnp.minimum(dh0, 0.0) * (rawp[0] - raw[0])
+        zt = jnp.zeros_like(FC0[None])
+        FC = jnp.concatenate([FC0[None], FCk, zt], axis=0)  # 0..N
+        out = (0.5 * g * (1.0 - cfg.sal_scalar)
+               * (zwm[-1] - z_w[-1])[None]
+               + GRho05 * raw) * (Hzm + Hz) * metric[None] \
+            + (FC[1:] - FC[:-1]) * metric[None]
+        return out
+
+    raw_u, zwm_u, Hzm_u = raw_dir(st.im1, grid.umask,
+                                  cfg.bc.ew_periodic, st.periodic_x)
+    ru = finalize(raw_u, zwm_u, Hzm_u, st.im1, st.ip1, grid.on_u,
+                  cfg.bc.ew_periodic, st.periodic_x)
+    raw_v, zwm_v, Hzm_v = raw_dir(st.jm1, grid.vmask,
+                                  cfg.bc.ns_periodic, st.periodic_y)
+    rv = finalize(raw_v, zwm_v, Hzm_v, st.jm1, st.jp1, grid.om_v,
+                  cfg.bc.ns_periodic, st.periodic_y)
+    return ru, rv
+
+
+def prsgrd44(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
+             eq_tide=None, Pair=None):
+    """Monotonized-quartic finite-volume scheme (prsgrd44.h): WENO
+    reconciliation, power-law side derivatives, Pade amplitude
+    correction of the interface densities, and limited face integrals.
+    Returns (ru, rv) m4/s2."""
+    g = cfg.g
+    GRho = g / cfg.rho0
+    c6, c12 = 1.0 / 6.0, 1.0 / 12.0
+    eps = 1.0e-8
+
+    r1, aR, aL = _weno_parabolic(rho, Hz, eps)
+    FCi = 1.0 / (Hz[1:] + Hz[:-1])
+
+    # ---- power-law side derivatives per cell (prsgrd44.h:297-341) ------
+    deltaR = r1[1:] - rho
+    deltaL = rho - r1[:-1]
+    cffp = deltaR * deltaL
+    cffp = jnp.where(cffp > eps, (deltaR + deltaL)
+                     / jnp.where(cffp > eps, cffp, 1.0), 0.0)
+    cL = cffp * deltaL
+    cR = cffp * deltaR
+    caseA = cL > 3.0
+    caseB = (~caseA) & (cR > 3.0)
+    cffL_f = jnp.where(caseA, cL * deltaL,
+                       jnp.where(caseB, 0.0,
+                                 4.0 * deltaL - 2.0 * deltaR))
+    cffR_f = jnp.where(caseA, 0.0,
+                       jnp.where(caseB, cR * deltaR,
+                                 4.0 * deltaR - 2.0 * deltaL))
+    dRd = cffR_f / Hz
+    dLd = cffL_f / Hz
+
+    # ---- interface derivative + Pade reconciliation (:343-384) ---------
+    dd = FCi * (Hz[1:] * dLd[1:] + Hz[:-1] * dRd[:-1])
+    cffRc = 8.0 * (dRd[:-1] + 2.0 * dLd[:-1])
+    cffLc = 8.0 * (dLd[1:] + 2.0 * dRd[1:])
+    dd = jnp.where(jnp.abs(dd) > jnp.abs(cffRc), cffRc, dd)
+    dd = jnp.where(jnp.abs(dd) > jnp.abs(cffLc), cffLc, dd)
+    up = (dLd[1:] - dRd[:-1]) * (rho[1:] - rho[:-1]) > 0.0
+    Hdd = jnp.where(up, Hz[:-1] * (dd - dRd[:-1]),
+                    Hz[1:] * (dLd[1:] - dd))
+    rr = jnp.abs(jnp.where(up, rho[:-1] - r1[:-2], r1[2:] - rho[1:]))
+    Ampl = 0.2 * Hdd * rr
+    Hdda = jnp.abs(Hdd)
+    cffq = rr * rr + 0.0763636363636363636 * Hdda * \
+        (rr + 0.004329004329004329 * Hdda)
+    Ampl = jnp.where(cffq > eps,
+                     Ampl * (rr + 0.0363636363636363636 * Hdda)
+                     / jnp.where(cffq > eps, cffq, 1.0), 0.0)
+    r_i = r1[1:-1] + Ampl
+    r_f = jnp.concatenate([(2.0 * rho[0] - r_i[0])[None], r_i,
+                           (2.0 * rho[-1] - r_i[-1])[None]], axis=0)
+    d_f = jnp.concatenate([dd[:1], dd, dd[-1:]], axis=0)
+
+    # ---- pressure + cell integrals (:400-425) --------------------------
+    P = _p_and_surface(cfg, grid, rho, Hz, eq_tide, Pair)
+    FX = 0.5 * Hz * (P[1:] + P[:-1]
+                     + 0.2 * Hz * (r_f[1:] - r_f[:-1]
+                                   - c12 * Hz * (d_f[1:] + d_f[:-1])))
+
+    def one_dir(shift_m, metric, mask, periodic, perf):
+        Pm, rm, dm = shift_m(P), shift_m(r_f), shift_m(d_f)
+        zwm, Hzm, FXm = shift_m(z_w), shift_m(Hz), shift_m(FX)
+        if periodic:
+            Pm, rm, dm = perf(Pm), perf(rm), perf(dm)
+            zwm, Hzm, FXm = perf(zwm), perf(Hzm), perf(FXm)
+        dh = z_w[:-1] - zwm[:-1]
+        delP = Pm[:-1] - P[:-1]
+        rrf = 0.5 * dh * (r_f[:-1] + rm[:-1]
+                          - c6 * dh * (d_f[:-1] - dm[:-1]))
+        limtr = 2.0 * delP * rrf
+        den = rrf * rrf + delP * delP
+        limtr = jnp.where(limtr > eps * den,
+                          limtr / jnp.where(den > 0.0, den, 1.0), 0.0)
+        FC_i = 0.5 * dh * (P[:-1] + Pm[:-1]
+                           + limtr * 0.2 * dh
+                           * (r_f[:-1] - rm[:-1]
+                              - c12 * dh * (d_f[:-1] + dm[:-1])))
+        FC = jnp.concatenate([FC_i, jnp.zeros_like(FC_i[:1])], axis=0)
+        surf = 0.5 * g * (1.0 - cfg.sal_scalar) * (Hzm + Hz) * \
+            (zwm[-1] - z_w[-1])[None]
+        return (surf + GRho * (FXm - FX + FC[1:] - FC[:-1])) \
+            * metric[None] * mask[None]
+
+    ru = one_dir(st.im1, grid.on_u, grid.umask, cfg.bc.ew_periodic,
+                 st.periodic_x)
+    rv = one_dir(st.jm1, grid.om_v, grid.vmask, cfg.bc.ns_periodic,
+                 st.periodic_y)
+    return ru, rv

@@ -249,6 +249,12 @@ class Model:
         elif cfg.prsgrd == "fv":
             ru, rv = prsgrd.prsgrd40(cfg, grid, rho, z_r, z_w, Hz,
                                      eq_tide=eqt, Pair=pair)
+        elif cfg.prsgrd == "q2":
+            ru, rv = prsgrd.prsgrd42(cfg, grid, rho, z_r, z_w, Hz,
+                                     eq_tide=eqt, Pair=pair)
+        elif cfg.prsgrd == "q4":
+            ru, rv = prsgrd.prsgrd44(cfg, grid, rho, z_r, z_w, Hz,
+                                     eq_tide=eqt, Pair=pair)
         else:
             ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz,
                                      eq_tide=eqt, Pair=pair)

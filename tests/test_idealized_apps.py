@@ -170,3 +170,38 @@ class TestPrsgrd40:
         m = Model(cfg, flat, ia.zero_forcing(cfg))
         s = m.run(ia.seamount_initial(cfg, flat), 10)
         assert np.abs(np.asarray(s.u)).max() < 1e-12
+
+
+class TestPrsgrdQuartic:
+    """prsgrd42/prsgrd44 (parabolic-WENO / monotonized-quartic FV)."""
+
+    def _err(self, scheme):
+        cfg = ia.seamount_config().replace(prsgrd=scheme)
+        grid = ia.seamount_grid(cfg)
+        m = Model(cfg, grid, ia.zero_forcing(cfg))
+        s = m.run(ia.seamount_initial(cfg, grid), 30)
+        u = np.asarray(s.u)
+        assert np.isfinite(u).all()
+        return np.abs(u).max()
+
+    def test_seamount_error_bounded(self):
+        u42 = self._err("q2")
+        u44 = self._err("q4")
+        # both high-order FV schemes keep SEAMOUNT error currents small
+        assert u42 < 1.0e-2, u42
+        assert u44 < 1.0e-2, u44
+
+    def test_flat_bottom_exact(self):
+        import jax.numpy as jnp
+        from roms_tpu.grid.grid import build_grid
+        for scheme in ("q2", "q4"):
+            cfg = ia.seamount_config().replace(prsgrd=scheme)
+            grid = ia.seamount_grid(cfg)
+            Mj, Li = cfg.shape2d
+            flat = build_grid(cfg, h=np.full((Mj, Li), 5000.0),
+                              pm=np.asarray(grid.pm),
+                              pn=np.asarray(grid.pn),
+                              f=np.zeros((Mj, Li)))
+            m = Model(cfg, flat, ia.zero_forcing(cfg))
+            s = m.run(ia.seamount_initial(cfg, flat), 5)
+            assert np.abs(np.asarray(s.u)).max() < 1e-12, scheme
