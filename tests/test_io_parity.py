@@ -108,3 +108,37 @@ def test_flt_stream(tmp_path):
     assert X[0, 0] == np.float32(3.0)
     assert X[0, 1] == np.float32(SPVAL)      # unbounded -> fill
     assert f.variables["temp"][1, 0] == np.float32(10.1)
+
+
+def test_restart_checksums_and_provenance(tmp_path):
+    """Restart files carry per-leaf checksums (verified on read) and
+    run-provenance attributes (wrt_info.F analog); corruption raises
+    IO_ERROR."""
+    import numpy as np
+    from roms_tpu.core.errors import RomsError
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import upwelling
+    from roms_tpu.io.restart import (checkpoint_provenance,
+                                     load_checkpoint, save_checkpoint)
+    cfg = upwelling.make_config(Lm=8, Mm=8, N=4)
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    path = str(tmp_path / "rst.npz")
+    save_checkpoint(path, s0)
+    prov = checkpoint_provenance(path)
+    assert prov["type"] == "roms_tpu restart file"
+    assert "creation_date" in prov and "code_revision" in prov
+    s1 = load_checkpoint(path, s0)
+    np.testing.assert_array_equal(np.asarray(s1.t), np.asarray(s0.t))
+    # corrupt one leaf on disk -> IO_ERROR on verified load
+    data = dict(np.load(path))
+    key = [k for k in data if k.startswith("leaf_")][3]
+    arr = data[key]
+    if arr.size:
+        arr = arr.copy().reshape(-1)
+        arr[0] += 1.0
+        data[key] = arr.reshape(data[key].shape)
+    np.savez(path, **data)
+    with pytest.raises(RomsError) as ei:
+        load_checkpoint(path, s0)
+    assert ei.value.exit_flag == 4
