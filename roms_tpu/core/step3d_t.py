@@ -78,15 +78,34 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
             if collect_diag:
                 dia["vadv"][-1] = dia["vadv"][-1] + (tn_new - tn)
             tn = tn_new
-        pre_solve = tn                     # Hz-weighted, pre-diffusion
-        Ak = Akt[min(itrc, NAT - 1)]
-        if cfg.mixing.splines_vdiff:
-            tn = tn / Hz
-            tn = tn + spline_flux_solve(Hz, Ak, tn, dt)
-        else:
-            dz_inv = 1.0 / (z_r[1:] - z_r[:-1])
-            tn = implicit_vdiff_solve(Hz, Ak, dz_inv, tn, dt)
-        dia["vdif"].append(tn * Hz - pre_solve)
+        out.append(tn)                     # Hz-weighted, pre-diffusion
+
+    # ---- batched implicit vertical diffusion: all tracers' columns
+    # stack along the j axis into ONE tridiagonal solve (the six-solve
+    # launch consolidation of the optimization roadmap) ----------------
+    Mj = Hz.shape[-2]
+    pre = out
+    if cfg.mixing.splines_vdiff:
+        q_s = jnp.concatenate([t / Hz for t in pre], axis=-2)
+        Hz_s = jnp.concatenate([Hz] * cfg.NT, axis=-2)
+        Ak_s = jnp.concatenate(
+            [Akt[min(itrc, NAT - 1)] for itrc in range(cfg.NT)],
+            axis=-2)
+        sol = q_s + spline_flux_solve(Hz_s, Ak_s, q_s, dt)
+    else:
+        dz_inv = 1.0 / (z_r[1:] - z_r[:-1])
+        q_s = jnp.concatenate(pre, axis=-2)
+        Hz_s = jnp.concatenate([Hz] * cfg.NT, axis=-2)
+        Ak_s = jnp.concatenate(
+            [Akt[min(itrc, NAT - 1)] for itrc in range(cfg.NT)],
+            axis=-2)
+        dz_s = jnp.concatenate([dz_inv] * cfg.NT, axis=-2)
+        sol = implicit_vdiff_solve(Hz_s, Ak_s, dz_s, q_s, dt)
+
+    out = []
+    for itrc in range(cfg.NT):
+        tn = sol[..., itrc * Mj:(itrc + 1) * Mj, :]
+        dia["vdif"].append(tn * Hz - pre[itrc])
         tn = boundary.bc_rho(tn, cfg.bc.t)
         if t_old is not None:
             tdat = (obc or {}).get("t")

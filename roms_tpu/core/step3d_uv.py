@@ -48,11 +48,18 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
     vn = v_part + DC0v * rv
 
     if cfg.mixing.splines_vvisc:
-        # SPLINES_VVISC (step3d_uv.F:292-339)
+        # SPLINES_VVISC (step3d_uv.F:292-339); the u and v systems are
+        # independent columns, so they stack along the j axis into ONE
+        # batched solve (half the sequential-scan latency)
+        Mj = Hz.shape[-2]
         un = un / Hz_u
         vn = vn / Hz_v
-        un = un + spline_flux_solve(Hz_u, AKu, un, dt)
-        vn = vn + spline_flux_solve(Hz_v, AKv_, vn, dt)
+        Hz_s = jnp.concatenate([Hz_u, Hz_v], axis=-2)
+        AK_s = jnp.concatenate([AKu, AKv_], axis=-2)
+        q_s = jnp.concatenate([un, vn], axis=-2)
+        sol = spline_flux_solve(Hz_s, AK_s, q_s, dt)
+        un = un + sol[..., :Mj, :]
+        vn = vn + sol[..., Mj:, :]
     else:
         # standard backward-implicit tridiagonal (step3d_uv.F:341-420)
         dz_u = (z_r[1:] + st.im1(z_r[1:])) - (z_r[:-1] + st.im1(z_r[:-1]))
