@@ -61,3 +61,33 @@ def test_async_readback_single_record(tmp_path):
     np.testing.assert_allclose(np.asarray(f.variables["temp"][0]),
                                np.asarray(s.t[0], np.float32))
     f.close()
+
+
+def test_native_forcing_prefetcher(tmp_path):
+    """C++ record prefetcher: async staging ahead of the clock, exact
+    payloads, hit accounting."""
+    import time
+    import numpy as np
+    from roms_tpu.io.prefetch import RecordPrefetcher
+    shape = (8, 16)
+    nrec = 6
+    recs = [np.random.default_rng(k).normal(size=shape)
+            .astype(np.float64) for k in range(nrec)]
+    path = str(tmp_path / "forcing.bin")
+    with open(path, "wb") as f:
+        for r in recs:
+            f.write(r.tobytes())
+    pf = RecordPrefetcher(path, shape, np.float64, first_offset=0)
+    # prefetch ahead, then read in order
+    pf.request(0)
+    pf.request(1)
+    time.sleep(0.05)
+    for k in range(nrec):
+        if k + 2 < nrec:
+            pf.request(k + 2)           # stay two records ahead
+        got = pf.get(k)
+        np.testing.assert_array_equal(got, recs[k])
+    st = pf.stats
+    assert st["hits"] + st["misses"] == nrec
+    assert st["hits"] >= 1              # staged reads were zero-wait
+    pf.close()
