@@ -77,3 +77,66 @@ class CoupledOcean:
             usur=state.u[-1], vsur=state.v[-1],
             ubar=state.ubar, vbar=state.vbar)
         return state, exports
+
+
+class SlabAtmosphere:
+    """Minimal prognostic atmosphere component for coupled runs — the
+    counterpart the reference plugs in through its NUOPC/CMEPS caps
+    (esmf_atm.F void/data components).  A 2-D slab with heat capacity
+    Ca relaxing toward a radiative-equilibrium temperature while
+    exchanging sensible heat with the exported SST:
+
+        Ca dTa/dt = -lam_rad (Ta - Teq) + lam_as (SST - Ta)
+
+    Exports (ImportState for the ocean): the air-sea heat flux and a
+    prescribed wind stress field.
+    """
+
+    def __init__(self, cfg, Teq, sustr, svstr, Ca: float = 1.0e7,
+                 lam_rad: float = 20.0, lam_as: float = 25.0,
+                 rho0: float = 1025.0):
+        self.cfg = cfg
+        self.Teq = Teq
+        self.sustr = sustr
+        self.svstr = svstr
+        self.Ca = Ca
+        self.lam_rad = lam_rad
+        self.lam_as = lam_as
+        self.Hscale = rho0 * 3985.0       # flux W/m2 -> Celsius m/s
+
+    def initial_state(self, Ta0):
+        return jnp.asarray(Ta0)
+
+    def run_window(self, Ta, sst, dt_window: float):
+        """Advance the slab one coupling window against the exported
+        SST; returns (Ta_new, ImportState for the ocean)."""
+        q_as = self.lam_as * (sst - Ta)           # W/m2, + warms air
+        dTa = (-self.lam_rad * (Ta - self.Teq) + q_as) / self.Ca
+        Ta_new = Ta + dt_window * dTa
+        shflux = -q_as / self.Hscale              # ocean gains -q_as
+        return Ta_new, ImportState(sustr=self.sustr, svstr=self.svstr,
+                                   shflux=shflux)
+
+
+class CoupledDriver:
+    """Two-component NUOPC-style run sequence (esmf run sequence /
+    CMEPS connector): per coupling window, the atmosphere advances
+    against the last ocean export, then the ocean advances with the
+    atmosphere's fluxes — the standard explicit exchange ordering."""
+
+    def __init__(self, ocean: "CoupledOcean", atmos: SlabAtmosphere,
+                 steps_per_window: int):
+        self.ocean = ocean
+        self.atmos = atmos
+        self.nsteps = steps_per_window
+
+    def run(self, ocean_state, Ta, n_windows: int):
+        dt_window = self.nsteps * self.ocean.model.cfg.dt
+        exports = None
+        for w in range(n_windows):
+            sst = ocean_state.t[0][-1] if exports is None \
+                else exports.sst
+            Ta, imports = self.atmos.run_window(Ta, sst, dt_window)
+            ocean_state, exports = self.ocean.run_window(
+                ocean_state, imports, self.nsteps)
+        return ocean_state, Ta, exports
