@@ -140,7 +140,17 @@ class Model:
             Huon, Hvom = st.periodic_x(Huon), st.periodic_x(Hvom)
         if cfg.bc.ns_periodic:
             Huon, Hvom = st.periodic_y(Huon), st.periodic_y(Hvom)
-        rho, pden, rhoA, rhoS, bvf = rho_eos(cfg, state.t, z_r, Hz, z_w)
+        from ..ops import pallas_rho
+        if pallas_rho.use_pallas_rho():
+            # fused column EOS kernel (ops/pallas_rho.py)
+            import os as _os
+            rho, pden, rhoA, rhoS, bvf = pallas_rho.rho_eos_pallas(
+                cfg, state.t, z_r, Hz, z_w,
+                interpret=bool(_os.environ.get(
+                    "ROMS_TPU_PALLAS_KPP_INTERPRET")))
+        else:
+            rho, pden, rhoA, rhoS, bvf = rho_eos(cfg, state.t, z_r, Hz,
+                                                 z_w)
         if self._forcing_takes_state:
             sss = state.t[1][-1] if cfg.NT > 1 else jnp.zeros_like(rho[-1])
             forcing = self.forcing_fn(state.time, state.t[0][-1], sss,

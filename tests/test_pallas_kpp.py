@@ -73,12 +73,14 @@ def test_fused_step_matches_jnp_step(setup):
     m = Model(cfg, grid, forcing_fn)
     s_ref = m.step(state)
     os.environ["ROMS_TPU_PALLAS_KPP"] = "1"
+    os.environ["ROMS_TPU_PALLAS_RHO"] = "1"
     os.environ["ROMS_TPU_PALLAS_KPP_INTERPRET"] = "1"
     try:
         m2 = Model(cfg, grid, forcing_fn)
         s_pal = m2.step(state)
     finally:
         del os.environ["ROMS_TPU_PALLAS_KPP"]
+        del os.environ["ROMS_TPU_PALLAS_RHO"]
         del os.environ["ROMS_TPU_PALLAS_KPP_INTERPRET"]
     a = np.asarray
     np.testing.assert_allclose(a(s_pal.u), a(s_ref.u), rtol=1e-7,
@@ -106,4 +108,22 @@ def test_pallas_bulk_matches_reference():
                           ("sustr", "svstr", "stT", "stS")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-10, atol=1e-14,
+                                   err_msg=name)
+
+
+def test_pallas_rho_matches_reference():
+    """Fused EOS kernel (interpret mode) equals the XLA path."""
+    from roms_tpu.core.rho_eos import rho_eos
+    from roms_tpu.ops.pallas_rho import rho_eos_pallas
+    cfg = benchmark.make_config(Lm=126, Mm=30, N=12, dtype="float64",
+                                full_physics=True)
+    grid = benchmark.make_grid(cfg)
+    state = benchmark.make_initial(cfg, grid)
+    ref = rho_eos(cfg, state.t, state.z_r, state.Hz, state.z_w)
+    pal = rho_eos_pallas(cfg, state.t, state.z_r, state.Hz, state.z_w,
+                         interpret=True)
+    for a, b, name in zip(pal, ref,
+                          ("rho", "pden", "rhoA", "rhoS", "bvf")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-13,
                                    err_msg=name)
