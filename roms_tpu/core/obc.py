@@ -311,3 +311,99 @@ def obc_volcons(cfg: ModelConfig, grid, zeta, ubar, vbar, Drhs,
             0.5 * (Drhs[-1, 1:-1] + Drhs[-2, 1:-1])
             * (vbar[-1, 1:-1] + xs) * grid.om_v[-1, 1:-1])
     return DUon, DVom
+
+
+def u2dbc_reduced(cfg: ModelConfig, grid, ubar_new, vbar_new,
+                  ubar_old, vbar_old, z_old, dt2d, obc=None,
+                  red_stress=None):
+    """Reduced-physics open boundary (u2dbc_im.F:398-440 and edge
+    mirrors): the boundary NORMAL barotropic momentum integrates the
+    simplified balance
+
+        d(ubar)/dt = -g dzeta/dx + f*vbar + (sustr - bustr)/D
+
+    with the elevation gradient taken against external data when
+    provided (zeta acquire branch), else one-sided.  Tangential
+    components keep their configured kinds.  red_stress: optional
+    (sustr_eff, svstr_eff, bustr, bvstr) kinematic stresses; the
+    stress term is dropped when absent."""
+    from ..config import REDUCED
+    g = cfg.g
+    data_z = (obc or {}).get("zeta", {})
+
+    def stress_term(edge_sl_u, which):
+        if red_stress is None:
+            return 0.0
+        su, sv, bu, bv = red_stress
+        if which == "u":
+            return su[edge_sl_u] - bu[edge_sl_u]
+        return sv[edge_sl_u] - bv[edge_sl_u]
+
+    ub, vb = ubar_new, vbar_new
+    # ---- west edge: normal = ubar at i=1 ------------------------------
+    if cfg.bc.ubar.west == REDUCED:
+        zi = z_old[:, 1]
+        zg = data_z.get("west", z_old[:, 0])
+        pgr = -g * (zi - zg) * 0.5 * (grid.pm[:, 0] + grid.pm[:, 1])
+        vavg = 0.25 * (vbar_old[:, 0] + jnp.roll(vbar_old, -1, 0)[:, 0]
+                       + vbar_old[:, 1]
+                       + jnp.roll(vbar_old, -1, 0)[:, 1])
+        cor = vavg * 0.5 * (grid.f[:, 0] + grid.f[:, 1]) \
+            if cfg.uv_cor else 0.0
+        D = 0.5 * (grid.h[:, 0] + z_old[:, 0]
+                   + grid.h[:, 1] + z_old[:, 1])
+        strs = stress_term(jnp.s_[:, 1], "u") / jnp.maximum(D, 0.01)
+        ub = ub.at[:, 1].set((ubar_old[:, 1]
+                              + dt2d * (pgr + cor + strs))
+                             * grid.umask[:, 1])
+    # ---- east edge: normal = ubar at i=-1 -----------------------------
+    if cfg.bc.ubar.east == REDUCED:
+        zi = z_old[:, -2]
+        zg = data_z.get("east", z_old[:, -1])
+        pgr = -g * (zg - zi) * 0.5 * (grid.pm[:, -1] + grid.pm[:, -2])
+        vavg = 0.25 * (vbar_old[:, -1]
+                       + jnp.roll(vbar_old, -1, 0)[:, -1]
+                       + vbar_old[:, -2]
+                       + jnp.roll(vbar_old, -1, 0)[:, -2])
+        cor = vavg * 0.5 * (grid.f[:, -1] + grid.f[:, -2]) \
+            if cfg.uv_cor else 0.0
+        D = 0.5 * (grid.h[:, -1] + z_old[:, -1]
+                   + grid.h[:, -2] + z_old[:, -2])
+        strs = stress_term(jnp.s_[:, -1], "u") / jnp.maximum(D, 0.01)
+        ub = ub.at[:, -1].set((ubar_old[:, -1]
+                               + dt2d * (pgr + cor + strs))
+                              * grid.umask[:, -1])
+    # ---- south edge: normal = vbar at j=1 -----------------------------
+    if cfg.bc.vbar.south == REDUCED:
+        zi = z_old[1, :]
+        zg = data_z.get("south", z_old[0, :])
+        pgr = -g * (zi - zg) * 0.5 * (grid.pn[0, :] + grid.pn[1, :])
+        uavg = 0.25 * (ubar_old[0, :] + jnp.roll(ubar_old, -1, 1)[0, :]
+                       + ubar_old[1, :]
+                       + jnp.roll(ubar_old, -1, 1)[1, :])
+        cor = -uavg * 0.5 * (grid.f[0, :] + grid.f[1, :]) \
+            if cfg.uv_cor else 0.0
+        D = 0.5 * (grid.h[0, :] + z_old[0, :]
+                   + grid.h[1, :] + z_old[1, :])
+        strs = stress_term(jnp.s_[1, :], "v") / jnp.maximum(D, 0.01)
+        vb = vb.at[1, :].set((vbar_old[1, :]
+                              + dt2d * (pgr + cor + strs))
+                             * grid.vmask[1, :])
+    # ---- north edge: normal = vbar at j=-1 ----------------------------
+    if cfg.bc.vbar.north == REDUCED:
+        zi = z_old[-2, :]
+        zg = data_z.get("north", z_old[-1, :])
+        pgr = -g * (zg - zi) * 0.5 * (grid.pn[-1, :] + grid.pn[-2, :])
+        uavg = 0.25 * (ubar_old[-1, :]
+                       + jnp.roll(ubar_old, -1, 1)[-1, :]
+                       + ubar_old[-2, :]
+                       + jnp.roll(ubar_old, -1, 1)[-2, :])
+        cor = -uavg * 0.5 * (grid.f[-1, :] + grid.f[-2, :]) \
+            if cfg.uv_cor else 0.0
+        D = 0.5 * (grid.h[-1, :] + z_old[-1, :]
+                   + grid.h[-2, :] + z_old[-2, :])
+        strs = stress_term(jnp.s_[-1, :], "v") / jnp.maximum(D, 0.01)
+        vb = vb.at[-1, :].set((vbar_old[-1, :]
+                               + dt2d * (pgr + cor + strs))
+                              * grid.vmask[-1, :])
+    return ub, vb

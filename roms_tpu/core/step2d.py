@@ -292,9 +292,15 @@ def _has_open(lbc):
 
 
 def _uv_bc(cfg, grid, u, v, z_old=None, ub_old=None, vb_old=None,
-           obc=None, z_new=None, dt2d=None):
+           obc=None, z_new=None, dt2d=None, red_stress=None):
+    from ..config import REDUCED
     u = boundary.bc_u(u, cfg.bc.ubar, cfg.gamma2)
     v = boundary.bc_v(v, cfg.bc.vbar, cfg.gamma2)
+    if z_old is not None and (
+            REDUCED in (cfg.bc.ubar.west, cfg.bc.ubar.east)
+            or REDUCED in (cfg.bc.vbar.south, cfg.bc.vbar.north)):
+        u, v = obc_mod.u2dbc_reduced(cfg, grid, u, v, ub_old, vb_old,
+                                     z_old, dt2d, obc, red_stress)
     if z_old is not None and (_has_open(cfg.bc.ubar)
                               or _has_open(cfg.bc.vbar)):
         u, v = obc_mod.u2dbc_flather(cfg, grid, u, v, z_old, ub_old,

@@ -94,3 +94,47 @@ def test_shchepetkin_ubar_obc():
     assert np.isfinite(np.asarray(s_sh.zeta)).all()
     assert 0.3 < z_sh < 1.5              # wave entered, no blow-up
     assert abs(z_sh - z_fl) < 0.5 * max(z_sh, z_fl)
+
+
+def test_reduced_physics_obc():
+    """Reduced-physics open boundary (u2dbc reduced branch): the
+    boundary-normal barotropic momentum follows the simplified
+    -g dzeta/dx + f vbar balance, letting a surface slope drive flow
+    through the edge instead of the closed wall reflecting it."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from roms_tpu import config as C
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import upwelling
+    cfg = upwelling.make_config(Lm=20, Mm=12, N=4, dtype="float64")
+    bc = C.BoundaryConfig(
+        zeta=C.LBC(west=C.CHAPMAN_IMPLICIT),
+        ubar=C.LBC(west=C.REDUCED),
+        vbar=C.LBC(), u=C.LBC(), v=C.LBC(), t=C.LBC(),
+        tke=C.LBC.same(C.GRADIENT))
+    cfg = cfg.replace(bc=dataclasses.replace(bc))
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    # --- formula-level check of the reduced balance -------------------
+    from roms_tpu.core import obc as obc_mod
+    Mj, Li = cfg.shape2d
+    z_old = jnp.asarray(0.05 * np.exp(-np.arange(Li) / 3.0)[None, :]
+                        * np.ones((Mj, 1)))
+    ub_old = jnp.zeros((Mj, Li))
+    vb_old = jnp.zeros((Mj, Li))
+    dt2d = 10.0
+    ub2, vb2 = obc_mod.u2dbc_reduced(
+        cfg, grid, ub_old, vb_old, ub_old, vb_old, z_old, dt2d,
+        obc={"zeta": {"west": z_old[:, 0] * 0.0}})
+    pm01 = 0.5 * (np.asarray(grid.pm)[:, 0] + np.asarray(grid.pm)[:, 1])
+    expect = dt2d * (-cfg.g * np.asarray(z_old)[:, 1] * pm01)
+    np.testing.assert_allclose(np.asarray(ub2)[2:-2, 1],
+                               expect[2:-2], rtol=1e-12)
+    # --- stability of the full model with the reduced edge ------------
+    s0 = s0._replace(zeta=z_old)
+    m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+              vmix_fn=upwelling.make_vmix_fn(cfg))
+    s = m.run(s0, 10)
+    assert np.isfinite(np.asarray(s.ubar)).all()
+    assert np.abs(np.asarray(s.ubar)).max() < 1.0
