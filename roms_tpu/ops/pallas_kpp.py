@@ -369,10 +369,14 @@ def lmd_kpp_fused(cfg, grid, t, u, v, pden, bvf, Hz, z_r, z_w, forcing,
 
 
 def use_pallas_kpp() -> bool:
-    """Trace-time switch: on for TPU unless disabled by env."""
+    """Trace-time switch: on for single-chip TPU unless overridden.
+
+    pallas_call is opaque to GSPMD, so under a multi-device mesh the
+    default stays with the partitionable whole-array path (a sharded
+    pallas path needs shard_map plumbing — round 3)."""
     flag = os.environ.get("ROMS_TPU_PALLAS_KPP", "")
     if flag == "0":
         return False
     if flag == "1":
         return True
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and jax.device_count() == 1

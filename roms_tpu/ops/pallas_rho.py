@@ -111,9 +111,10 @@ def rho_eos_pallas(cfg, t, z_r, Hz, z_w, interpret: bool = False):
 
 
 def use_pallas_rho() -> bool:
+    """On for single-chip TPU (see ops.pallas_kpp.use_pallas_kpp)."""
     flag = os.environ.get("ROMS_TPU_PALLAS_RHO", "")
     if flag == "0":
         return False
     if flag == "1":
         return True
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
