@@ -64,7 +64,7 @@ class FastCarry(NamedTuple):
 
 
 def _flux_state(cfg: ModelConfig, grid: Grid, zeta, ubar, vbar,
-                sources=None):
+                sources=None, stokes2d=None):
     """Total depth and vertically integrated mass fluxes at the krhs state.
 
     step2d_LF_AM3.h:624-714: Drhs = zeta+h; DUon = ubar*0.5*(Drhs_i+Drhs_{i-1})*on_u.
@@ -78,6 +78,11 @@ def _flux_state(cfg: ModelConfig, grid: Grid, zeta, ubar, vbar,
         # block); on land-masked faces add == the reference's set
         DUon = DUon + sources.qbar_u
         DVom = DVom + sources.qbar_v
+    if stokes2d is not None:
+        # WEC Lagrangian coupling: zeta advances with the total
+        # (Eulerian + Stokes) transport (step2d WEC_VF DUSon terms)
+        DUon = DUon + stokes2d[0]
+        DVom = DVom + stokes2d[1]
     bc = cfg.bc
     if bc.ew_periodic:
         Drhs = st.periodic_x(Drhs)
@@ -340,14 +345,15 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
     w2j = jnp.asarray(w2, dtype)
 
     def predictor(grid, iif, c: FastCarry, rhoS, rhoA, iic,
-                  ru0_prev2, rv0_prev2, obc, sources=None):
+                  ru0_prev2, rv0_prev2, obc, sources=None,
+                  stokes2d=None):
         pmn = grid.pm * grid.pn
         pmn4_u = (grid.pm + st.im1(grid.pm)) * (grid.pn + st.im1(grid.pn))
         pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
         """iif is the 1-based fast-step index (traced)."""
         first = (iif == 1)
         Drhs, DUon, DVom = _flux_state(cfg, grid, c.zeta, c.ubar,
-                                       c.vbar, sources)
+                                       c.vbar, sources, stokes2d)
 
         # ---- fast-time averaging, predictor branch (:742-800) ----
         cffA1 = jnp.where(first, 0.0, w1j[jnp.maximum(iif - 2, 0)])
@@ -433,14 +439,14 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
 
     def corrector(grid, iif, c: FastCarry, zeta_p, ubar_p, vbar_p,
                   rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA, obc,
-                  sources=None):
+                  sources=None, stokes2d=None):
         pmn = grid.pm * grid.pn
         pmn4_u = (grid.pm + st.im1(grid.pm)) * (grid.pn + st.im1(grid.pn))
         pmn4_v = (grid.pm + st.jm1(grid.pm)) * (grid.pn + st.jm1(grid.pn))
         first = (iif == 1)
         avg = c.avg
         Drhs, DUon, DVom = _flux_state(cfg, grid, zeta_p, ubar_p,
-                                       vbar_p, sources)
+                                       vbar_p, sources, stokes2d)
 
         # fast-averaging corrector branch (:795-806)
         cffA2 = jnp.where(first, w2j[iif - 1], (5.0 / 12.0) * w2j[iif - 1])
@@ -511,7 +517,7 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
 
     def fast_loop(grid, zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
                   ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic,
-                  obc=None, sources=None):
+                  obc=None, sources=None, stokes2d=None):
         zeros = jnp.zeros_like(zeta0)
         avg0 = FastAverages(zeros, zeros, zeros, zeros, zeros)
         carry = FastCarry(
@@ -526,11 +532,11 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
             (zeta_p, ubar_p, vbar_p, rz_m, ru_m, rv_m,
              rufrc_c, rvfrc_c, avg) = predictor(grid, iif, c, rhoS, rhoA,
                                                 iic, ru0_prev2, rv0_prev2,
-                                                obc, sources)
+                                                obc, sources, stokes2d)
             c = c._replace(avg=avg)
             c = corrector(grid, iif, c, zeta_p, ubar_p, vbar_p,
                           rz_m, ru_m, rv_m, rufrc_c, rvfrc_c, rhoS, rhoA,
-                          obc, sources)
+                          obc, sources, stokes2d)
             return c, None
 
         iifs = jnp.arange(1, nfast + 1, dtype=jnp.int32)
@@ -539,7 +545,7 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         # Auxiliary (nfast+1) predictor pass: final accumulation only
         # (step2d_LF_AM3.h:821-860 + RETURN before time stepping).
         _, DUon, DVom = _flux_state(cfg, grid, carry.zeta, carry.ubar,
-                                    carry.vbar, sources)
+                                    carry.vbar, sources, stokes2d)
         cffA1 = w1j[nfast - 1]
         cffA2 = (8.0 / 12.0) * w2j[nfast] - (1.0 / 12.0) * w2j[nfast + 1]
         avg = carry.avg

@@ -71,7 +71,8 @@ def make_fast_loop_fb(cfg: ModelConfig, nfast: int, w1, w2,
     w2j = jnp.asarray(w2, dtype)
 
     def substep(grid, iif, c: FBCarry, rhoS, rhoA, iic,
-                ru0_prev2, rv0_prev2, obc, sources=None):
+                ru0_prev2, rv0_prev2, obc, sources=None,
+                stokes2d=None):
         pmn = grid.pm * grid.pn
         pmn4_u = (grid.pm + st.im1(grid.pm)) * \
             (grid.pn + st.im1(grid.pn))
@@ -98,7 +99,8 @@ def make_fast_loop_fb(cfg: ModelConfig, nfast: int, w1, w2,
         z_rhs = fwd0 * c.zeta + fwd1 * c.zeta_bak + fwd2 * c.zeta_old
         u_rhs = fwd0 * c.ubar + fwd1 * c.ubar_bak + fwd2 * c.ubar_old
         v_rhs = fwd0 * c.vbar + fwd1 * c.vbar_bak + fwd2 * c.vbar_old
-        Drhs, DUon, DVom = _flux_state(cfg, grid, z_rhs, u_rhs, v_rhs)
+        Drhs, DUon, DVom = _flux_state(cfg, grid, z_rhs, u_rhs, v_rhs,
+                                       sources, stokes2d)
 
         # ---- forward free-surface step (:745-770) -----------------------
         div = (DUon - st.ip1(DUon)) + (DVom - st.jp1(DVom))
@@ -189,7 +191,7 @@ def make_fast_loop_fb(cfg: ModelConfig, nfast: int, w1, w2,
 
     def fast_loop(grid, zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
                   ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic,
-                  obc=None, sources=None):
+                  obc=None, sources=None, stokes2d=None):
         zeros = jnp.zeros_like(zeta0)
         avg0 = FastAverages(zeros, zeros, zeros, zeros, zeros)
         carry = FBCarry(
@@ -201,7 +203,8 @@ def make_fast_loop_fb(cfg: ModelConfig, nfast: int, w1, w2,
 
         def body(c, iif):
             return substep(grid, iif, c, rhoS, rhoA, iic,
-                           ru0_prev2, rv0_prev2, obc, sources), None
+                           ru0_prev2, rv0_prev2, obc, sources,
+                           stokes2d), None
 
         iifs = jnp.arange(1, nfast + 1, dtype=jnp.int32)
         carry, _ = lax.scan(body, carry, iifs)

@@ -314,6 +314,15 @@ class Model:
                 qface[None] * (self.sources.tsrc - state.t)
         ru, rv = rhs3d.rhs3d_momentum(cfg, grid, state.u, state.v, Hz,
                                       Huon, Hvom, W, ru, rv)
+        stokes2d = None
+        if self.wec_fn is not None and hasattr(self.wec_fn, "stokes"):
+            # full Lagrangian WEC coupling: Stokes transports enter the
+            # barotropic continuity and the 3D mass fluxes
+            DU_st, DV_st, Huon_st, Hvom_st = self.wec_fn.stokes(
+                state.time, Hz, z_r, z_w)
+            stokes2d = (DU_st, DV_st)
+            Huon = Huon + Huon_st
+            Hvom = Hvom + Hvom_st
         if self.wec_fn is not None:
             # wave-effect-on-currents vortex force (rhs3d.F:534-562)
             ru, rv = self.wec_fn(state.time, state.u, state.v, Hz,
@@ -349,7 +358,7 @@ class Model:
             rhoS, rhoA,
             state.ru0_prev, state.rv0_prev,
             state.ru0_prev2, state.rv0_prev2, iic, obc,
-            self.sources)
+            self.sources, stokes2d)
 
         # ---- new depths from the filtered free surface (main3d.F:963) ---
         z_r2, z_w2, Hz2 = set_depth(grid, avg.Zt_avg1)

@@ -14,10 +14,12 @@ Shchepetkin 2010):
   - horizontal vortex force u_st x (curl u): the leading wave-current
     interaction term.
 
-Full Lagrangian tracer advection (W_stokes, Huon_stokes through the
-barotropic mode), Bernoulli head, dissipation/roller forcing follow in
-a later round — they require the 2D engine to carry the Stokes
-transport for mass consistency.
+Round-2 additions: the surface-roller model + breaking acceleration
+(below), and the Lagrangian mass coupling — `stokes_transport` feeds
+the barotropic continuity (DUon/DVom in both 2D engines) and the 3D
+mass fluxes Huon/Hvom so tracers advect with the total (Eulerian +
+Stokes) velocity, mass-consistently.  Enable with
+make_wec_fn(..., stokes_coupling=True).
 """
 
 from __future__ import annotations
@@ -83,14 +85,39 @@ def vf_rhs(cfg: ModelConfig, grid: Grid, u, v, u_st, v_st, Hz,
     return ru, rv
 
 
-def make_wec_fn(cfg: ModelConfig, grid: Grid, wave_fn):
+def stokes_transport(cfg: ModelConfig, grid: Grid, u_st, v_st, Hz):
+    """Vertically integrated Stokes mass transports and their
+    per-layer fluxes (the DU_stokes/Huon_stokes arrays of the
+    reference's WEC coupling, mod_ocean.F:103-127): the barotropic
+    continuity advances zeta with the LAGRANGIAN transport."""
+    Hz_u = 0.5 * (Hz + st.im1(Hz))
+    Hz_v = 0.5 * (Hz + st.jm1(Hz))
+    Huon_st = Hz_u * u_st * grid.on_u[None]
+    Hvom_st = Hz_v * v_st * grid.om_v[None]
+    return (jnp.sum(Huon_st, axis=0), jnp.sum(Hvom_st, axis=0),
+            Huon_st, Hvom_st)
+
+
+def make_wec_fn(cfg: ModelConfig, grid: Grid, wave_fn,
+                stokes_coupling: bool = False):
     """wave_fn(time) -> (Hwave, Dwave, Lwave).  Returns the hook
     fn(time, u, v, Hz, z_r, z_w, ru, rv) -> (ru, rv) used by the
-    Model's predictor stage."""
+    Model's predictor stage.  stokes_coupling=True additionally
+    exposes fn.stokes(time, Hz, z_r, z_w) -> (DU_st, DV_st, Huon_st,
+    Hvom_st) so the Model folds the Stokes transport into the
+    barotropic continuity and the 3D mass fluxes (full Lagrangian
+    coupling)."""
     def fn(time, u, v, Hz, z_r, z_w, ru, rv):
         Hw, Dw, Lw = wave_fn(time)
         u_st, v_st = stokes_drift(cfg, grid, Hw, Dw, Lw, z_r, z_w)
         return vf_rhs(cfg, grid, u, v, u_st, v_st, Hz, ru, rv)
+
+    if stokes_coupling:
+        def stokes(time, Hz, z_r, z_w):
+            Hw, Dw, Lw = wave_fn(time)
+            u_st, v_st = stokes_drift(cfg, grid, Hw, Dw, Lw, z_r, z_w)
+            return stokes_transport(cfg, grid, u_st, v_st, Hz)
+        fn.stokes = stokes
     return fn
 
 
