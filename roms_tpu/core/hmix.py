@@ -11,6 +11,8 @@ the wide-physics milestone.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from ..config import ModelConfig
@@ -220,12 +222,30 @@ def t3dmix2_geo(cfg: ModelConfig, grid: Grid, t, t_part, Hz, z_r):
     if cfg.bc.ns_periodic:
         dZde = st.periodic_y(dZde)
 
+    if _use_pallas(cfg):
+        from ..ops import pallas_hmix
+        divs = pallas_hmix.rot_div_geo_batched(
+            cfg, grid, t, [grid.diff2[i] for i in range(cfg.NT)],
+            Hz, z_r, interpret=_pallas_interpret())
+        return t_part + dt * divs
+
     out = []
     for itrc in range(cfg.NT):
-        div = _rot_div_geo(cfg, grid, t[itrc], grid.diff2[itrc], Hz,
-                           z_r, dZdx, dZde)
+        div = _rot_div_geo(cfg, grid, t[itrc], grid.diff2[itrc],
+                           Hz, z_r, dZdx, dZde)
         out.append(t_part[itrc] + dt * div)
     return jnp.stack(out)
+
+
+def _use_pallas(cfg: ModelConfig) -> bool:
+    if cfg.bc.ns_periodic:
+        return False
+    from ..ops import pallas_hmix
+    return pallas_hmix.use_pallas_hmix()
+
+
+def _pallas_interpret() -> bool:
+    return os.environ.get("ROMS_TPU_PALLAS_HMIX_INTERPRET", "") == "1"
 
 
 def _rot_div_geo(cfg: ModelConfig, grid: Grid, q, d2, Hz, z_r,
@@ -304,9 +324,20 @@ def t3dmix4_geo(cfg: ModelConfig, grid: Grid, t, t_part, Hz, z_r):
         dZdx = st.periodic_x(dZdx)
     if cfg.bc.ns_periodic:
         dZde = st.periodic_y(dZde)
+    d4s = [grid.diff4[i] for i in range(cfg.NT)]
+    if _use_pallas(cfg):
+        from ..ops import pallas_hmix
+        interp = _pallas_interpret()
+        Laps = pallas_hmix.rot_div_geo_batched(
+            cfg, grid, t, d4s, Hz, z_r, interpret=interp) / Hz
+        Laps = jnp.stack([_lap_bc(cfg, cfg.bc.t, Laps[i])
+                          for i in range(cfg.NT)])
+        return t_part - dt * pallas_hmix.rot_div_geo_batched(
+            cfg, grid, Laps, d4s, Hz, z_r, interpret=interp)
+
     out = []
     for itrc in range(cfg.NT):
-        d4 = grid.diff4[itrc]
+        d4 = d4s[itrc]
         Lap = _rot_div_geo(cfg, grid, t[itrc], d4, Hz, z_r,
                            dZdx, dZde) / Hz
         Lap = _lap_bc(cfg, cfg.bc.t, Lap)
