@@ -172,6 +172,15 @@ def rhs3d_momentum(cfg: ModelConfig, grid: Grid, u, v, Hz, Huon, Hvom, W,
                    ru, rv):
     """Add Coriolis + metric + advection to (ru, rv) from the pressure
     gradient; mirrors rhs3d_tile's K_LOOP + J_LOOP."""
+    if _use_pallas_rhs3d(cfg):
+        import os
+
+        from ..ops import pallas_rhs3d
+        interp = os.environ.get(
+            "ROMS_TPU_PALLAS_RHS3D_INTERPRET", "") == "1"
+        return pallas_rhs3d.rhs3d_momentum_pallas(
+            cfg, grid, u, v, Hz, Huon, Hvom, W, ru, rv,
+            interpret=interp)
     if cfg.uv_cor:
         dru, drv = coriolis(cfg, grid, u, v, Hz)
         ru, rv = ru + dru, rv + drv
@@ -184,6 +193,15 @@ def rhs3d_momentum(cfg: ModelConfig, grid: Grid, u, v, Hz, Huon, Hvom, W,
         dru, drv = vadv_uv(cfg, u, v, W)
         ru, rv = ru + dru, rv + drv
     return ru, rv
+
+
+def _use_pallas_rhs3d(cfg: ModelConfig) -> bool:
+    """Fused kernel covers the reference-default scheme set only:
+    UP3 horizontal advection, C4_SW vertical, non-NS-periodic."""
+    if cfg.bc.ns_periodic or cfg.uv_hadv != "up3":
+        return False
+    from ..ops import pallas_rhs3d
+    return pallas_rhs3d.use_pallas_rhs3d()
 
 
 def integrate_rufrc(cfg: ModelConfig, grid: Grid, ru, rv, forcing,
