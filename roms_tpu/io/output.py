@@ -1,0 +1,163 @@
+"""Per-step output dispatcher (output.F analog).
+
+The reference's `output` routine (ROMS/Utility/output.F:3-755) runs once
+per baroclinic step and decides, from the cadence keywords of the input
+deck (NHIS/NQCK/NAVG/NDIA/NRST, roms_upwelling.in), which streams get a
+record: define-on-first-touch, HIS/QCK snapshots, AVG running means
+(set_avg.F), and the cycling RST stream.  `OutputManager` is that
+dispatcher for the TPU model: construct it from the dict produced by
+`io.roms_in.parse_roms_in` (so a reference input deck drives the same
+files it would drive under Fortran) or from explicit keyword arguments,
+then call `.step(state)` after every completed model step.
+
+Field selection follows the deck's `Hout(id...)`/`Qout(...)`/`Aout(...)`
+switches, translated to native registry keys through the `index_code`
+column of io/varinfo.py (mod_ncparam id names).  Ids whose extraction
+the writers do not support yet are collected in `self.unsupported`
+rather than silently dropped.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import ModelConfig
+from .netcdf import AverageAccumulator, HistoryWriter
+from .rst_netcdf import RestartWriter
+from .varinfo import REGISTRY
+
+# extraction keys HistoryWriter._extract supports
+_EXTRACTABLE = ("zeta", "ubar", "vbar", "u", "v", "temp", "salt",
+                "tke", "gls", "AKv", "AKt",
+                "temp_sur", "salt_sur", "u_sur", "v_sur")
+
+
+def _fields_from_switches(params: Dict, prefix: str):
+    """Hout(idFsur)=True ... -> tuple of registry keys, skipping ids we
+    cannot extract (returned separately)."""
+    by_code: Dict[str, list] = {}
+    for key, info in REGISTRY.items():
+        if info.index_code:
+            by_code.setdefault(info.index_code, []).append(key)
+    fields, unsupported = [], []
+    pat = re.compile(rf"^{prefix}\((\w+)\)$")
+    for key, val in params.items():
+        m = pat.match(key)
+        if not m:
+            continue
+        code = m.group(1)
+        keys = by_code.get(code, [])
+        flags = val if isinstance(val, list) else [val] * len(keys)
+        if not keys:
+            if (val is True) or (isinstance(val, list) and any(val)):
+                unsupported.append(code)
+            continue
+        for k, on in zip(keys, flags):
+            if on and k in _EXTRACTABLE:
+                fields.append(k)
+            elif on:
+                unsupported.append(code)
+    return tuple(fields), unsupported
+
+
+class OutputManager:
+    """Cadence-driven stream dispatcher for HIS/QCK/AVG/RST.
+
+    params: parsed roms_*.in dict (cadences + names + switches), or
+    None with explicit overrides.  Writes happen when
+    ``state.iic % cadence == 0`` (records at step N, 2N, ...), matching
+    the reference's end-of-step output call.
+    """
+
+    def __init__(self, cfg: ModelConfig, grid, params: Optional[Dict]
+                 = None, outdir: str = ".", checksum: str | None = None,
+                 nhis: int = 0, nqck: int = 0, navg: int = 0,
+                 nrst: int = 0, his_fields=None, initial_state=None):
+        params = params or {}
+        self.cfg = cfg
+        self.grid = grid
+        self.unsupported: list = []
+
+        def cad(key, arg):
+            return int(params.get(key, arg) or 0)
+
+        self.nhis = cad("NHIS", nhis)
+        self.nqck = cad("NQCK", nqck)
+        self.navg = cad("NAVG", navg)
+        self.nrst = cad("NRST", nrst)
+
+        def path(key, default):
+            return os.path.join(outdir, params.get(key, default))
+
+        def pick(prefix, fallback):
+            f, unsup = _fields_from_switches(params, prefix)
+            self.unsupported += unsup
+            return f or fallback
+
+        default_fields = tuple(his_fields or
+                               ("zeta", "ubar", "vbar", "u", "v",
+                                "temp", "salt"))
+        self.his = self.qck = self.avg_writer = self.rst = None
+        self.avg = None
+        if self.nhis:
+            self.his = HistoryWriter(
+                path("HISNAME", "roms_his.nc"), cfg, grid,
+                fields=pick("Hout", default_fields), checksum=checksum)
+        if self.nqck:
+            self.qck = HistoryWriter(
+                path("QCKNAME", "roms_qck.nc"), cfg, grid,
+                fields=pick("Qout", ("zeta", "temp_sur", "u_sur",
+                                     "v_sur")), checksum=checksum)
+        if self.navg:
+            afields = pick("Aout", default_fields)
+            self.avg_writer = HistoryWriter(
+                path("AVGNAME", "roms_avg.nc"), cfg, grid,
+                fields=afields, checksum=checksum)
+            self.avg = AverageAccumulator(cfg, afields)
+            self._avg_t0 = None
+        if self.nrst:
+            cycle = 2 if params.get("LcycleRST", True) else 0
+            self.rst = RestartWriter(
+                path("RSTNAME", "roms_rst.nc"), cfg, grid,
+                cycle=cycle, checksum=checksum)
+            if initial_state is not None:
+                # define the mix_* schema up-front (classic NetCDF
+                # cannot add variables after the first record)
+                self.rst._ensure_mix_vars(initial_state.mix)
+
+    def step(self, state) -> None:
+        """Dispatch all due streams for a just-completed step."""
+        iic = int(np.asarray(state.iic))
+        t = float(np.asarray(state.time))
+        if self.avg is not None:
+            if self._avg_t0 is None:
+                self._avg_t0 = t
+            self.avg.accumulate(self.avg_writer._extract, state)
+            if iic % self.navg == 0 and self.avg._count:
+                mean = self.avg.mean()
+                i = self.avg_writer.nrec
+                # record time = center of the averaging window
+                # (set_avg.F AVGtime semantics)
+                self.avg_writer._time[i] = 0.5 * (self._avg_t0 + t)
+                for key in self.avg_writer.fields:
+                    self.avg_writer._vars[key][i] = np.asarray(
+                        mean[key], np.float32)
+                self.avg_writer.nrec += 1
+                self.avg_writer.f.flush()
+                self.avg.reset()
+                self._avg_t0 = None
+        if self.his is not None and iic % self.nhis == 0:
+            self.his.write(state)
+        if self.qck is not None and iic % self.nqck == 0:
+            self.qck.write(state)
+        if self.rst is not None and iic % self.nrst == 0:
+            self.rst.write(state)
+
+    def close(self) -> None:
+        for w in (self.his, self.qck, self.avg_writer, self.rst):
+            if w is not None:
+                w.close()

@@ -1,0 +1,81 @@
+"""output.F-analog dispatcher: a reference input deck drives the same
+stream files (HIS/QCK/AVG/RST) at its own cadences and Hout switches."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from scipy.io import netcdf_file
+
+from roms_tpu.core import stepping
+from roms_tpu.functionals import upwelling
+from roms_tpu.io.output import OutputManager
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = upwelling.make_config(Lm=16, Mm=18, N=8)
+    grid = upwelling.make_grid(cfg)
+    state = upwelling.make_initial(cfg, grid)
+    m = stepping.Model(cfg, grid,
+                       forcing_fn=upwelling.make_forcing_fn(cfg, grid))
+    return cfg, grid, state, m
+
+
+def test_deck_driven_streams(model):
+    """Cadences and field switches come straight from the reference
+    UPWELLING deck (scaled down); all four streams are produced."""
+    cfg, grid, s, m = model
+    params = {
+        "NHIS": 2, "NQCK": 0, "NAVG": 3, "NRST": 3,
+        "LcycleRST": True,
+        "HISNAME": "his.nc", "AVGNAME": "avg.nc", "RSTNAME": "rst.nc",
+        "Hout(idFsur)": True, "Hout(idUbar)": True,
+        "Hout(idVbar)": False, "Hout(idTvar)": [True, False],
+        "Hout(idWvel)": True,     # unsupported extraction -> recorded
+    }
+    with tempfile.TemporaryDirectory() as d:
+        om = OutputManager(cfg, grid, params, outdir=d,
+                           initial_state=s)
+        assert "idWvel" in om.unsupported
+        for _ in range(6):
+            s = m.step(s)
+            om.step(s)
+        om.close()
+
+        f = netcdf_file(os.path.join(d, "his.nc"), "r", mmap=False)
+        assert set(f.variables).issuperset({"zeta", "ubar", "temp"})
+        assert "vbar" not in f.variables
+        assert f.variables["zeta"].shape[0] == 3      # steps 2,4,6
+        f.close()
+
+        f = netcdf_file(os.path.join(d, "avg.nc"), "r", mmap=False)
+        assert f.variables["zeta"].shape[0] == 2      # windows 1-3, 4-6
+        # averaging window center: (t1 + t3)/2
+        t = f.variables["ocean_time"][:2]
+        assert abs(t[0] - 2.0 * cfg.dt) < 1e-6
+        f.close()
+
+        f = netcdf_file(os.path.join(d, "rst.nc"), "r", mmap=False)
+        iics = f.variables["nsteps"][:2]
+        assert sorted(iics) == [3, 6]                 # cycling 2-record
+        f.close()
+
+
+def test_avg_matches_hand_mean(model):
+    cfg, grid, s0, m = model
+    states = [s0]
+    for _ in range(4):
+        states.append(m.step(states[-1]))
+    with tempfile.TemporaryDirectory() as d:
+        om = OutputManager(cfg, grid, {"NAVG": 4, "AVGNAME": "a.nc"},
+                           outdir=d)
+        for s in states[1:]:
+            om.step(s)
+        om.close()
+        f = netcdf_file(os.path.join(d, "a.nc"), "r", mmap=False)
+        got = np.asarray(f.variables["zeta"][0])
+        f.close()
+    want = np.mean([np.asarray(s.zeta) for s in states[1:]], axis=0)
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-6)
