@@ -42,6 +42,20 @@ def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
     # Tracer predictor -> t_half (tracer units at n+1/2)
     # ------------------------------------------------------------------
     from ..config import HSIMT, MPDATA
+    from ..ops import pallas_tadv
+    if pallas_tadv.use_pallas_tadv(cfg, "predictor"):
+        # fused UP3+C4 predictor for all tracers in one VMEM pass
+        Gamma = 1.0 / 6.0
+        cffk = jnp.where(iic == 0, 0.5 * dt, (1.0 - Gamma) * dt)
+        cff1k = jnp.where(iic == 0, 1.0, 0.5 + Gamma)
+        cff2k = jnp.where(iic == 0, 0.0, 0.5 - Gamma)
+        t_half = pallas_tadv.predictor_pallas(
+            cfg, grid, t, t_prev, Huon, Hvom, W, Hz,
+            cffk, cff1k, cff2k)
+        t_half = boundary.bc_rho(t_half, cfg.bc.t)
+        return t_half, *_seeds(cfg, grid, u, v, t, ru_prev, rv_prev,
+                               ru_prev2, rv_prev2, Hz, z_w, forcing,
+                               bustr, bvstr, iic, ghats)
     t_half = []
     for itrc in range(NT):
         # per-tracer scheme registry (tadv.F:146-180); Gamma staging and
@@ -78,6 +92,16 @@ def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
         t_half.append(th)
     t_half = jnp.stack(t_half)
 
+    return t_half, *_seeds(cfg, grid, u, v, t, ru_prev, rv_prev,
+                           ru_prev2, rv_prev2, Hz, z_w, forcing,
+                           bustr, bvstr, iic, ghats)
+
+
+def _seeds(cfg, grid, u, v, t, ru_prev, rv_prev, ru_prev2, rv_prev2,
+           Hz, z_w, forcing, bustr, bvstr, iic, ghats):
+    """Column-local corrector seeds shared by both predictor paths."""
+    dt = cfg.dt
+    NT = cfg.NT
     # ------------------------------------------------------------------
     # Tracer corrector seed (Hz*t + dt*surface/bottom fluxes); lambda=1
     # kills the interior explicit diffusion piece (pre_step3d.F:700-746).
@@ -130,4 +154,4 @@ def pre_step3d(cfg: ModelConfig, grid: Grid, u, v, t, t_prev,
     v_part = v * Hz_v + DC0v * (ca * rv_prev + cb * rv_prev2) + \
         (FCv[1:] - FCv[:-1])
 
-    return t_half, t_part, u_part, v_part
+    return t_part, u_part, v_part

@@ -518,6 +518,28 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
     def fast_loop(grid, zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
                   ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic,
                   obc=None, sources=None, stokes2d=None):
+        from ..ops import pallas_step2d as p2d
+        if (obc in (None, {}) and sources is None and stokes2d is None
+                and p2d.use_pallas_step2d(cfg)):
+            # fused Pallas engine: whole predictor+corrector substep in
+            # one VMEM pass (ops/pallas_step2d.py)
+            pc = p2d.fast_loop_pallas(
+                cfg, grid, nfast, w1j, w2j, var_rho,
+                zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
+                ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic)
+            carry = FastCarry(
+                zeta=pc["zeta"], zeta_prev=pc["zeta_prev"],
+                ubar=pc["ubar"], ubar_prev=pc["ubar_prev"],
+                vbar=pc["vbar"], vbar_prev=pc["vbar_prev"],
+                rzeta_prev=pc["rzeta_prev"],
+                rubar_prev=pc["rubar_prev"],
+                rvbar_prev=pc["rvbar_prev"],
+                rufrc=pc["rufrc"], rvfrc=pc["rvfrc"],
+                ru0=ru0_prev, rv0=rv0_prev,
+                avg=FastAverages(pc["Zt"], pc["DU1"], pc["DV1"],
+                                 pc["DU2"], pc["DV2"]))
+            return _aux_pass(grid, carry, sources, stokes2d)
+
         zeros = jnp.zeros_like(zeta0)
         avg0 = FastAverages(zeros, zeros, zeros, zeros, zeros)
         carry = FastCarry(
@@ -541,6 +563,9 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
 
         iifs = jnp.arange(1, nfast + 1, dtype=jnp.int32)
         carry, _ = lax.scan(body, carry, iifs)
+        return _aux_pass(grid, carry, sources, stokes2d)
+
+    def _aux_pass(grid, carry, sources, stokes2d):
 
         # Auxiliary (nfast+1) predictor pass: final accumulation only
         # (step2d_LF_AM3.h:821-860 + RETURN before time stepping).

@@ -11,6 +11,7 @@ the spline solve (SPLINES_VDIFF, step3d_t.F:1353-1356).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
@@ -36,6 +37,21 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
     out = []
     dia = {"hadv": [], "vadv": [], "vdif": []}
     from ..config import HSIMT, MPDATA
+    from ..ops import pallas_tadv
+    if pallas_tadv.use_pallas_tadv(cfg, "corrector") and not collect_diag:
+        # fused UP3+C4 advection of all tracers in one VMEM pass
+        tn_all = pallas_tadv.corrector_pallas(cfg, grid, t_half,
+                                              t_part, Huon, Hvom, W,
+                                              Hz)
+        if Wi is not None:
+            from ..ops.tridiag import implicit_adv_solve
+            FCw = dt * pmn[None] * Wi
+            tn_all = jax.vmap(
+                lambda tn: implicit_adv_solve(Hz, FCw, tn) * Hz)(
+                    tn_all)
+        out = [tn_all[itrc] for itrc in range(cfg.NT)]
+        return _vdiff_and_bc(cfg, grid, out, dia, Hz, z_r, Akt, t_old,
+                             obc, collect_diag)
     for itrc in range(cfg.NT):
         # per-tracer scheme registry (tadv.F:146-180)
         h_s, v_s = cfg.tracer_hadv(itrc), cfg.tracer_vadv(itrc)
@@ -80,31 +96,36 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
             tn = tn_new
         out.append(tn)                     # Hz-weighted, pre-diffusion
 
+    return _vdiff_and_bc(cfg, grid, out, dia, Hz, z_r, Akt, t_old, obc,
+                         collect_diag)
+
+
+def _vdiff_and_bc(cfg, grid, out, dia, Hz, z_r, Akt, t_old, obc,
+                  collect_diag):
     # ---- batched implicit vertical diffusion: all tracers' columns
-    # stack along the j axis into ONE tridiagonal solve (the six-solve
-    # launch consolidation of the optimization roadmap) ----------------
-    Mj = Hz.shape[-2]
+    # batch along a NEW (unsharded) axis after k into ONE tridiagonal
+    # solve (the six-solve launch consolidation of the optimization
+    # roadmap).  A new axis — NOT a j-concat: concatenating along the
+    # eta axis would cross the (eta, xi) mesh sharding, moving every
+    # column between shards and breaking shard invariance. ------------
+    dt = cfg.dt
+    NAT = Akt.shape[0]
     pre = out
+    Aks = jnp.stack([Akt[min(itrc, NAT - 1)] for itrc in range(cfg.NT)],
+                    axis=1)
+    Hzs = jnp.stack([Hz] * cfg.NT, axis=1)
     if cfg.mixing.splines_vdiff:
-        q_s = jnp.concatenate([t / Hz for t in pre], axis=-2)
-        Hz_s = jnp.concatenate([Hz] * cfg.NT, axis=-2)
-        Ak_s = jnp.concatenate(
-            [Akt[min(itrc, NAT - 1)] for itrc in range(cfg.NT)],
-            axis=-2)
-        sol = q_s + spline_flux_solve(Hz_s, Ak_s, q_s, dt)
+        q_s = jnp.stack([t / Hz for t in pre], axis=1)
+        sol = q_s + spline_flux_solve(Hzs, Aks, q_s, dt)
     else:
         dz_inv = 1.0 / (z_r[1:] - z_r[:-1])
-        q_s = jnp.concatenate(pre, axis=-2)
-        Hz_s = jnp.concatenate([Hz] * cfg.NT, axis=-2)
-        Ak_s = jnp.concatenate(
-            [Akt[min(itrc, NAT - 1)] for itrc in range(cfg.NT)],
-            axis=-2)
-        dz_s = jnp.concatenate([dz_inv] * cfg.NT, axis=-2)
-        sol = implicit_vdiff_solve(Hz_s, Ak_s, dz_s, q_s, dt)
+        q_s = jnp.stack(pre, axis=1)
+        dz_s = jnp.stack([dz_inv] * cfg.NT, axis=1)
+        sol = implicit_vdiff_solve(Hzs, Aks, dz_s, q_s, dt)
 
     out = []
     for itrc in range(cfg.NT):
-        tn = sol[..., itrc * Mj:(itrc + 1) * Mj, :]
+        tn = sol[:, itrc]
         dia["vdif"].append(tn * Hz - pre[itrc])
         tn = boundary.bc_rho(tn, cfg.bc.t)
         if t_old is not None:

@@ -34,6 +34,13 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
     cffab = jnp.where(iic == 0, 0.25 * dt,
                       jnp.where(iic == 1, 0.25 * dt * 1.5,
                                 0.25 * dt * 23.0 / 12.0))
+
+    from ..ops import pallas_uv
+    if pallas_uv.use_pallas_uv(cfg):
+        return _step3d_uv_pallas(cfg, grid, u_part, v_part, ru, rv,
+                                 Hz, Akv, cffab, avg, Huon_old,
+                                 Hvom_old, u_old, v_old, obc)
+
     DC0u = cffab * (grid.pm + st.im1(grid.pm)) * \
         (grid.pn + st.im1(grid.pn))
     DC0v = cffab * (grid.pm + st.jm1(grid.pm)) * \
@@ -49,17 +56,18 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
 
     if cfg.mixing.splines_vvisc:
         # SPLINES_VVISC (step3d_uv.F:292-339); the u and v systems are
-        # independent columns, so they stack along the j axis into ONE
-        # batched solve (half the sequential-scan latency)
-        Mj = Hz.shape[-2]
+        # independent columns, so they batch along a NEW axis after k
+        # into ONE solve (half the sequential-scan latency).  A new
+        # axis — NOT a j-concat, which would cross the (eta, xi) mesh
+        # sharding and break shard invariance.
         un = un / Hz_u
         vn = vn / Hz_v
-        Hz_s = jnp.concatenate([Hz_u, Hz_v], axis=-2)
-        AK_s = jnp.concatenate([AKu, AKv_], axis=-2)
-        q_s = jnp.concatenate([un, vn], axis=-2)
+        Hz_s = jnp.stack([Hz_u, Hz_v], axis=1)
+        AK_s = jnp.stack([AKu, AKv_], axis=1)
+        q_s = jnp.stack([un, vn], axis=1)
         sol = spline_flux_solve(Hz_s, AK_s, q_s, dt)
-        un = un + sol[..., :Mj, :]
-        vn = vn + sol[..., Mj:, :]
+        un = un + sol[:, 0]
+        vn = vn + sol[:, 1]
     else:
         # standard backward-implicit tridiagonal (step3d_uv.F:341-420)
         dz_u = (z_r[1:] + st.im1(z_r[1:])) - (z_r[:-1] + st.im1(z_r[:-1]))
@@ -131,4 +139,33 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
         Huon = st.periodic_y(Huon)
         Hvom = st.periodic_y(Hvom)
 
+    return un, vn, ubar, vbar, Huon, Hvom
+
+
+def _step3d_uv_pallas(cfg, grid, u_part, v_part, ru, rv, Hz, Akv,
+                      cffab, avg, Huon_old, Hvom_old, u_old, v_old,
+                      obc):
+    """Fused-kernel path: solve kernel -> jnp BCs -> finish kernel
+    (ops/pallas_uv.py); numerics match the jnp path to reduction-order
+    ulps (tests/test_pallas_uv.py)."""
+    import os
+
+    from ..ops import pallas_uv
+    interp = os.environ.get("ROMS_TPU_PALLAS_UV_INTERPRET", "") == "1"
+    un, vn = pallas_uv.uv_solve_pallas(
+        cfg, grid, u_part, v_part, ru, rv, Hz, Akv, cffab,
+        avg.DU_avg1, avg.DV_avg1, interpret=interp)
+    un = boundary.bc_u(un, cfg.bc.u, cfg.gamma2)
+    vn = boundary.bc_v(vn, cfg.bc.v, cfg.gamma2)
+    if u_old is not None:
+        un = obc_mod.radiation_3d(cfg, cfg.bc.u, un, u_old, dt=cfg.dt,
+                                  data=(obc or {}).get("u"), stagger="u")
+        vn = obc_mod.radiation_3d(cfg, cfg.bc.v, vn, v_old, dt=cfg.dt,
+                                  data=(obc or {}).get("v"), stagger="v")
+    un, vn, ubar, vbar, Huon, Hvom = pallas_uv.uv_finish_pallas(
+        cfg, grid, un, vn, Hz, Huon_old, Hvom_old,
+        avg.DU_avg1, avg.DV_avg1, avg.DU_avg2, avg.DV_avg2,
+        interpret=interp)
+    ubar = boundary.bc_u(ubar, cfg.bc.ubar, cfg.gamma2)
+    vbar = boundary.bc_v(vbar, cfg.bc.vbar, cfg.gamma2)
     return un, vn, ubar, vbar, Huon, Hvom

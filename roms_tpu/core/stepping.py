@@ -11,6 +11,7 @@ slot rotation is resolved into the State dataflow (see core.state).
 from __future__ import annotations
 
 import inspect
+import os
 from functools import partial
 from typing import Callable, Optional
 
@@ -266,8 +267,20 @@ class Model:
             ru, rv = prsgrd.prsgrd44(cfg, grid, rho, z_r, z_w, Hz,
                                      eq_tide=eqt, Pair=pair)
         else:
-            ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz,
-                                     eq_tide=eqt, Pair=pair)
+            from ..ops import pallas_prsgrd
+            if pallas_prsgrd.use_pallas_prsgrd(cfg) and not (
+                    eqt is not None and pair is not None):
+                # fused splines density-Jacobian kernel
+                # (ops/pallas_prsgrd.py; one VMEM pass, no HBM
+                # intermediates)
+                interp = os.environ.get(
+                    "ROMS_TPU_PALLAS_PRSGRD_INTERPRET", "") == "1"
+                ru, rv = pallas_prsgrd.prsgrd32_pallas(
+                    cfg, grid, rho, z_r, z_w, Hz, eq_tide=eqt,
+                    Pair=pair, interpret=interp)
+            else:
+                ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz,
+                                         eq_tide=eqt, Pair=pair)
         if cfg.mixing.smagorinsky:
             visc3d_r, diff3d_r = hmix.smagorinsky_coef(cfg, grid,
                                                        state.u, state.v)

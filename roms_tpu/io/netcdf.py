@@ -32,9 +32,11 @@ class HistoryWriter:
                  fields=("zeta", "ubar", "vbar", "u", "v", "temp",
                          "salt"), checksum: str = None):
         self.cfg = cfg
+        self.grid = grid
         self.fields = fields
         self.checksum = checksum      # 'bitsum' | 'adler32' | 'crc32'
         self.nrec = 0
+        self._derived_jit = None
         Mj, Li = cfg.shape2d
         N = cfg.N
         f = netcdf_file(path, "w", version=2)
@@ -93,7 +95,33 @@ class HistoryWriter:
                 self._hash_vars[key] = hv
         self.f = f
 
+    def _derived(self, state):
+        """Diagnostic fields the reference derives at write time:
+        rho (rho_eos), omega = W*pm*pn (scale_omega, wrt_his.F:992-1006)
+        and the true vertical velocity w (wvelocity.F).  The barotropic
+        means wvelocity needs equal the vertical integrals of the
+        corrected mass fluxes (step3d_uv's DU_avg1 readjustment)."""
+        if self._derived_jit is None:
+            import jax
+
+            from ..core.omega import omega as omega_fn, wvelocity
+            from ..core.rho_eos import rho_eos
+            from ..grid.depth import set_massflux
+
+            def compute(s):
+                rho = rho_eos(self.cfg, s.t, s.z_r, s.Hz, s.z_w)[0]
+                Huon, Hvom = set_massflux(self.grid, s.u, s.v, s.Hz)
+                W = omega_fn(self.cfg, self.grid, Huon, Hvom, s.z_w)
+                pmn = self.grid.pm * self.grid.pn
+                wvel = wvelocity(self.cfg, self.grid, s.u, s.v, W,
+                                 s.z_r, s.z_w, Huon.sum(0), Hvom.sum(0))
+                return {"rho": rho, "omega": W * pmn[None], "w": wvel}
+            self._derived_jit = jax.jit(compute)
+        return self._derived_jit(state)
+
     def _extract(self, state, key):
+        if key in ("rho", "w", "omega"):
+            return self._derived(state)[key]
         if key.endswith("_sur"):
             base = key[:-4]
             f3 = {"temp": state.t[0], "salt": state.t[1],
@@ -231,6 +259,10 @@ class ExtractWriter(HistoryWriter):
             setattr(gv, key, getattr(grid, key))
         super().__init__(path, _CfgView(), gv, fields)
         self._sl = sl
+        # derived fields (rho/w/omega) compute on the FULL grid before
+        # slicing; the views above were only for the file schema
+        self.cfg = cfg
+        self.grid = grid
 
     def _extract(self, state, key):
         full = super()._extract(state, key)

@@ -32,7 +32,7 @@ from .varinfo import REGISTRY
 
 # extraction keys HistoryWriter._extract supports
 _EXTRACTABLE = ("zeta", "ubar", "vbar", "u", "v", "temp", "salt",
-                "tke", "gls", "AKv", "AKt",
+                "tke", "gls", "AKv", "AKt", "rho", "w", "omega",
                 "temp_sur", "salt_sur", "u_sur", "v_sur")
 
 

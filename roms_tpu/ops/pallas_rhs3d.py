@@ -90,14 +90,32 @@ def _lap_x(x):
     return _im1(x) - 2.0 * x + _ip1(x)
 
 
-def _kernel(Li, Mj, BJ, ew, uv_cor, curv, uv_adv,
-            u_c, u_m, u_p, v_c, v_m, v_p, hz_c, hz_m, hz_p,
+def _hz_jm1(c, m):
+    """Hz at row j-1 (Hz only ever shifts by -1, so no plus-view)."""
+    return jnp.concatenate([m[:, -1:, :], c[:, :-1, :]], axis=1)
+
+
+def _kernel(Li, Mj, BJ, ew, uv_cor, curv, uv_adv, N, k0, k1, ka,
+            u_c, u_m, u_p, v_c, v_m, v_p, hz_c, hz_m,
             hu_c, hu_m, hu_p, hv_c, hv_m, hv_p, w_c, w_m, w_p,
             ru_ref, rv_ref, fomn_ref, fomn_jm1_ref,
             dndx_ref, dndx_jm1_ref, dmde_ref, dmde_jm1_ref,
             out_u, out_v):
-    U = _Halo(u_c[...], u_m[...], u_p[...])
-    V = _Halo(v_c[...], v_m[...], v_p[...])
+    # vertical-chunk view (the k-split that keeps BENCHMARK3 lane
+    # widths inside VMEM): u/v/W arrive with +-2 halo depth rows
+    # [ka, ...); Hz/Huon/Hvom/ru/rv with the chunk's cell rows
+    # [k0, k1).  Horizontal physics runs on the KB cell rows; the C4
+    # vertical flux reads the full halo depth.
+    KB = k1 - k0
+    o0 = k0 - ka
+
+    def ctrk(x):
+        return jax.lax.slice_in_dim(x, o0, o0 + KB, axis=0)
+
+    ufull = u_c[...]
+    vfull = v_c[...]
+    U = _Halo(ctrk(u_c[...]), ctrk(u_m[...]), ctrk(u_p[...]))
+    V = _Halo(ctrk(v_c[...]), ctrk(v_m[...]), ctrk(v_p[...]))
     HU = _Halo(hu_c[...], hu_m[...], hu_p[...])
     HV = _Halo(hv_c[...], hv_m[...], hv_p[...])
     u = U.c
@@ -127,7 +145,7 @@ def _kernel(Li, Mj, BJ, ew, uv_cor, curv, uv_adv,
             VFe = _perx(VFe, Li)
         ru = ru + 0.5 * (UFx + _im1(UFx))
         # VFe needs its j-1 row: recompute at the m alignment
-        cff_m = 0.5 * _Halo(hz_c[...], hz_m[...], hz_p[...]).sh(-1) * fomn_m
+        cff_m = 0.5 * _hz_jm1(hz_c[...], hz_m[...]) * fomn_m
         VFe_m = cff_m * (U.sh(-1) + _ip1(U.sh(-1)))
         if ew:
             VFe_m = _perx(VFe_m, Li)
@@ -144,7 +162,7 @@ def _kernel(Li, Mj, BJ, ew, uv_cor, curv, uv_adv,
             UFx = _perx(UFx, Li)
             VFe = _perx(VFe, Li)
         ru = ru + 0.5 * (UFx + _im1(UFx))
-        Hzm = _Halo(hz_c[...], hz_m[...], hz_p[...]).sh(-1)
+        Hzm = _hz_jm1(hz_c[...], hz_m[...])
         um = U.sh(-1)
         c1m = 0.5 * (V.sh(-1) + v)
         c2m = 0.5 * (um + _ip1(um))
@@ -278,30 +296,48 @@ def _kernel(Li, Mj, BJ, ew, uv_cor, curv, uv_adv,
                                _perx(Wp, Li), _perx(Wm2, Li))
         Wu = c1 * (Wc + _im1(Wc)) - c2 * (_ip1(Wc) + _roll(Wc, 2))
         Wv = c1 * (Wc + Wm) - c2 * (Wp + Wm2)
-        N = u.shape[0]
 
         def flux(q, Wq):
-            # positive indices only: negative int indexing lowers to
-            # dynamic_slice, unimplemented in Mosaic
-            Fi = (c1 * (q[1:N - 2] + q[2:N - 1])
-                  - c2 * (q[0:N - 3] + q[3:N])) * Wq[2:N - 1]
-            F1 = (c1 * (q[0] + q[1]) - c2 * (q[0] + q[2])) * Wq[1]
-            Fn = (c1 * (q[N - 2] + q[N - 1])
-                  - c2 * (q[N - 3] + q[N - 1])) * Wq[N - 1]
-            zeros = jnp.zeros_like(q[:1])
-            return jnp.concatenate([zeros, F1[None], Fi, Fn[None],
-                                    zeros], axis=0)
+            # chunk-aware interface-flux assembly over global
+            # interfaces kk = k0..k1 (Wq row li = kk-k0; q row g-ka).
+            # Positive static indices only: negative int indexing
+            # lowers to dynamic_slice, unimplemented in Mosaic.
+            parts = []
+            if k0 == 0:
+                parts.append(jnp.zeros_like(q[:1]))
+            if k0 <= 1 <= k1:
+                F1 = (c1 * (q[0] + q[1]) - c2 * (q[0] + q[2])) \
+                    * Wq[1 - k0]
+                parts.append(F1[None])
+            lo, hi = max(k0, 2), min(k1, N - 2)
+            if hi >= lo:
+                Fi = (c1 * (q[lo - 1 - ka:hi - ka]
+                            + q[lo - ka:hi + 1 - ka])
+                      - c2 * (q[lo - 2 - ka:hi - 1 - ka]
+                              + q[lo + 1 - ka:hi + 2 - ka])) \
+                    * Wq[lo - k0:hi + 1 - k0]
+                parts.append(Fi)
+            if k0 <= N - 1 <= k1:
+                Fn = (c1 * (q[N - 2 - ka] + q[N - 1 - ka])
+                      - c2 * (q[N - 3 - ka] + q[N - 1 - ka])) \
+                    * Wq[N - 1 - k0]
+                parts.append(Fn[None])
+            if k1 == N:
+                parts.append(jnp.zeros_like(q[:1]))
+            return jnp.concatenate(parts, axis=0)
 
-        FCu = flux(u, Wu)
-        FCv = flux(v, Wv)
+        FCu = flux(ufull, Wu)
+        FCv = flux(vfull, Wv)
         ru = ru - (FCu[1:] - FCu[:-1])
         rv = rv - (FCv[1:] - FCv[:-1])
 
-    grow2 = (jax.lax.broadcasted_iota(jnp.int32, u.shape[1:], 0)
+    # full-rank mask (a rank-promoting bool select can crash the
+    # Mosaic emitter on ragged j-blocks; see ops/pallas_tadv.py)
+    grow3 = (jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
              + pl.program_id(0) * BJ)
-    ring = (grow2 == 0) | (grow2 >= Mj - 1)
-    out_u[...] = jnp.where(ring[None], 0.0, ru)
-    out_v[...] = jnp.where(ring[None], 0.0, rv)
+    ring = (grow3 == 0) | (grow3 >= Mj - 1)
+    out_u[...] = jnp.where(ring, 0.0, ru)
+    out_v[...] = jnp.where(ring, 0.0, rv)
 
 
 def rhs3d_momentum_pallas(cfg, grid, u, v, Hz, Huon, Hvom, W, ru, rv,
@@ -312,8 +348,28 @@ def rhs3d_momentum_pallas(cfg, grid, u, v, Hz, Huon, Hvom, W, ru, rv,
     dtype = u.dtype
     ew = bool(cfg.bc.ew_periodic)
 
+    # BJ is pinned at 8: TPU blocks need sublane counts divisible by 8,
+    # and the halo views only reach +-2 rows, so 8 is already minimal.
+    # VMEM scaling comes from the k-chunk split instead: at BENCHMARK3
+    # lane width (Li=2050) the full-depth windows (~90 MB double-
+    # buffered) exceed VMEM, so the column is processed in nk chunks of
+    # ~N/nk cells with a +-2-row halo on u/v (the C4 vertical stencil).
     BJ = 8
     gj = pl.cdiv(Mj, BJ)
+
+    def est_bytes(kb):
+        rows = 6 * (kb + 4) + 2 * kb + 6 * kb + 3 * (kb + 1) + 4 * kb
+        return rows * BJ * Li * 4 * 2
+    nk = int(os.environ.get("ROMS_TPU_PALLAS_RHS3D_NK", "0"))
+    if nk < 1:
+        # 45 MB window budget: the estimator counts only the block
+        # windows; lane padding (Li -> next 128 multiple), outputs and
+        # compute scratch roughly double true scoped VMEM (BENCHMARK3
+        # measured 157 MB against an 86 MB estimate at nk=1)
+        nk = 1
+        while est_bytes(pl.cdiv(N, nk)) > 45 * 1024 * 1024 and nk < N:
+            nk += 1
+    KB = pl.cdiv(N, nk)
 
     def s3(L, off):
         if off < 0:
@@ -334,31 +390,52 @@ def rhs3d_momentum_pallas(cfg, grid, u, v, Hz, Huon, Hvom, W, ru, rv,
     def trip(x, L):
         return [(x, s3(L, 0)), (x, s3(L, -1)), (x, s3(L, 1))]
 
-    pairs = (trip(u, N) + trip(v, N) + trip(Hz, N)
-             + trip(Huon, N) + trip(Hvom, N) + trip(W, N + 1)
-             + [(ru, s3(N, 0)), (rv, s3(N, 0))])
-    for f2 in (grid.fomn, grid.dndx, grid.dmde):
-        f2 = f2.astype(dtype)
-        pairs.append((f2, s2))
-        pairs.append((jnp.roll(f2, 1, axis=0), s2))
-    args = [p[0] for p in pairs]
-    specs = [p[1] for p in pairs]
+    def slk(x, lo, hi):
+        return jax.lax.slice_in_dim(x, lo, hi, axis=0)
 
-    out_u, out_v = pl.pallas_call(
-        functools.partial(_kernel, Li, Mj, BJ, ew,
-                          bool(cfg.uv_cor),
-                          bool(cfg.curvgrid and cfg.uv_adv),
-                          bool(cfg.uv_adv)),
-        out_shape=(jax.ShapeDtypeStruct((N, Mj, Li), dtype),) * 2,
-        grid=(gj,),
-        in_specs=specs,
-        out_specs=(s3(N, 0), s3(N, 0)),
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=110 * 1024 * 1024),
-    )(*args)
-    return out_u, out_v
+    outs_u, outs_v = [], []
+    for c in range(nk):
+        k0 = c * KB
+        k1 = min(N, k0 + KB)
+        ka = max(k0 - 2, 0)
+        kb = min(k1 + 2, N)
+        uh, vh = slk(u, ka, kb), slk(v, ka, kb)
+        pairs = (trip(uh, kb - ka) + trip(vh, kb - ka)
+                 + [(slk(Hz, k0, k1), s3(k1 - k0, 0)),
+                    (slk(Hz, k0, k1), s3(k1 - k0, -1))]
+                 + trip(slk(Huon, k0, k1), k1 - k0)
+                 + trip(slk(Hvom, k0, k1), k1 - k0)
+                 + trip(slk(W, k0, k1 + 1), k1 - k0 + 1)
+                 + [(slk(ru, k0, k1), s3(k1 - k0, 0)),
+                    (slk(rv, k0, k1), s3(k1 - k0, 0))])
+        for f2 in (grid.fomn, grid.dndx, grid.dmde):
+            f2 = f2.astype(dtype)
+            pairs.append((f2, s2))
+            pairs.append((jnp.roll(f2, 1, axis=0), s2))
+        args = [p[0] for p in pairs]
+        specs = [p[1] for p in pairs]
+
+        ou, ov = pl.pallas_call(
+            functools.partial(_kernel, Li, Mj, BJ, ew,
+                              bool(cfg.uv_cor),
+                              bool(cfg.curvgrid and cfg.uv_adv),
+                              bool(cfg.uv_adv), N, k0, k1, ka),
+            out_shape=(jax.ShapeDtypeStruct((k1 - k0, Mj, Li),
+                                            dtype),) * 2,
+            grid=(gj,),
+            in_specs=specs,
+            out_specs=(s3(k1 - k0, 0), s3(k1 - k0, 0)),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(*args)
+        outs_u.append(ou)
+        outs_v.append(ov)
+    if nk == 1:
+        return outs_u[0], outs_v[0]
+    return (jnp.concatenate(outs_u, axis=0),
+            jnp.concatenate(outs_v, axis=0))
 
 
 def use_pallas_rhs3d() -> bool:

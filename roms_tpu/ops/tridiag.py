@@ -30,6 +30,15 @@ def tridiag_solve(lower, diag, upper, rhs):
     XLA scan and bit-exact); every other case takes the scan path.
     """
     import os
+    if rhs.ndim > 3:
+        # stacked-system batches (N, B, Mj, Li): collapse the batch
+        # dims so the VMEM Pallas path applies; columns are independent
+        shp = rhs.shape
+
+        def flat(x):
+            return x.reshape(x.shape[0], -1, shp[-1])
+        return tridiag_solve(flat(lower), flat(diag), flat(upper),
+                             flat(rhs)).reshape(shp)
     if (jax.default_backend() == "tpu" and rhs.ndim == 3
             and rhs.shape[0] <= 128
             and not os.environ.get("ROMS_TPU_NO_PALLAS_TRIDIAG")):

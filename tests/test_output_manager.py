@@ -33,12 +33,12 @@ def test_deck_driven_streams(model):
         "HISNAME": "his.nc", "AVGNAME": "avg.nc", "RSTNAME": "rst.nc",
         "Hout(idFsur)": True, "Hout(idUbar)": True,
         "Hout(idVbar)": False, "Hout(idTvar)": [True, False],
-        "Hout(idWvel)": True,     # unsupported extraction -> recorded
+        "Hout(idUsms)": True,     # unsupported extraction -> recorded
     }
     with tempfile.TemporaryDirectory() as d:
         om = OutputManager(cfg, grid, params, outdir=d,
                            initial_state=s)
-        assert "idWvel" in om.unsupported
+        assert "idUsms" in om.unsupported
         for _ in range(6):
             s = m.step(s)
             om.step(s)
@@ -79,3 +79,27 @@ def test_avg_matches_hand_mean(model):
         f.close()
     want = np.mean([np.asarray(s.zeta) for s in states[1:]], axis=0)
     np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-6)
+
+
+def test_derived_fields_written(model):
+    """The UPWELLING deck's Hout asks for w/omega/rho (idWvel/idOvel/
+    idDano) — derived at write time like wrt_his.F:935-1024."""
+    cfg, grid, s, m = model
+    params = {"NHIS": 1, "HISNAME": "his.nc",
+              "Hout(idFsur)": True, "Hout(idWvel)": True,
+              "Hout(idOvel)": True, "Hout(idDano)": True}
+    with tempfile.TemporaryDirectory() as d:
+        om = OutputManager(cfg, grid, params, outdir=d)
+        assert om.unsupported == []
+        s = m.step(s)
+        om.step(s)
+        om.close()
+        f = netcdf_file(os.path.join(d, "his.nc"), "r", mmap=False)
+        for name in ("w", "omega", "rho"):
+            v = np.asarray(f.variables[name][0])
+            assert v.shape[-2:] == cfg.shape2d
+            assert np.isfinite(v).all(), name
+        # omega is W*pm*pn with zero top/bottom interface flux
+        om0 = np.asarray(f.variables["omega"][0])
+        assert abs(om0[0]).max() == 0.0 and abs(om0[-1]).max() < 1e-12
+        f.close()

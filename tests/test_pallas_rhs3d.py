@@ -100,3 +100,22 @@ class TestPallasRhs3d:
             y = np.asarray(getattr(b, f))
             assert np.isfinite(y).all()
             np.testing.assert_array_equal(x, y, err_msg=f)
+
+    def test_parity_k_chunked(self, monkeypatch):
+        """The VMEM k-chunk split (BENCHMARK3-size path) reproduces the
+        single-call kernel exactly."""
+        monkeypatch.setenv("ROMS_TPU_PALLAS_RHS3D_NK", "3")
+        cfg, grid, u, v, Hz, Huon, Hvom, W, ru, rv = _setup()
+        g_u, g_v = pallas_rhs3d.rhs3d_momentum_pallas(
+            cfg, grid, u, v, Hz, Huon, Hvom, W, ru, rv,
+            interpret=True)
+        monkeypatch.setenv("ROMS_TPU_PALLAS_RHS3D_NK", "1")
+        r_u, r_v = pallas_rhs3d.rhs3d_momentum_pallas(
+            cfg, grid, u, v, Hz, Huon, Hvom, W, ru, rv,
+            interpret=True)
+        # shape-dependent vectorization reassociates FP sums between
+        # the chunked and single-call lowering -> ulp-level tolerance
+        for g, r in ((g_u, r_u), (g_v, r_v)):
+            g, r = np.asarray(g), np.asarray(r)
+            scale = np.abs(r).max() + 1e-30
+            assert np.abs(g - r).max() / scale < 1e-13

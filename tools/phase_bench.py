@@ -109,7 +109,15 @@ def main():
         lambda s: set_vbc.bottom_drag(cfg, grid, s.u, s.v, s.Hz, s.z_r,
                                       s.z_w))(state)
     if full:
+        from roms_tpu.ops import pallas_kpp
+
         def kpp(state, bvf, forcing):
+            # measure the SAME path stepping.py dispatches (fused
+            # Pallas kernel on a single TPU; jnp otherwise)
+            if not cfg.mixing.bkpp and pallas_kpp.use_pallas_kpp():
+                return pallas_kpp.lmd_kpp_fused(
+                    cfg, grid, state.t, state.u, state.v, pden, bvf,
+                    state.Hz, state.z_r, state.z_w, forcing)
             Akv, Akt = lmd_mod.lmd_vmix_interior(cfg, state.u, state.v,
                                                  bvf, state.Hz)
             return lmd_mod.lmd_skpp(cfg, grid, state.t, state.u, state.v,
@@ -127,8 +135,15 @@ def main():
 
     phases = {}
     phases["set_massflux+periodic"] = (jax.jit(prep_fluxes), (state, grid))
-    phases["rho_eos"] = (jax.jit(
-        lambda s: rho_eos(cfg, s.t, s.z_r, s.Hz, s.z_w)), (state,))
+    from roms_tpu.ops import pallas_rho
+
+    def eos(s):
+        # same dispatch as stepping.py (fused kernel on single TPU)
+        if pallas_rho.use_pallas_rho():
+            return pallas_rho.rho_eos_pallas(cfg, s.t, s.z_r, s.Hz,
+                                             s.z_w)
+        return rho_eos(cfg, s.t, s.z_r, s.Hz, s.z_w)
+    phases["rho_eos"] = (jax.jit(eos), (state,))
     if full:
         def bulk_only(s, rho_s):
             return forcing_fn(s.time, s.t[0][-1], s.t[1][-1], rho_s)
