@@ -111,6 +111,15 @@ def _vdiff_and_bc(cfg, grid, out, dia, Hz, z_r, Akt, t_old, obc,
     dt = cfg.dt
     NAT = Akt.shape[0]
     pre = out
+    from ..ops import pallas_vdiff
+    if cfg.mixing.splines_vdiff and pallas_vdiff.use_pallas_vdiff(cfg):
+        # fused per-column solve (coefficients + Thomas in VMEM,
+        # ops/pallas_vdiff.py); returns (NT, N, Mj, Li)
+        solk = pallas_vdiff.spline_vdiff_pallas(
+            cfg, pre, Hz, Akt, interpret=pallas_vdiff._interp())
+        sol = jnp.swapaxes(solk, 0, 1)
+        return _finish_tracers(cfg, grid, sol, pre, dia, Hz, t_old,
+                               obc, collect_diag)
     Aks = jnp.stack([Akt[min(itrc, NAT - 1)] for itrc in range(cfg.NT)],
                     axis=1)
     Hzs = jnp.stack([Hz] * cfg.NT, axis=1)
@@ -123,6 +132,14 @@ def _vdiff_and_bc(cfg, grid, out, dia, Hz, z_r, Akt, t_old, obc,
         dz_s = jnp.stack([dz_inv] * cfg.NT, axis=1)
         sol = implicit_vdiff_solve(Hzs, Aks, dz_s, q_s, dt)
 
+    return _finish_tracers(cfg, grid, sol, pre, dia, Hz, t_old, obc,
+                           collect_diag)
+
+
+def _finish_tracers(cfg, grid, sol, pre, dia, Hz, t_old, obc,
+                    collect_diag):
+    """Per-tracer vdif diagnostic, lateral BCs, radiation OBCs.
+    sol: (N, NT, Mj, Li) tracer-unit solution."""
     out = []
     for itrc in range(cfg.NT):
         tn = sol[:, itrc]

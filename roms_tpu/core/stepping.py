@@ -131,16 +131,28 @@ class Model:
         iic = state.iic
 
         # ---- prep: fluxes, EOS, forcing, closures (main3d.F:348-535) ----
-        Huon, Hvom = set_massflux(grid, state.u, state.v, Hz)
-        if self.sources is not None and self.sources.qsrc_u is not None:
-            # LuvSrc per-layer river flux through the faces feeds
-            # continuity (omega) and advection (step3d LuvSrc block)
-            Huon = Huon + self.sources.qsrc_u
-            Hvom = Hvom + self.sources.qsrc_v
-        if cfg.bc.ew_periodic:
-            Huon, Hvom = st.periodic_x(Huon), st.periodic_x(Hvom)
-        if cfg.bc.ns_periodic:
-            Huon, Hvom = st.periodic_y(Huon), st.periodic_y(Hvom)
+        from ..ops import pallas_flux
+        fused_flux = (pallas_flux.use_pallas_flux(cfg)
+                      and (self.sources is None
+                           or self.sources.qsrc_u is None))
+        if fused_flux:
+            # fused set_massflux + omega kernel (ops/pallas_flux.py);
+            # W is produced here and reused below
+            Huon, Hvom, W_fused = pallas_flux.flux_omega_pallas(
+                cfg, grid, state.u, state.v, Hz, z_w,
+                interpret=pallas_flux._interp())
+        else:
+            Huon, Hvom = set_massflux(grid, state.u, state.v, Hz)
+            if self.sources is not None and \
+                    self.sources.qsrc_u is not None:
+                # LuvSrc per-layer river flux through the faces feeds
+                # continuity (omega) and advection (step3d LuvSrc block)
+                Huon = Huon + self.sources.qsrc_u
+                Hvom = Hvom + self.sources.qsrc_v
+            if cfg.bc.ew_periodic:
+                Huon, Hvom = st.periodic_x(Huon), st.periodic_x(Hvom)
+            if cfg.bc.ns_periodic:
+                Huon, Hvom = st.periodic_y(Huon), st.periodic_y(Hvom)
         from ..ops import pallas_rho
         if pallas_rho.use_pallas_rho():
             # fused column EOS kernel (ops/pallas_rho.py)
@@ -238,6 +250,8 @@ class Model:
             # OMEGA_IMPLICIT: explicit part drives all explicit
             # advection; Wi is folded into the corrector solves.
             W, Wi = omega_mod.omega_split(cfg, grid, Huon, Hvom, z_w)
+        elif fused_flux:
+            W, Wi = W_fused, None
         else:
             W, Wi = omega_mod.omega(cfg, grid, Huon, Hvom, z_w), None
         if obc_data is not None:
@@ -391,6 +405,10 @@ class Model:
         if cfg.omega_implicit:
             W2, Wi2 = omega_mod.omega_split(cfg, grid, Huon2, Hvom2,
                                             z_w2)
+        elif fused_flux:
+            W2, Wi2 = pallas_flux.omega_pallas(
+                cfg, grid, Huon2, Hvom2, z_w2,
+                interpret=pallas_flux._interp()), None
         else:
             W2, Wi2 = omega_mod.omega(cfg, grid, Huon2, Hvom2,
                                       z_w2), None

@@ -572,8 +572,11 @@ def fast_loop_pallas(cfg, grid, nfast, w1j, w2j, var_rho,
                   ru0p2=ru0_prev2, rv0p2=rv0_prev2,
                   rhoS=rhoS, rhoA=rhoA)
 
+    # KS=2 with BJ=16 is the validated pair; KS=3/BJ=24 produced
+    # NaNs on the trajectory test (the shift-chain corruption depth
+    # exceeds 6 rows/substep), so the chunk size is capped at 2.
     KS = int(os.environ.get("ROMS_TPU_P2D_KS", "2"))
-    KS = max(1, min(KS, nfast))
+    KS = max(1, min(KS, 2, nfast))
     BJ = 8 * KS
 
     def chunk(c, sc_rows, ks, bj):

@@ -57,9 +57,19 @@ def _thomas_kernel(lo_ref, dg_ref, up_ref, rhs_ref, out_ref, cp_ref,
     jax.lax.fori_loop(0, N - 1, bwd, 0)
 
 
+def tridiag_solve_pallas(lower, diag, upper, rhs, tj: int = None,
+                         ti: int = None, interpret: bool = False):
+    if tj is None:
+        import os
+        tj = int(os.environ.get("ROMS_TPU_TRIDIAG_TJ", "8"))
+        ti = int(os.environ.get("ROMS_TPU_TRIDIAG_TI", "512"))
+    return _tridiag_solve_pallas(lower, diag, upper, rhs, tj, ti,
+                                 interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("tj", "ti", "interpret"))
-def tridiag_solve_pallas(lower, diag, upper, rhs, tj: int = 8,
-                         ti: int = 128, interpret: bool = False):
+def _tridiag_solve_pallas(lower, diag, upper, rhs, tj: int = 8,
+                          ti: int = 512, interpret: bool = False):
     """Solve tridiagonal systems along axis 0 of (N, Mj, Li) arrays.
 
     Same convention as ops.tridiag.tridiag_solve: lower[k] multiplies

@@ -30,18 +30,26 @@ def tridiag_solve(lower, diag, upper, rhs):
     XLA scan and bit-exact); every other case takes the scan path.
     """
     import os
-    if rhs.ndim > 3:
-        # stacked-system batches (N, B, Mj, Li): collapse the batch
-        # dims so the VMEM Pallas path applies; columns are independent
+    use_pallas = (jax.default_backend() == "tpu"
+                  and jax.device_count() == 1
+                  and not os.environ.get("ROMS_TPU_NO_PALLAS_TRIDIAG"))
+    if rhs.ndim > 3 and use_pallas and \
+            os.environ.get("ROMS_TPU_PALLAS_TRIDIAG_4D") == "1":
+        # stacked-system batches (N, B, Mj, Li) CAN collapse into the
+        # VMEM Pallas path, but measured SLOWER than the scan at
+        # BENCHMARK3 (step3d_t 19.9 vs 14.3 ms — the flattened grid
+        # degenerates into ~1.1k tiny-block launches), so this route is
+        # opt-in.  It must also never run under a mesh: the reshape
+        # merges the replicated batch dim with the sharded eta dim and
+        # GSPMD inserts field-sized all-gathers.  The scan path handles
+        # trailing batch dims natively with no data movement.
         shp = rhs.shape
 
         def flat(x):
             return x.reshape(x.shape[0], -1, shp[-1])
         return tridiag_solve(flat(lower), flat(diag), flat(upper),
                              flat(rhs)).reshape(shp)
-    if (jax.default_backend() == "tpu" and rhs.ndim == 3
-            and rhs.shape[0] <= 128
-            and not os.environ.get("ROMS_TPU_NO_PALLAS_TRIDIAG")):
+    if use_pallas and rhs.ndim == 3 and rhs.shape[0] <= 128:
         from .pallas_tridiag import tridiag_solve_pallas
         return tridiag_solve_pallas(lower, diag, upper, rhs)
 

@@ -166,12 +166,16 @@ def main():
     t_half, t_part, u_part, v_part = jax.jit(prestep)(
         state, Huon, Hvom, W, forcing, bustr, bvstr)
 
-    phases["prsgrd32"] = (jax.jit(
-        lambda rho, s: prsgrd.prsgrd32(cfg, grid, rho, s.z_r, s.z_w,
-                                       s.Hz)), (rho, state))
-    ru0, rv0 = jax.jit(
-        lambda rho, s: prsgrd.prsgrd32(cfg, grid, rho, s.z_r, s.z_w,
-                                       s.Hz))(rho, state)
+    from roms_tpu.ops import pallas_prsgrd
+
+    def pg(rho, s):
+        # same dispatch as stepping.py
+        if pallas_prsgrd.use_pallas_prsgrd(cfg):
+            return pallas_prsgrd.prsgrd32_pallas(cfg, grid, rho,
+                                                 s.z_r, s.z_w, s.Hz)
+        return prsgrd.prsgrd32(cfg, grid, rho, s.z_r, s.z_w, s.Hz)
+    phases["prsgrd32"] = (jax.jit(pg), (rho, state))
+    ru0, rv0 = jax.jit(pg)(rho, state)
 
     if cfg.mixing.mix_geo_ts:
         phases["t3dmix2_geo"] = (jax.jit(

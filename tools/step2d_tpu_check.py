@@ -39,7 +39,8 @@ def main():
     p.add_argument("--flag",
                    default="ROMS_TPU_PALLAS_STEP2D,ROMS_TPU_PALLAS_TADV,"
                            "ROMS_TPU_PALLAS_UV,ROMS_TPU_PALLAS_RHS3D,"
-                           "ROMS_TPU_PALLAS_PRSGRD,ROMS_TPU_PALLAS_UVMIX",
+                           "ROMS_TPU_PALLAS_PRSGRD,ROMS_TPU_PALLAS_UVMIX,"
+                           "ROMS_TPU_PALLAS_FLUX,ROMS_TPU_PALLAS_VDIFF",
                    help="comma-separated env flags to A/B (off vs on)")
     args = p.parse_args()
 
