@@ -128,11 +128,44 @@ class OutputManager:
                 # define the mix_* schema up-front (classic NetCDF
                 # cannot add variables after the first record)
                 self.rst._ensure_mix_vars(initial_state.mix)
+        # per-step stdout diagnostics table (diag.F:440-486, NINFO)
+        self.ninfo = cad("NINFO", 0)
+        self._info_header = False
+
+    def _info(self, state) -> None:
+        """Print one reference-style global-diagnostics line:
+        TIME-STEP  KINETIC_ENRG  POTEN_ENRG  TOTAL_ENRG  NET_VOLUME
+        plus the Courant/speed detail line (diag.F:448-486)."""
+        import sys
+
+        from ..core.diag import diag as diag_fn
+        d = diag_fn(self.cfg, self.grid, state)
+        if not self._info_header:
+            self._info_header = True
+            print(f"{'TIME-STEP':>10s} {'KINETIC_ENRG':>14s} "
+                  f"{'POTEN_ENRG':>14s} {'TOTAL_ENRG':>14s} "
+                  f"{'NET_VOLUME':>14s}")
+            print(f"{'':>10s} {'Cu+Cv+Cw':>14s} {'Cw':>14s} "
+                  f"{'Max Speed':>14s}")
+        iic = int(np.asarray(state.iic))
+        ke = float(np.asarray(d.avgke))
+        pe = float(np.asarray(d.avgpe))
+        vol = float(np.asarray(d.volume))
+        print(f"{iic:>10d} {ke:14.6E} {pe:14.6E} {ke + pe:14.6E} "
+              f"{vol:14.6E}")
+        print(f"{'':>10s} {float(np.asarray(d.max_courant)):14.6E} "
+              f"{float(np.asarray(d.max_courant_w)):14.6E} "
+              f"{float(np.asarray(d.max_speed)):14.6E}")
+        if int(np.asarray(d.exit_flag)) != 0:
+            from ..core.diag import blowup_string
+            print("Blowing-up:", blowup_string(d), file=sys.stderr)
 
     def step(self, state) -> None:
         """Dispatch all due streams for a just-completed step."""
         iic = int(np.asarray(state.iic))
         t = float(np.asarray(state.time))
+        if self.ninfo and iic % self.ninfo == 0:
+            self._info(state)
         if self.avg is not None:
             if self._avg_t0 is None:
                 self._avg_t0 = t

@@ -635,4 +635,11 @@ def use_pallas_step2d(cfg) -> bool:
         return False
     if flag == "1":
         return True
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    # Default OFF: with the other dynamics kernels landed, the jnp
+    # fast loop (whole-array lax.scan, XLA-fused) measured FASTER than
+    # this kernel at every BENCHMARK size (BM1 7.5 vs 8.0, BM2 16.6 vs
+    # 18.3, BM3 52.6 vs 56.6 ms/step same-session) — the ext-window
+    # triple's 3x-redundant compute outweighs the launch savings.  The
+    # kernel stays available via the env flag for future VMEM-resident
+    # multi-substep work.
+    return False

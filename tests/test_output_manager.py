@@ -103,3 +103,17 @@ def test_derived_fields_written(model):
         om0 = np.asarray(f.variables["omega"][0])
         assert abs(om0[0]).max() == 0.0 and abs(om0[-1]).max() < 1e-12
         f.close()
+
+
+def test_ninfo_diag_table(model, capsys):
+    """NINFO cadence prints the reference-style diagnostics table
+    (diag.F:440-486)."""
+    cfg, grid, s, m = model
+    om = OutputManager(cfg, grid, {"NINFO": 2})
+    for _ in range(4):
+        s = m.step(s)
+        om.step(s)
+    outtxt = capsys.readouterr().out
+    assert "KINETIC_ENRG" in outtxt and "NET_VOLUME" in outtxt
+    assert len([ln for ln in outtxt.splitlines()
+                if ln.strip() and ln.split()[0].isdigit()]) == 2
