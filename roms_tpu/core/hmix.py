@@ -58,12 +58,9 @@ def uv3dmix2_s(cfg: ModelConfig, grid: Grid, u, v, u_part, v_part, Hz,
         from ..ops import pallas_uvmix
         if pallas_uvmix.use_pallas_uvmix(cfg):
             # fused stress-divergence kernel (ops/pallas_uvmix.py)
-            import os
-            interp = os.environ.get(
-                "ROMS_TPU_PALLAS_UVMIX_INTERPRET", "") == "1"
             return pallas_uvmix.uv3dmix2_s_pallas(
                 cfg, grid, u, v, u_part, v_part, Hz, rufrc, rvfrc,
-                interpret=interp)
+                interpret=pallas_uvmix._interp())
     dt = cfg.dt
     pn, pm = grid.pn, grid.pm
     upn = pn + st.im1(pn)

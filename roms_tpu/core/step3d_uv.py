@@ -148,10 +148,8 @@ def _step3d_uv_pallas(cfg, grid, u_part, v_part, ru, rv, Hz, Akv,
     """Fused-kernel path: solve kernel -> jnp BCs -> finish kernel
     (ops/pallas_uv.py); numerics match the jnp path to reduction-order
     ulps (tests/test_pallas_uv.py)."""
-    import os
-
     from ..ops import pallas_uv
-    interp = os.environ.get("ROMS_TPU_PALLAS_UV_INTERPRET", "") == "1"
+    interp = pallas_uv._interp()
     un, vn = pallas_uv.uv_solve_pallas(
         cfg, grid, u_part, v_part, ru, rv, Hz, Akv, cffab,
         avg.DU_avg1, avg.DV_avg1, interpret=interp)

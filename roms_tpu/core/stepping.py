@@ -287,11 +287,9 @@ class Model:
                 # fused splines density-Jacobian kernel
                 # (ops/pallas_prsgrd.py; one VMEM pass, no HBM
                 # intermediates)
-                interp = os.environ.get(
-                    "ROMS_TPU_PALLAS_PRSGRD_INTERPRET", "") == "1"
                 ru, rv = pallas_prsgrd.prsgrd32_pallas(
                     cfg, grid, rho, z_r, z_w, Hz, eq_tide=eqt,
-                    Pair=pair, interpret=interp)
+                    Pair=pair, interpret=pallas_prsgrd._interp())
             else:
                 ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz,
                                          eq_tide=eqt, Pair=pair)

@@ -121,7 +121,11 @@ class HistoryWriter:
 
     def _extract(self, state, key):
         if key in ("rho", "w", "omega"):
-            return self._derived(state)[key]
+            # one derived-pipeline execution per state, not per key
+            if getattr(self, "_derived_for", None) is not state:
+                self._derived_vals = self._derived(state)
+                self._derived_for = state
+            return self._derived_vals[key]
         if key.endswith("_sur"):
             base = key[:-4]
             f3 = {"temp": state.t[0], "salt": state.t[1],

@@ -45,23 +45,32 @@ def _fields_from_switches(params: Dict, prefix: str):
             by_code.setdefault(info.index_code, []).append(key)
     fields, unsupported = [], []
     pat = re.compile(rf"^{prefix}\((\w+)\)$")
+    any_switch = False
     for key, val in params.items():
         m = pat.match(key)
         if not m:
             continue
+        any_switch = True
         code = m.group(1)
         keys = by_code.get(code, [])
-        flags = val if isinstance(val, list) else [val] * len(keys)
+        flags = val if isinstance(val, list) else [val] * max(len(keys),
+                                                              1)
         if not keys:
             if (val is True) or (isinstance(val, list) and any(val)):
                 unsupported.append(code)
             continue
+        # per-tracer flag lists can be longer than the registry's
+        # tracer keys (bio tracers); the overflow is unsupported, not
+        # silently dropped
+        for on in flags[len(keys):]:
+            if on:
+                unsupported.append(code)
         for k, on in zip(keys, flags):
             if on and k in _EXTRACTABLE:
                 fields.append(k)
             elif on:
                 unsupported.append(code)
-    return tuple(fields), unsupported
+    return tuple(fields), unsupported, any_switch
 
 
 class OutputManager:
@@ -94,9 +103,12 @@ class OutputManager:
             return os.path.join(outdir, params.get(key, default))
 
         def pick(prefix, fallback):
-            f, unsup = _fields_from_switches(params, prefix)
+            # a deck WITH switches rules, even if it disables every
+            # field (time-only stream); the fallback applies only when
+            # the deck carries no switches for this stream at all
+            f, unsup, any_switch = _fields_from_switches(params, prefix)
             self.unsupported += unsup
-            return f or fallback
+            return f if any_switch else fallback
 
         default_fields = tuple(his_fields or
                                ("zeta", "ubar", "vbar", "u", "v",

@@ -140,18 +140,24 @@ class RestartWriter:
         # first record write; callers pass the initial state first.
         dt = _nc_code(self.cfg.dtype)
         N = self.cfg.N
+
+        def defmix(vname):
+            v = self.f.createVariable(
+                vname, dt, ("ocean_time",) + dims_for("w3", N))
+            self._vars[vname] = v
+            if self.checksum:
+                hv = self.f.createVariable(vname + "_checksum", "i",
+                                           ("ocean_time",))
+                hv.long_name = f"{self.checksum} checksum of {vname}"
+                self._hash_vars[vname] = hv
+
         for name in _MIX_FIELDS:
             val = getattr(mix, name)
             if val.ndim == 4:          # Akt: (NAT, N+1, Mj, Li)
                 for ia in range(val.shape[0]):
-                    v = self.f.createVariable(
-                        f"mix_{name}{ia}", dt,
-                        ("ocean_time",) + dims_for("w3", N))
-                    self._vars[f"mix_{name}{ia}"] = v
+                    defmix(f"mix_{name}{ia}")
             else:
-                v = self.f.createVariable(
-                    f"mix_{name}", dt, ("ocean_time",) + dims_for("w3", N))
-                self._vars[f"mix_{name}"] = v
+                defmix(f"mix_{name}")
         self.has_mix = True
 
     def write(self, state: State):

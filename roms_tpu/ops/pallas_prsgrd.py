@@ -276,3 +276,7 @@ def use_pallas_prsgrd(cfg) -> bool:
     if flag == "1":
         return True
     return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
+def _interp():
+    return os.environ.get("ROMS_TPU_PALLAS_PRSGRD_INTERPRET", "") == "1"

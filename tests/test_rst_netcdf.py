@@ -99,3 +99,29 @@ def test_cycling_keeps_two_records(model):
         assert int(np.asarray(s_back.iic)) == int(np.asarray(s2.iic))
         assert np.array_equal(np.asarray(s_back.zeta),
                               np.asarray(s2.zeta))
+
+
+def test_restart_with_turbulence_and_checksum():
+    """GLS runs carry MixState; restart with checksums must cover the
+    mix_* variables too (regression: KeyError on mix checksum vars)."""
+    from roms_tpu.functionals import benchmark
+    cfg = benchmark.make_config(Lm=12, Mm=10, N=6)
+    import dataclasses
+    cfg = cfg.replace(mixing=dataclasses.replace(cfg.mixing,
+                                                 vmix="gls"))
+    grid = benchmark.make_grid(cfg)
+    s0 = benchmark.make_initial(cfg, grid)
+    m = stepping.Model(cfg, grid,
+                       forcing_fn=benchmark.make_forcing_fn(cfg, grid))
+    s = m.step(s0)
+    assert s.mix is not None
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "rst.nc")
+        w = RestartWriter(path, cfg, grid, checksum="crc32")
+        w.write(s)
+        w.close()
+        s2 = read_restart(path, cfg, grid, template=s)
+        assert np.array_equal(np.asarray(s.mix.tke),
+                              np.asarray(s2.mix.tke))
+        a, b = m.step(s), m.step(s2)
+        assert np.array_equal(np.asarray(a.t), np.asarray(b.t))
