@@ -27,6 +27,25 @@ import numpy as np
 from ..core.state import State
 
 
+
+def _ad_jvp(*a, **kw):
+    """jax.jvp with the Pallas kernels disabled for the traced region
+    (pallas_call has no AD rules; ops/kernel_gate.py)."""
+    from ..ops.kernel_gate import no_pallas
+    import jax as _jax
+    with no_pallas():
+        return _jax.jvp(*a, **kw)
+
+
+def _ad_vjp(*a, **kw):
+    """jax.vjp under no_pallas(); NOTE the returned vjp_fn retraces
+    nothing — the forward trace (already kernel-free) defines it."""
+    from ..ops.kernel_gate import no_pallas
+    import jax as _jax
+    with no_pallas():
+        return _jax.vjp(*a, **kw)
+
+
 class Observations(NamedTuple):
     """Trajectory observations: field values at a fixed step index."""
     step: int                  # observation time index (1-based steps)
@@ -124,14 +143,14 @@ def i4dvar(model, grid, x_b: State, obs: Observations, nsteps: int,
 
         # linearized observation operator about x_k (in control space)
         def G(v: Control):
-            _, tang = jax.jvp(
+            _, tang = _ad_jvp(
                 lambda c: observe_trajectory(model, grid,
                                              _add_control(x_k, c), obs,
                                              nsteps),
                 (dx0,), (bsqrt(v),))
             return tang
 
-        _, vjp_fn = jax.vjp(
+        _, vjp_fn = _ad_vjp(
             lambda c: observe_trajectory(model, grid,
                                          _add_control(x_k, c), obs,
                                          nsteps), dx0)
@@ -213,14 +232,14 @@ def rbl4dvar(model, grid, x_b: State, obs: Observations, nsteps: int,
         d = obs.values - y_k
 
         def G(v: Control):
-            _, tang = jax.jvp(
+            _, tang = _ad_jvp(
                 lambda c: observe_trajectory(model, grid,
                                              _add_control(x_k, c), obs,
                                              nsteps),
                 (dx0,), (bsqrt(v),))
             return tang
 
-        _, vjp_fn = jax.vjp(
+        _, vjp_fn = _ad_vjp(
             lambda c: observe_trajectory(model, grid,
                                          _add_control(x_k, c), obs,
                                          nsteps), dx0)

@@ -22,6 +22,25 @@ import numpy as np
 from ..core.gst import _flat, _unflat
 
 
+
+def _ad_jvp(*a, **kw):
+    """jax.jvp with the Pallas kernels disabled for the traced region
+    (pallas_call has no AD rules; ops/kernel_gate.py)."""
+    from ..ops.kernel_gate import no_pallas
+    import jax as _jax
+    with no_pallas():
+        return _jax.jvp(*a, **kw)
+
+
+def _ad_vjp(*a, **kw):
+    """jax.vjp under no_pallas(); NOTE the returned vjp_fn retraces
+    nothing — the forward trace (already kernel-free) defines it."""
+    from ..ops.kernel_gate import no_pallas
+    import jax as _jax
+    with no_pallas():
+        return _jax.vjp(*a, **kw)
+
+
 class JEDIInterface:
     """Phaseful driver facade (jedi_roms.h protocol).
 
@@ -80,7 +99,7 @@ class JEDIInterface:
         zero = jax.tree_util.tree_map(jnp.zeros_like,
                                       self.state_template())
         dx = _unflat(jnp.asarray(dvec), zero)
-        _, out = jax.jvp(traj, (zero,), (dx,))
+        _, out = _ad_jvp(traj, (zero,), (dx,))
         return np.asarray(_flat(out))
 
     def apply_adm(self, wvec, nsteps: int) -> np.ndarray:
@@ -88,7 +107,7 @@ class JEDIInterface:
         traj = self._traj_fn(nsteps)
         zero = jax.tree_util.tree_map(jnp.zeros_like,
                                       self.state_template())
-        _, vjp_fn = jax.vjp(traj, zero)
+        _, vjp_fn = _ad_vjp(traj, zero)
         w = _unflat(jnp.asarray(wvec), traj(zero))
         (out,) = vjp_fn(w)
         return np.asarray(_flat(out))

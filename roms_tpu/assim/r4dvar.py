@@ -30,6 +30,25 @@ from .i4dvar import (Control, Observations, _add_control, _zeros_control,
                      make_bsqrt, observe_trajectory)
 
 
+
+def _ad_jvp(*a, **kw):
+    """jax.jvp with the Pallas kernels disabled for the traced region
+    (pallas_call has no AD rules; ops/kernel_gate.py)."""
+    from ..ops.kernel_gate import no_pallas
+    import jax as _jax
+    with no_pallas():
+        return _jax.jvp(*a, **kw)
+
+
+def _ad_vjp(*a, **kw):
+    """jax.vjp under no_pallas(); NOTE the returned vjp_fn retraces
+    nothing — the forward trace (already kernel-free) defines it."""
+    from ..ops.kernel_gate import no_pallas
+    import jax as _jax
+    with no_pallas():
+        return _jax.vjp(*a, **kw)
+
+
 def rpm_observe(model, grid, x_b, dx: Control, obs: Observations,
                 nsteps: int):
     """Finite-amplitude representer propagation of the increment:
@@ -50,10 +69,10 @@ def representer_matrix_vector(model, grid, x_b, obs: Observations,
         return observe_trajectory(model, grid, _add_control(x_b, c),
                                   obs, nsteps)
 
-    _, vjp_fn = jax.vjp(h_of_c, dx0)
+    _, vjp_fn = _ad_vjp(h_of_c, dx0)
     (cT,) = vjp_fn(w)
     bgtw = bsqrt(bsqrt(Control(*jax.tree_util.tree_leaves(cT))))
-    _, gv = jax.jvp(h_of_c, (dx0,), (bgtw,))
+    _, gv = _ad_jvp(h_of_c, (dx0,), (bgtw,))
     R = obs.error ** 2
     return gv + R * w, bgtw
 
@@ -119,7 +138,7 @@ def representer_check(model, grid, x_b, obs: Observations, nsteps: int,
         return observe_trajectory(model, grid, _add_control(x_b, c),
                                   obs, nsteps)
 
-    _, tlm = jax.jvp(h_of_c, (dx0,), (dx,))
+    _, tlm = _ad_jvp(h_of_c, (dx0,), (dx,))
     nrm = jnp.linalg.norm(tlm) + 1e-30
 
     def defect(e):

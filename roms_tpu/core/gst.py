@@ -29,6 +29,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+def _ad_jvp(*a, **kw):
+    """jax.jvp with the Pallas kernels disabled for the traced region
+    (pallas_call has no AD rules; ops/kernel_gate.py)."""
+    from ..ops.kernel_gate import no_pallas
+    import jax as _jax
+    with no_pallas():
+        return _jax.jvp(*a, **kw)
+
+
+def _ad_vjp(*a, **kw):
+    """jax.vjp under no_pallas(); NOTE the returned vjp_fn retraces
+    nothing — the forward trace (already kernel-free) defines it."""
+    from ..ops.kernel_gate import no_pallas
+    import jax as _jax
+    with no_pallas():
+        return _jax.vjp(*a, **kw)
+
+
 def _flat(tree):
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.concatenate([x.ravel() for x in leaves])
@@ -54,10 +73,10 @@ def make_propagators(traj_fn: Callable, x0):
 
     def M(vflat):
         dv = _unflat(vflat, x0)
-        _, out = jax.jvp(traj_fn, (zero,), (dv,))
+        _, out = _ad_jvp(traj_fn, (zero,), (dv,))
         return _flat(out)
 
-    _, vjp_fn = jax.vjp(traj_fn, zero)
+    _, vjp_fn = _ad_vjp(traj_fn, zero)
 
     def MT(wflat):
         w = _unflat(wflat, traj_fn(zero))

@@ -209,6 +209,9 @@ def omega_pallas(cfg, grid, Huon, Hvom, z_w, interpret: bool = False):
 
 
 def use_pallas_flux(cfg) -> bool:
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     from ..config import CLOSED, GRADIENT
     if not cfg.bc.ew_periodic or cfg.bc.ns_periodic:
         return False

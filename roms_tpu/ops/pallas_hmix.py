@@ -261,6 +261,9 @@ def rot_div_geo_pallas(cfg, grid, q, d2, Hz, z_r,
 def use_pallas_hmix() -> bool:
     """On for single-chip TPU (see ops.pallas_kpp.use_pallas_kpp);
     pallas_call is GSPMD-opaque, so multi-device stays on jnp."""
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     flag = os.environ.get("ROMS_TPU_PALLAS_HMIX", "")
     if flag == "0":
         return False

@@ -374,6 +374,9 @@ def use_pallas_kpp() -> bool:
     pallas_call is opaque to GSPMD, so under a multi-device mesh the
     default stays with the partitionable whole-array path (a sharded
     pallas path needs shard_map plumbing — round 3)."""
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     flag = os.environ.get("ROMS_TPU_PALLAS_KPP", "")
     if flag == "0":
         return False

@@ -266,6 +266,9 @@ def prsgrd32_pallas(cfg, grid, rho, z_r, z_w, Hz, eq_tide=None,
 def use_pallas_prsgrd(cfg) -> bool:
     """EW-periodic, non-NS-periodic channel class with the default
     splines density-Jacobian scheme; everything else -> jnp."""
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     if cfg.prsgrd != "djs":
         return False
     if not cfg.bc.ew_periodic or cfg.bc.ns_periodic:

@@ -112,6 +112,9 @@ def rho_eos_pallas(cfg, t, z_r, Hz, z_w, interpret: bool = False):
 
 def use_pallas_rho() -> bool:
     """On for single-chip TPU (see ops.pallas_kpp.use_pallas_kpp)."""
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     flag = os.environ.get("ROMS_TPU_PALLAS_RHO", "")
     if flag == "0":
         return False

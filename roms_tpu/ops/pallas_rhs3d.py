@@ -439,6 +439,9 @@ def rhs3d_momentum_pallas(cfg, grid, u, v, Hz, Huon, Hvom, W, ru, rv,
 
 
 def use_pallas_rhs3d() -> bool:
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     flag = os.environ.get("ROMS_TPU_PALLAS_RHS3D", "")
     if flag == "0":
         return False

@@ -619,6 +619,9 @@ def _interp():
 def use_pallas_step2d(cfg) -> bool:
     """Kernel covers the EW-periodic channel class with closed N/S
     walls and no auxiliary 2D physics; everything else -> jnp."""
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     from ..config import CLOSED, PERIODIC
     bc = cfg.bc
     if not bc.ew_periodic or bc.ns_periodic or bc.volcons:

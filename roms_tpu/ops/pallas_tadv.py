@@ -303,6 +303,9 @@ def use_pallas_tadv(cfg, mode: str = "") -> bool:
     """Kernel covers UP3 horizontal + C4 vertical for EVERY tracer on
     non-NS-periodic grids only.  The env flag also accepts a mode name
     ("predictor"/"corrector") to enable just one site for A/B work."""
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     from ..config import CENTERED4, UPSTREAM3
     if cfg.bc.ns_periodic:
         return False

@@ -251,6 +251,9 @@ def _interp():
 def use_pallas_uv(cfg) -> bool:
     """Kernel covers the splines-viscosity path on non-NS-periodic
     grids without NS-periodic row wrap; OMEGA_IMPLICIT falls back."""
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     if cfg.bc.ns_periodic or not cfg.mixing.splines_vvisc:
         return False
     if cfg.omega_implicit:

@@ -206,6 +206,9 @@ def uv3dmix2_s_pallas(cfg, grid, u, v, u_part, v_part, Hz, rufrc,
 
 
 def use_pallas_uvmix(cfg) -> bool:
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     if not cfg.bc.ew_periodic or cfg.bc.ns_periodic:
         return False
     flag = os.environ.get("ROMS_TPU_PALLAS_UVMIX", "")

@@ -76,6 +76,9 @@ def spline_vdiff_pallas(cfg, pre, Hz, Akt, interpret: bool = False):
 
 
 def use_pallas_vdiff(cfg) -> bool:
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
     if not cfg.mixing.splines_vdiff:
         return False
     flag = os.environ.get("ROMS_TPU_PALLAS_VDIFF", "")
