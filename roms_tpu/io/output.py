@@ -140,6 +140,27 @@ class OutputManager:
                 # define the mix_* schema up-front (classic NetCDF
                 # cannot add variables after the first record)
                 self.rst._ensure_mix_vars(initial_state.mix)
+        # STA stream from the stations deck (SPOSNAM + NSTA cadence)
+        self.nsta = cad("NSTA", 0)
+        self.sta = None
+        spos = params.get("SPOSNAM")
+        if self.nsta and spos and os.path.exists(spos):
+            from .sta_netcdf import StationWriter, parse_stations_in
+            deck = parse_stations_in(spos)
+            ij = [(int(round(y)), int(round(x)))
+                  for g, flag, x, y in deck["pos"] if flag == 0]
+            sta_fields, unsup, any_sw = _fields_from_switches(
+                {f"Sout({k})": v for k, v in deck["sout"].items()},
+                "Sout")
+            self.unsupported += unsup
+            # StationRecorder gathers prognostic fields only
+            ok = ("zeta", "ubar", "vbar", "u", "v", "temp", "salt")
+            sta_fields = tuple(f for f in sta_fields if f in ok)
+            if ij:
+                self.sta = StationWriter(
+                    path("STANAME", "roms_sta.nc"), cfg, ij,
+                    fields=sta_fields or ("zeta", "temp", "salt",
+                                          "u", "v"))
         # per-step stdout diagnostics table (diag.F:440-486, NINFO)
         self.ninfo = cad("NINFO", 0)
         self._info_header = False
@@ -201,8 +222,11 @@ class OutputManager:
             self.qck.write(state)
         if self.rst is not None and iic % self.nrst == 0:
             self.rst.write(state)
+        if self.sta is not None and iic % self.nsta == 0:
+            self.sta.write(state)
 
     def close(self) -> None:
-        for w in (self.his, self.qck, self.avg_writer, self.rst):
+        for w in (self.his, self.qck, self.avg_writer, self.rst,
+                  self.sta):
             if w is not None:
                 w.close()
