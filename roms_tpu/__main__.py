@@ -87,6 +87,14 @@ def main(argv=None):
     cfg = to_config(params, **over)
     if args.n:
         cfg = cfg.replace(vert=dataclasses.replace(cfg.vert, N=args.n))
+    if "BENCHMARK" in app.upper():
+        # the app HEADER's compile-time physics (benchmark.h: LMD-KPP
+        # + SOLAR_SOURCE + quadratic drag + nonlinear EOS) — runtime
+        # keywords stay in control of dims/steps/cadences
+        from .functionals import benchmark as _bm
+        hdr = _bm.make_config(full_physics=True)
+        cfg = cfg.replace(mixing=hdr.mixing, drag=hdr.drag,
+                          eos=hdr.eos)
 
     grid = mk_grid(cfg)
     state = mk_init(cfg, grid)
