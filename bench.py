@@ -10,22 +10,120 @@ solar source, MIX_GEO_TS, nonlinear EOS (ROMS/Include/benchmark.h:17-58)
 
     value = interior_points * baroclinic_steps / wall_seconds
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is null
-until Fortran reference timings are measured on comparable hardware.
+The reference publishes no numbers (BASELINE.md); vs_baseline is the
+ratio against this repo's round-1 full-physics measurement on the same
+chip class (79.5e6 gridpoint-steps/s, BASELINE.md round-2 table).
+
+Infra hardening: backend bring-up is guarded by a watchdog — if the
+tunneled TPU backend hangs or reports UNAVAILABLE, a structured JSON
+line {"metric": ..., "error": "backend_unavailable"} is emitted instead
+of an opaque traceback (the round-2 artifact failure mode).
 
 Usage: python bench.py [--size 1|2|3] [--steps N] [--dtype float32]
-                       [--variant full|light]
+                       [--variant full|light] [--ladder]
 (--variant light: constant vmix + analytic constant-Cd stress, the
-round-1 secondary metric for pure-throughput A/Bs)
+round-1 secondary metric for pure-throughput A/Bs; --ladder: run sizes
+1,2,3 in one invocation, one JSON line each, headline size last)
 """
 
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Round-1 full-physics BENCHMARK3 measurement on one v5e chip
+# (BASELINE.md "Measured numbers, round 2" table, first row).
+ROUND1_BM3_FULL = 79.5e6
+
+BACKEND_TIMEOUT_S = int(os.environ.get("ROMS_TPU_BACKEND_TIMEOUT", "300"))
+
+
+def _metric_name(size, variant):
+    suffix = "" if variant == "full" else "_light"
+    return f"benchmark{size}_gridpoints_per_sec_per_chip" + suffix
+
+
+def _emit_error(size, variant, kind, detail=""):
+    print(json.dumps({
+        "metric": _metric_name(size, variant),
+        "value": None,
+        "unit": "gridpoint-steps/s",
+        "vs_baseline": None,
+        "error": kind,
+        "detail": detail[:400],
+    }), flush=True)
+
+
+def _init_backend(args):
+    """Bring up jax with a watchdog: the axon TPU tunnel can hang
+    indefinitely at backend init (observed round 2); convert that into
+    a structured JSON error instead of an opaque rc=1 traceback."""
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"backend init exceeded {BACKEND_TIMEOUT_S}s watchdog")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(BACKEND_TIMEOUT_S)
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+        if args.dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
+        devs = jax.devices()          # <- the call that hangs when dead
+        return jax, devs
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _run_size(jax, size, steps, warmup, dtype, variant):
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import benchmark
+
+    Lm = 512 * (2 ** (size - 1))
+    Mm = 64 * (2 ** (size - 1))
+    N = 30
+    full = variant == "full"
+    cfg = benchmark.make_config(Lm=Lm, Mm=Mm, N=N, dtype=dtype,
+                                full_physics=full)
+    grid = benchmark.make_grid(cfg)
+    state = benchmark.make_initial(cfg, grid)
+    forcing_fn = (benchmark.make_bulk_forcing_fn(cfg, grid) if full
+                  else benchmark.make_forcing_fn(cfg, grid))
+    model = Model(cfg, grid, forcing_fn)
+
+    # Single-step jit: one compile, steady-state throughput measured
+    # over repeated calls.  (No buffer donation: the tunneled TPU
+    # backend rejects aliased buffers.)
+    step = jax.jit(model._step_grid)
+    s = state
+    for _ in range(warmup):
+        s = step(s, grid)
+    jax.block_until_ready(s)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        s = step(s, grid)
+    jax.block_until_ready(s)
+    wall = time.perf_counter() - t0
+
+    points = Lm * Mm * N
+    value = points * steps / wall
+    vs = (round(value / ROUND1_BM3_FULL, 3)
+          if (size == 3 and full) else None)
+    print(json.dumps({
+        "metric": _metric_name(size, variant),
+        "value": round(value, 1),
+        "unit": "gridpoint-steps/s",
+        "vs_baseline": vs,
+        "ms_per_step": round(wall / steps * 1e3, 2),
+    }), flush=True)
 
 
 def main():
@@ -39,57 +137,35 @@ def main():
     p.add_argument("--variant", default="full", choices=["full", "light"],
                    help="full: reference benchmark.h physics (KPP+COARE"
                         "+solar); light: constant vmix + analytic stress")
+    p.add_argument("--ladder", action="store_true",
+                   help="run sizes 1,2,3 in one invocation (headline "
+                        "size-3 line printed last)")
     args = p.parse_args()
 
-    import jax
-    # persistent compile cache: repeated bench invocations (and the
-    # driver's end-of-round run) skip the multi-minute remote compile
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
-    if args.dtype == "float64":
-        jax.config.update("jax_enable_x64", True)
+    try:
+        jax, _ = _init_backend(args)
+    except TimeoutError as e:
+        _emit_error(args.size, args.variant, "backend_unavailable", str(e))
+        sys.exit(1)
+    except Exception as e:
+        kind = ("backend_unavailable"
+                if "UNAVAILABLE" in str(e) or "DEADLINE" in str(e)
+                else "backend_init_failed")
+        _emit_error(args.size, args.variant, kind, str(e))
+        sys.exit(1)
 
-    from roms_tpu.core.stepping import Model
-    from roms_tpu.functionals import benchmark
-
-    Lm = 512 * (2 ** (args.size - 1))
-    Mm = 64 * (2 ** (args.size - 1))
-    N = 30
-    full = args.variant == "full"
-    cfg = benchmark.make_config(Lm=Lm, Mm=Mm, N=N, dtype=args.dtype,
-                                full_physics=full)
-    grid = benchmark.make_grid(cfg)
-    state = benchmark.make_initial(cfg, grid)
-    forcing_fn = (benchmark.make_bulk_forcing_fn(cfg, grid) if full
-                  else benchmark.make_forcing_fn(cfg, grid))
-    model = Model(cfg, grid, forcing_fn)
-
-    # Single-step jit: one compile, steady-state throughput measured
-    # over repeated calls.  (No buffer donation: the tunneled TPU
-    # backend rejects aliased buffers.)
-    step = jax.jit(model._step_grid)
-    s = state
-    for _ in range(args.warmup):
-        s = step(s, grid)
-    jax.block_until_ready(s)
-
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        s = step(s, grid)
-    jax.block_until_ready(s)
-    wall = time.perf_counter() - t0
-
-    points = Lm * Mm * N
-    value = points * args.steps / wall
-    suffix = "" if full else "_light"
-    print(json.dumps({
-        "metric": f"benchmark{args.size}_gridpoints_per_sec_per_chip"
-                  + suffix,
-        "value": round(value, 1),
-        "unit": "gridpoint-steps/s",
-        "vs_baseline": None,
-    }))
+    sizes = [1, 2, 3] if args.ladder else [args.size]
+    rc = 0
+    for size in sizes:
+        try:
+            _run_size(jax, size, args.steps, args.warmup,
+                      args.dtype, args.variant)
+        except Exception as e:
+            kind = ("backend_unavailable" if "UNAVAILABLE" in str(e)
+                    else "run_failed")
+            _emit_error(size, args.variant, kind, str(e))
+            rc = 1
+    sys.exit(rc)
 
 
 if __name__ == "__main__":

@@ -42,13 +42,22 @@ def _app_module(name: str):
                      idealized.grav_adj_initial,
                      lambda cfg, grid: idealized.zero_forcing(cfg),
                      None),
+        "SOLITON": (idealized.soliton_config, idealized.soliton_grid,
+                    idealized.soliton_initial,
+                    lambda cfg, grid: idealized.zero_forcing(cfg),
+                    None),
+        "BASIN": (idealized.basin_config, idealized.basin_grid,
+                  idealized.basin_initial, idealized.basin_forcing_fn,
+                  None),
+        "DOUBLE_GYRE": (idealized.double_gyre_config,
+                        idealized.double_gyre_grid,
+                        idealized.double_gyre_initial,
+                        idealized.double_gyre_forcing_fn, None),
     }
     for key in table:
         if key in name:                    # e.g. "BENCHMARK3"
             return table[key]
-    raise SystemExit(
-        f"MyAppCPP '{name}' has no analytical functional here; "
-        f"known: {', '.join(table)}")
+    return None                            # file-based app (GRDNAME etc.)
 
 
 def main(argv=None):
@@ -76,7 +85,15 @@ def main(argv=None):
     app = params.get("MyAppCPP", "UPWELLING")
     print(f"roms_tpu: {title}  [{app}]")
 
-    mk_cfg, mk_grid, mk_init, mk_forc, mk_vmix = _app_module(app)
+    mod = _app_module(app)
+    if mod is None:
+        # custom application: everything must come from NetCDF inputs
+        from .core.state import initial_state
+        from .functionals import idealized
+        mod = (None, None,
+               lambda cfg, grid: initial_state(cfg, grid),
+               lambda cfg, grid: idealized.zero_forcing(cfg), None)
+    mk_cfg, mk_grid, mk_init, mk_forc, mk_vmix = mod
     over = {}
     if args.lm:
         over["Lm"] = args.lm
@@ -96,11 +113,89 @@ def main(argv=None):
         cfg = cfg.replace(mixing=hdr.mixing, drag=hdr.drag,
                           eos=hdr.eos)
 
-    grid = mk_grid(cfg)
-    state = mk_init(cfg, grid)
+    # ---- file-based data path (realistic applications) -----------------
+    # GRDNAME/ININAME/BRYNAME/CLMNAME/FRCNAME/NUDNAME deck keywords select
+    # NetCDF inputs exactly as the reference does (get_grid.F,
+    # get_state.F, get_data.F BRY/CLM/FRC branches); any keyword whose
+    # file is absent falls back to the analytical functional.
+    def deck_files(key):
+        v = params.get(key)
+        vs = v if isinstance(v, list) else [v]
+        return [s for s in vs
+                if isinstance(s, str) and os.path.isfile(s)]
+
+    grd = deck_files("GRDNAME")
+    if grd:
+        from .io.grid_nc import load_grid_netcdf
+        grid = load_grid_netcdf(grd[0], cfg)
+        print(f"grid from file: {grd[0]}")
+    elif mk_grid is None:
+        raise SystemExit(
+            f"MyAppCPP '{app}' has no analytical functional here and "
+            f"the deck names no existing GRDNAME grid file")
+    else:
+        grid = mk_grid(cfg)
+
+    ini = deck_files("ININAME")
+    if ini:
+        from .io.state_nc import read_state_netcdf
+        nrrec = int(params.get("NRREC", 0) or 0)
+        state = read_state_netcdf(ini[0], cfg, grid,
+                                  rec=nrrec - 1 if nrrec > 0 else -1)
+        print(f"initial state from file: {ini[0]}")
+    else:
+        state = mk_init(cfg, grid)
+
+    obc_fn = None
+    bry = deck_files("BRYNAME")
+    if bry:
+        from .io.bry_nc import load_bry_netcdf, make_bry_obc_fn
+        obc_fn = make_bry_obc_fn(cfg, load_bry_netcdf(bry, cfg))
+        print(f"boundary data from: {', '.join(bry)}")
+    tid = deck_files("TIDENAME")
+    if tid:
+        from .core.tides import make_tidal_obc_fn
+        from .io.tide_nc import load_tide_netcdf
+        tides = load_tide_netcdf(tid[0], cfg)
+        obc_fn = make_tidal_obc_fn(tides, base_obc_fn=obc_fn)
+        print(f"tidal harmonics from: {tid[0]} "
+              f"({tides.period.shape[0]} constituents)")
+
+    clm_fn = None
+    clm = deck_files("CLMNAME")
+    if clm:
+        from .io.clm_nc import (load_clm_netcdf, load_nudgcoef_netcdf,
+                                make_clm_fn)
+        nud = deck_files("NUDNAME")
+        nudgcoef = (load_nudgcoef_netcdf(nud[0], cfg) if nud else None)
+        tn = params.get("TNUDG", 0.0)
+        tnudg = [float(x) for x in (tn if isinstance(tn, list) else [tn])]
+        clm_fn = make_clm_fn(
+            cfg, load_clm_netcdf(clm, cfg), tnudg_days=tnudg,
+            m3nudg_days=float(params.get("M3NUDG", 0.0) or 0.0),
+            nudgcoef=nudgcoef)
+        print(f"climatology from: {', '.join(clm)}")
+
+    frc = deck_files("FRCNAME")
+    if frc:
+        from .io.forcing import (has_bulk_atm, load_forcing_auto,
+                                 make_file_atm_fn, make_file_forcing_fn)
+        ffields = load_forcing_auto(frc, cfg)
+        if has_bulk_atm(ffields):
+            from .core.bulk_flux import make_bulk_forcing
+            forcing_fn = make_bulk_forcing(cfg,
+                                           make_file_atm_fn(cfg, ffields))
+            print(f"bulk-flux atmosphere from: {', '.join(frc)}")
+        else:
+            forcing_fn = make_file_forcing_fn(cfg, ffields)
+            print(f"surface forcing from: {', '.join(frc)}")
+    else:
+        forcing_fn = mk_forc(cfg, grid)
+
     model = stepping.Model(
-        cfg, grid, forcing_fn=mk_forc(cfg, grid),
-        vmix_fn=mk_vmix(cfg) if mk_vmix else None)
+        cfg, grid, forcing_fn=forcing_fn,
+        vmix_fn=mk_vmix(cfg) if mk_vmix else None,
+        obc_fn=obc_fn, clm_fn=clm_fn)
     om = OutputManager(cfg, grid, params, outdir=args.outdir,
                        initial_state=state)
     if om.unsupported:

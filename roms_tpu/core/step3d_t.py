@@ -144,7 +144,8 @@ def _finish_tracers(cfg, grid, sol, pre, dia, Hz, t_old, obc,
     for itrc in range(cfg.NT):
         tn = sol[:, itrc]
         dia["vdif"].append(tn * Hz - pre[itrc])
-        tn = boundary.bc_rho(tn, cfg.bc.t)
+        tdat_all = (obc or {}).get("t") or {}
+        tn = boundary.bc_rho(tn, cfg.bc.t, bdata=tdat_all.get(itrc))
         if t_old is not None:
             tdat = (obc or {}).get("t")
             tn = obc_mod.radiation_3d(

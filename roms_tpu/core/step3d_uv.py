@@ -105,8 +105,10 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
 
     un = correct_u(un)
     vn = correct_v(vn)
-    un = boundary.bc_u(un, cfg.bc.u, cfg.gamma2)
-    vn = boundary.bc_v(vn, cfg.bc.v, cfg.gamma2)
+    un = boundary.bc_u(un, cfg.bc.u, cfg.gamma2,
+                       bdata=(obc or {}).get("u"))
+    vn = boundary.bc_v(vn, cfg.bc.v, cfg.gamma2,
+                       bdata=(obc or {}).get("v"))
     if u_old is not None:
         un = obc_mod.radiation_3d(cfg, cfg.bc.u, un, u_old, dt=cfg.dt,
                                   data=(obc or {}).get("u"), stagger="u")
@@ -119,8 +121,10 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
 
     ubar = avg.DU_avg1 / (D_u * grid.on_u) * grid.umask
     vbar = avg.DV_avg1 / (D_v * grid.om_v) * grid.vmask
-    ubar = boundary.bc_u(ubar, cfg.bc.ubar, cfg.gamma2)
-    vbar = boundary.bc_v(vbar, cfg.bc.vbar, cfg.gamma2)
+    ubar = boundary.bc_u(ubar, cfg.bc.ubar, cfg.gamma2,
+                         bdata=(obc or {}).get("ubar"))
+    vbar = boundary.bc_v(vbar, cfg.bc.vbar, cfg.gamma2,
+                         bdata=(obc or {}).get("vbar"))
 
     # ---- time-centered mass fluxes consistent with DU_avg2 --------------
     # (step3d_uv.F:1500-1560,1700-1716)
@@ -153,8 +157,10 @@ def _step3d_uv_pallas(cfg, grid, u_part, v_part, ru, rv, Hz, Akv,
     un, vn = pallas_uv.uv_solve_pallas(
         cfg, grid, u_part, v_part, ru, rv, Hz, Akv, cffab,
         avg.DU_avg1, avg.DV_avg1, interpret=interp)
-    un = boundary.bc_u(un, cfg.bc.u, cfg.gamma2)
-    vn = boundary.bc_v(vn, cfg.bc.v, cfg.gamma2)
+    un = boundary.bc_u(un, cfg.bc.u, cfg.gamma2,
+                       bdata=(obc or {}).get("u"))
+    vn = boundary.bc_v(vn, cfg.bc.v, cfg.gamma2,
+                       bdata=(obc or {}).get("v"))
     if u_old is not None:
         un = obc_mod.radiation_3d(cfg, cfg.bc.u, un, u_old, dt=cfg.dt,
                                   data=(obc or {}).get("u"), stagger="u")
@@ -164,6 +170,8 @@ def _step3d_uv_pallas(cfg, grid, u_part, v_part, ru, rv, Hz, Akv,
         cfg, grid, un, vn, Hz, Huon_old, Hvom_old,
         avg.DU_avg1, avg.DV_avg1, avg.DU_avg2, avg.DV_avg2,
         interpret=interp)
-    ubar = boundary.bc_u(ubar, cfg.bc.ubar, cfg.gamma2)
-    vbar = boundary.bc_v(vbar, cfg.bc.vbar, cfg.gamma2)
+    ubar = boundary.bc_u(ubar, cfg.bc.ubar, cfg.gamma2,
+                         bdata=(obc or {}).get("ubar"))
+    vbar = boundary.bc_v(vbar, cfg.bc.vbar, cfg.gamma2,
+                         bdata=(obc or {}).get("vbar"))
     return un, vn, ubar, vbar, Huon, Hvom

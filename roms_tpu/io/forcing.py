@@ -85,6 +85,97 @@ def load_forcing_multifile(paths, names, time_name: str = "ocean_time",
     return out
 
 
+# Recognized forcing-file variables and their standard time axes
+# (varinfo.yaml conventions; get_data.F resolves through the registry).
+FORCING_VARS = {
+    "sustr": ("sms_time",), "svstr": ("sms_time",),
+    "shflux": ("shf_time",), "swflux": ("swf_time",),
+    "ssflux": ("ssf_time", "swf_time"),
+    "swrad": ("srf_time",),
+    "Uwind": ("wind_time",), "Vwind": ("wind_time",),
+    "Tair": ("tair_time",), "Pair": ("pair_time",),
+    "Qair": ("qair_time",), "cloud": ("cloud_time",),
+    "rain": ("rain_time",),
+}
+_FRC_FALLBACK_TIMES = ("frc_time", "ocean_time", "time")
+
+
+def load_forcing_auto(paths, cfg: ModelConfig) -> Dict[str,
+                                                       TimeSeriesField]:
+    """Scan forcing file(s) for every recognized variable (FORCING_VARS)
+    and build TimeSeriesFields, resolving each variable's own time axis
+    (its ``time`` attribute, then the standard names).  This is the
+    FRCNAME deck path: multiple files chain in time order, mixed
+    direct-flux and bulk-atmosphere variables are all collected."""
+    from scipy.io import netcdf_file
+    from ._ncutil import native, pad_to, resolve_time
+    if isinstance(paths, str):
+        paths = [paths]
+
+    raw: Dict[str, list] = {}
+    for path in paths:
+        f = netcdf_file(path, "r", mmap=False)
+        for name, cands in FORCING_VARS.items():
+            if name not in f.variables:
+                continue
+            var = f.variables[name]
+            times, cycle = resolve_time(
+                f, var, tuple(cands) + _FRC_FALLBACK_TIMES)
+            vals = pad_to(native(var[:]).astype(np.float64), cfg.shape2d)
+            raw.setdefault(name, []).append((times, vals, cycle))
+        f.close()
+
+    out = {}
+    for name, parts in raw.items():
+        t = np.concatenate([p[0] for p in parts])
+        v = np.concatenate([p[1] for p in parts], axis=0)
+        order = np.argsort(t)
+        out[name] = TimeSeriesField(t[order], v[order], cycle=parts[0][2])
+    return out
+
+
+def make_file_atm_fn(cfg: ModelConfig, fields: Dict[str,
+                                                    TimeSeriesField]):
+    """Build atm_fn(time) -> AtmState from file fields for the COARE
+    bulk-flux path (the BULK_FLUXES branch of get_data.F: Uwind/Vwind/
+    Tair/Pair/Qair/cloud/rain/swrad).  swrad in W/m2 is converted to
+    the kinematic units bulk_flux consumes."""
+    from .. import constants
+    from ..core.bulk_flux import AtmState
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    oHcp = 1.0 / (cfg.rho0 * constants.Cp)
+
+    def get(name, default):
+        fld = fields.get(name)
+        return (lambda t: fld.at(t).astype(dtype)) if fld else \
+            (lambda t: default)
+
+    f_uw = get("Uwind", zeros)
+    f_vw = get("Vwind", zeros)
+    f_ta = get("Tair", jnp.full((Mj, Li), 10.0, dtype))
+    f_pa = get("Pair", jnp.full((Mj, Li), 1013.0, dtype))
+    f_qa = get("Qair", jnp.full((Mj, Li), 0.8, dtype))
+    f_cl = get("cloud", zeros)
+    f_rn = get("rain", zeros)
+    f_sw = get("swrad", zeros)
+
+    def atm(time):
+        return AtmState(Uwind=f_uw(time), Vwind=f_vw(time),
+                        Tair=f_ta(time), Pair=f_pa(time),
+                        Hair=f_qa(time), cloud=f_cl(time),
+                        rain=f_rn(time), srflx=f_sw(time) * oHcp)
+
+    return atm
+
+
+def has_bulk_atm(fields: Dict) -> bool:
+    """True when the loaded forcing set drives the bulk-flux path
+    (wind components present) rather than direct stress/flux."""
+    return "Uwind" in fields or "Vwind" in fields
+
+
 def make_file_forcing_fn(cfg: ModelConfig, fields: Dict[str,
                                                         TimeSeriesField]):
     """Build forcing(time) -> Forcing from TimeSeriesFields.  Heat and
@@ -104,6 +195,13 @@ def make_file_forcing_fn(cfg: ModelConfig, fields: Dict[str,
     f_svstr = get("svstr", zeros)
     f_shflux = get("shflux", zeros)
     f_ssflux = get("ssflux", zeros)
+    if "ssflux" not in fields and "swflux" in fields:
+        # E-P freshwater flux (m/s): stflx[S] = swflux * surface S
+        # (set_vbc.F EMINUSP); surface salinity approximated by the
+        # configured reference S0 in this time-only forcing closure.
+        swf = fields["swflux"]
+        S0 = cfg.eos.S0
+        f_ssflux = lambda t: (swf.at(t) * S0).astype(dtype)
     f_swrad = get("swrad", zeros)
     oHcp = 1.0 / (cfg.rho0 * constants.Cp)
 
