@@ -7,8 +7,8 @@ IF-dispatch becomes trace-time Python on the static config.
 
 Implemented horizontal schemes: UPSTREAM3 (default), CENTERED4, AKIMA4,
 CENTERED2, HSIMT (Wu & Zhu 2010 TVD).  Vertical: CENTERED4 (default),
-SPLINES, AKIMA4, CENTERED2, HSIMT.  MPDATA follows with the iterated
-antidiffusion milestone.
+SPLINES, AKIMA4, CENTERED2, HSIMT.  MPDATA (iterated antidiffusion)
+lives in core.mpdata and is dispatched per-tracer by step3d_t.
 """
 
 from __future__ import annotations

@@ -16,7 +16,8 @@ supplied Uwave_rms field.
 
 The SSW (Sherwood/Signell/Warner) closure is implemented via the
 Madsen (1994) wave-current solution (`madsen94` + `ssw_bbl`); the SG
-(Styles & Glenn) variant follows in a later round.
+(Styles & Glenn 2000) closure solves the Kelvin-function consistency
+relation by bisection (`sg_bbl`, sg_bbl.h analog, below).
 
 All IF-trees become jnp.where ladders over whole arrays; ripple
 geometry (rlen, rhgt) is prognostic state threaded by the caller.

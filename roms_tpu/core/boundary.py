@@ -12,9 +12,10 @@ Conventions (see roms_tpu.grid.grid): fields are [..., j, i] with the ring
 at j,i ∈ {0, -1}.  For U-fields the western boundary u-point is column 1
 (reference i=Istr); for V-fields the southern boundary v-point is row 1.
 
-Currently implemented: periodic, closed, gradient, clamped (with external
-data), plus reduced-physics placeholders.  Radiation/Flather/Chapman arrive
-with the open-boundary milestone.
+This module holds the closed/gradient/clamped/periodic families; the
+open families (radiation with nudging, Flather, Shchepetkin, Chapman
+explicit/implicit, reduced) live in core.obc and are applied after this
+pass.
 """
 
 from __future__ import annotations

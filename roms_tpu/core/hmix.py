@@ -1,12 +1,15 @@
-"""Horizontal harmonic mixing along s-surfaces (MIX_S_TS / MIX_S_UV).
+"""Horizontal mixing: the full t3dmix/uv3dmix family.
 
-Re-implements ROMS/Nonlinear/t3dmix2_s.h and uv3dmix2_s.h.  Both are
-forward-Euler corrections applied to the (Hz-weighted) corrector seeds;
-uv3dmix additionally feeds the vertically integrated stress divergence
-into the 2D coupling forcing rufrc/rvfrc (uv3dmix2_s.h:200-222).
-
-Biharmonic (t3dmix4/uv3dmix4) and rotated (geo/iso) variants arrive with
-the wide-physics milestone.
+Re-implements all ten reference variants: harmonic and biharmonic
+tracer mixing along s-surfaces, geopotentials and isopycnals
+(ROMS/Nonlinear/t3dmix{2,4}_{s,geo,iso}.h) and harmonic/biharmonic
+momentum stress tensors along s and geopotential surfaces
+(uv3dmix{2,4}.h + uv3dmix2_geo), plus Smagorinsky time-dependent
+coefficients.  The harmonic forms are forward-Euler corrections applied
+to the (Hz-weighted) corrector seeds; uv3dmix additionally feeds the
+vertically integrated stress divergence into the 2D coupling forcing
+rufrc/rvfrc (uv3dmix2_s.h:200-222).  The rotated (geo/iso) forms use
+the reference's slope-limited triad construction.
 """
 
 from __future__ import annotations

@@ -8,10 +8,11 @@ in whole-array jnp form:
     viscosities from the Hibler strength P = Pstar*hi*exp(-C(1-ai)),
     ice_evp_sig.F:120-175 stress update, ice_elastic.F:230-500
     semi-implicit momentum with ocean drag, Coriolis, surface tilt).
-  - Thermodynamics: reduced Mellor-Kantha/Semtner zero-layer column
-    (ice_mk.h full three-layer enthalpy follows in a later round):
-    conductive growth at the ice base, open-water growth/melt from the
-    surface heat imbalance, Hibler (1979) concentration evolution.
+  - Thermodynamics: Mellor-Kantha column physics — the zero-layer
+    Semtner reduction by default, or the full MK snow+brine scheme via
+    IceConfig(mk_full=True) (ice_mk.h); conductive growth at the ice
+    base, open-water growth/melt from the surface heat imbalance,
+    Hibler (1979) concentration evolution.
   - Frazil ice from supercooled water (ice_frazil.F:155-230), a
     bottom-up scan with latent-heat feedback on temperature.
   - Advection: first-order upwind donor cell (the reference default is

@@ -1,8 +1,9 @@
 """Tracer corrector: advection of the half-step tracer by time-centered
 mass fluxes, then backward-implicit vertical diffusion.
 
-Re-implements ROMS/Nonlinear/step3d_t.F for the centered/upstream scheme
-family (MPDATA/HSIMT follow with the positivity milestone).  t_part
+Re-implements ROMS/Nonlinear/step3d_t.F with the full per-tracer scheme
+dispatch (centered/upstream/Akima/HSIMT-TVD, plus MPDATA via
+core.mpdata; step3d_t.F:432-700 semantics).  t_part
 arrives from pre_step3d as Hz_old*t(n) + dt*(surface-bottom fluxes); all
 divergences subtract in (Tunits m); the final division by the new Hz
 happens inside the implicit solve (standard path) or explicitly before

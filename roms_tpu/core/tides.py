@@ -8,8 +8,10 @@ constituents,
 
 and delivered through the open-boundary data dict consumed by
 core.obc (Chapman zeta + Flather ubar/vbar), replacing the reference's
-BOUNDARY(ng)%zeta_west etc. updates.  Body-force equilibrium tide
-(TIDE_GENERATING_FORCES) arrives with the SAL milestone.
+BOUNDARY(ng)%zeta_west etc. updates.  The body-force equilibrium tide
+(TIDE_GENERATING_FORCES, equilibrium_tide.F) is implemented below
+(harmonic_constituents + make_eq_tide_fn); per-constituent harmonics
+from a tide NetCDF file load via io.tide_nc (get_idata.F analog).
 """
 
 from __future__ import annotations

@@ -9,9 +9,10 @@ Sources:
            ana_grid.h:462-482 (spherical lon/lat), :677-689 (pm, pn),
            :870-876 (full Coriolis f = 2*Omega*sin(lat))
   initial  ana_initial.h:545-557 (T(z) exponential-tanh; S=35)
-  wind     ana_winds.h:118-126 (zonal gaussian jet at 60S, 15 m/s) run
-           through a constant-Cd stress law until the COARE bulk-flux
-           milestone lands (reference uses BULK_FLUXES)
+  wind     ana_winds.h:118-126 (zonal gaussian jet at 60S, 15 m/s);
+           the full-physics path runs it through COARE BULK_FLUXES
+           (make_bulk_forcing_fn), the light variant through a
+           constant-Cd stress law (make_forcing_fn)
   params   roms_benchmark3.in (dt=150, ndtfast=20, theta_s=theta_b=0,
            Tcline=400, nonlinear EOS, quadratic drag rdrg2, VISC2=5000,
            TNU2=500, AKV_BAK=1e-4)

@@ -37,6 +37,10 @@ jax.config.update("jax_enable_x64", True)
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running integration tests")
+    config.addinivalue_line(
+        "markers", "quick: sub-minute smoke tier (pytest -m quick) — "
+        "one cheap end-to-end probe per subsystem for fast regression "
+        "spot-checks between full-suite runs")
 
 
 import pytest
