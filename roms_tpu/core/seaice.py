@@ -15,9 +15,11 @@ in whole-array jnp form:
     Hibler (1979) concentration evolution.
   - Frazil ice from supercooled water (ice_frazil.F:155-230), a
     bottom-up scan with latent-heat feedback on temperature.
-  - Advection: first-order upwind donor cell (the reference default is
-    MPDATA, ice_smolar.h; upwind is its first pass) + ice_limit.F
-    clamps.
+  - Advection: Smolarkiewicz MPDATA (the reference default,
+    ice_smolar.h:760-957: donor-cell pass, antidiffusive velocities
+    with the cross-term Courant correction, one corrective pass) +
+    ice_limit.F clamps; IceConfig(advect="upwind") keeps the
+    first-order donor cell (ICE_UPWIND).
 
 State lives in `IceState`; `make_ice_fn` returns the per-step hook the
 ocean Model calls before its own step, yielding modified surface
@@ -35,6 +37,7 @@ import jax.numpy as jnp
 from ..config import ModelConfig
 from ..grid.grid import Grid
 from ..ops import stencil as st
+from . import boundary
 
 
 @dataclass(frozen=True)
@@ -68,6 +71,7 @@ class IceConfig:
     cp_w: float = 3990.0         # seawater heat capacity
     min_ai: float = 0.01
     mk_full: bool = False        # use the full MK snow+brine scheme
+    advect: str = "mpdata"       # "mpdata" (reference default) | "upwind"
 
 
 class IceState(NamedTuple):
@@ -243,22 +247,86 @@ def evp_substep(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
     return ui_new, vi_new, sxx, syy, sxy
 
 
-def ice_advect(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
-               ai, hi, ui, vi):
-    """Upwind donor-cell transport of area and volume (ice_smolar.h
-    first pass) + ice_limit.F clamps."""
-    dt = cfg.dt
-    pmn = grid.pm * grid.pn
+def _donor_cell(grid, dt, q, ui, vi):
+    """First-order upwind pass (ice_smolar.h:717-761 / ICE_UPWIND)."""
+    FX = (jnp.maximum(ui, 0.0) * st.im1(q) +
+          jnp.minimum(ui, 0.0) * q) * grid.on_u
+    FE = (jnp.maximum(vi, 0.0) * st.jm1(q) +
+          jnp.minimum(vi, 0.0) * q) * grid.om_v
+    return q - dt * grid.pm * grid.pn * (st.dx_p(FX) + st.dy_p(FE))
 
-    def adv(q):
-        FX = (jnp.maximum(ui, 0.0) * st.im1(q) +
-              jnp.minimum(ui, 0.0) * q) * grid.on_u
-        FE = (jnp.maximum(vi, 0.0) * st.jm1(q) +
-              jnp.minimum(vi, 0.0) * q) * grid.om_v
-        return q - dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
+
+def mpdata_2d(cfg: ModelConfig, grid: Grid, dt, q, ui, vi):
+    """Smolarkiewicz MPDATA transport of a positive cell field
+    (ice_smolar.h:841-947): after the donor pass, antidiffusive
+    velocities are built from the normalized field gradients —
+    uspeed = rateu*(|ui| - Cu*ui) - rateyiu*Cu_crss*ui, with the
+    cross-flow Courant term Cu_crss from the 4-point vi average — and
+    one corrective donor pass subtracts the implicit diffusion.  The
+    rate denominators gate the scheme to positive-definite fields; the
+    gradient boundary extension matches ice_smolar.h:775-815."""
+    eps = 1.0e-18
+    pm, pn = grid.pm, grid.pn
+    umask, vmask, rmask = grid.umask, grid.vmask, grid.rmask
+
+    aif = _donor_cell(grid, dt, q, ui, vi) * rmask
+    aif = boundary.bc_rho(aif, cfg.bc.t)
+
+    # -- antidiffusive u (ice_smolar.h:849-893) ------------------------
+    FEv = 0.5 * vmask * st.dy_m(aif)             # v-point half-gradient
+    FXu = 0.5 * umask * st.dx_m(aif)             # u-point half-gradient
+    rateu = st.dx_m(aif) / jnp.maximum(eps, aif + st.im1(aif))
+    num_u = st.jp1(FEv) + FEv
+    rateyiu = (num_u + st.im1(num_u)) / jnp.maximum(
+        eps, aif + st.jp1(FEv) - FEv
+        + st.im1(aif + st.jp1(FEv) - FEv))
+    Cu = 0.5 * dt * (pm + st.im1(pm)) * ui
+    Cu_crss_u = 0.5 * dt * 0.0625 * \
+        (st.jp1(pn) + st.im1(st.jp1(pn)) + st.jm1(pn)
+         + st.im1(st.jm1(pn))) * \
+        (st.jp1(vi) + st.im1(st.jp1(vi)) + vi + st.im1(vi))
+    uspeed = rateu * (jnp.abs(ui) - Cu * ui) - rateyiu * Cu_crss_u * ui
+    aflxu = grid.on_u * (jnp.maximum(uspeed, 0.0) * st.im1(aif)
+                         + jnp.minimum(uspeed, 0.0) * aif)
+
+    # -- antidiffusive v (ice_smolar.h:895-922) ------------------------
+    ratev = st.dy_m(aif) / jnp.maximum(eps, aif + st.jm1(aif))
+    num_v = st.ip1(FXu) + FXu
+    ratexiv = (num_v + st.jm1(num_v)) / jnp.maximum(
+        eps, aif + st.ip1(FXu) - FXu
+        + st.jm1(aif + st.ip1(FXu) - FXu))
+    Cv = 0.5 * dt * (pn + st.jm1(pn)) * vi
+    Cu_crss_v = 0.5 * dt * 0.0625 * \
+        (st.ip1(pm) + st.jm1(st.ip1(pm)) + st.im1(pm)
+         + st.jm1(st.im1(pm))) * \
+        (ui + st.ip1(ui) + st.jm1(ui) + st.jm1(st.ip1(ui)))
+    vspeed = ratev * (jnp.abs(vi) - Cv * vi) - ratexiv * Cu_crss_v * vi
+    aflxv = grid.om_v * (jnp.maximum(vspeed, 0.0) * st.jm1(aif)
+                         + jnp.minimum(vspeed, 0.0) * aif)
+
+    # -- corrective pass (ice_smolar.h:925-947) ------------------------
+    aif = aif - dt * pm * pn * (st.dx_p(aflxu) + st.dy_p(aflxv))
+    return aif * rmask
+
+
+def ice_advect(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
+               ai, hi, ui, vi, hsn=None):
+    """MPDATA (or upwind) transport of area, volume and snow
+    (ice_smolar.h driver loop over ice fields) + ice_limit.F clamps."""
+    dt = cfg.dt
+
+    if icfg.advect == "mpdata":
+        def adv(q):
+            return mpdata_2d(cfg, grid, dt, q, ui, vi)
+    else:
+        def adv(q):
+            return _donor_cell(grid, dt, q, ui, vi)
 
     ai = jnp.clip(adv(ai), 0.0, icfg.ai_max) * grid.rmask
     hi = jnp.maximum(adv(hi), 0.0) * grid.rmask
+    if hsn is not None:
+        hsn = jnp.maximum(adv(hsn), 0.0) * grid.rmask
+        return ai, hi, hsn
     return ai, hi
 
 
@@ -493,15 +561,16 @@ def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
             sub, (ice.ui, ice.vi, ice.sxx, ice.syy, ice.sxy), None,
             length=icfg.nevp)
 
-        ai, hi = ice_advect(cfg, icfg, grid, ice.ai, ice.hi, ui, vi)
+        ai, hi, hsn_adv = ice_advect(cfg, icfg, grid, ice.ai, ice.hi,
+                                     ui, vi, hsn=ice.hsn)
         if icfg.mk_full:
             ai, hi, hsn, ti, sflx = ice_thermo_mk(
-                cfg, icfg, grid, ai, hi, ice.hsn, ice.ti, sst, sss,
+                cfg, icfg, grid, ai, hi, hsn_adv, ice.ti, sst, sss,
                 tair, qao, snowfall=snowfall)
         else:
             ai, hi, sflx, ti = ice_thermo(cfg, icfg, grid, ai, hi, sst,
                                           sss, tair, qao, ti=ice.ti)
-            hsn = ice.hsn
+            hsn = hsn_adv
         new = IceState(ai=ai, hi=hi, ui=ui, vi=vi,
                        sxx=sxx, syy=syy, sxy=sxy, ti=ti, hsn=hsn)
 

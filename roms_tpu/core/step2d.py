@@ -321,28 +321,29 @@ def _uv_bc(cfg, grid, u, v, z_old=None, ub_old=None, vb_old=None,
     return u, v
 
 
-def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
-                   var_rho: bool = True):
-    """Build the jittable fast barotropic loop.
+def make_substep_kernels(cfg: ModelConfig, nfast: int, w1j, w2j,
+                         var_rho: bool = True):
+    """LF-AM3 predictor/corrector/aux kernels for one fast substep.
 
-    Args:
-      nfast, w1, w2: from roms_tpu.core.weights.power_law_weights (w1/w2
-        0-based numpy arrays; weight(1,i) of the reference is w1[i-1]).
-      var_rho: include VAR_RHO_2D density terms in the 2D pressure gradient.
-
-    Returns fast_loop(zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
-                      ru0_prev, rv0_prev, iic)
-      -> (FastAverages, rufrc_eff, rvfrc_eff, zeta_fin, ubar_fin, vbar_fin)
-
-    ru0_prev/rv0_prev: rufrc history of the previous baroclinic step
-    (reference ru(:,:,0,nnew)); rufrc AB3 extrapolation per
-    step2d_LF_AM3.h:2190-2425. ru0_prev2 is the two-steps-back history
-    (ru(:,:,0,nstp) before overwrite).
+    Shared by the single-program lax.scan engine (make_fast_loop below)
+    and the sharded widened-halo engine (parallel.fastloop), which runs
+    the same kernels per shard-block inside shard_map with explicit
+    ppermute halo refreshes between substeps — the mp_exchange.F:520-773
+    discipline.  Returns (predictor, corrector, aux_pass, init_carry).
     """
-    dtype = jnp.dtype(cfg.dtype)
     dtfast = cfg.dt / cfg.ndtfast
-    w1j = jnp.asarray(w1, dtype)
-    w2j = jnp.asarray(w2, dtype)
+
+    def init_carry(zeta0, ubar0, vbar0, rufrc, rvfrc, ru0_prev,
+                   rv0_prev):
+        zeros = jnp.zeros_like(zeta0)
+        avg0 = FastAverages(zeros, zeros, zeros, zeros, zeros)
+        return FastCarry(
+            zeta=zeta0, zeta_prev=zeta0,
+            ubar=ubar0, ubar_prev=ubar0,
+            vbar=vbar0, vbar_prev=vbar0,
+            rzeta_prev=zeros, rubar_prev=zeros, rvbar_prev=zeros,
+            rufrc=rufrc, rvfrc=rvfrc,
+            ru0=ru0_prev, rv0=rv0_prev, avg=avg0)
 
     def predictor(grid, iif, c: FastCarry, rhoS, rhoA, iic,
                   ru0_prev2, rv0_prev2, obc, sources=None,
@@ -515,6 +516,60 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
             rufrc=rufrc_c, rvfrc=rvfrc_c,
             ru0=c.ru0, rv0=c.rv0, avg=avg)
 
+    def _aux_pass(grid, carry, sources, stokes2d):
+
+        # Auxiliary (nfast+1) predictor pass: final accumulation only
+        # (step2d_LF_AM3.h:821-860 + RETURN before time stepping).
+        _, DUon, DVom = _flux_state(cfg, grid, carry.zeta, carry.ubar,
+                                    carry.vbar, sources, stokes2d)
+        cffA1 = w1j[nfast - 1]
+        cffA2 = (8.0 / 12.0) * w2j[nfast] - (1.0 / 12.0) * w2j[nfast + 1]
+        avg = carry.avg
+        # Reference only refreshes ghosts (exchange_*2d + mp_exchange2d,
+        # step2d_LF_AM3.h:821-860), no physical BC is applied to averages.
+        def _ring(f):
+            if cfg.bc.ew_periodic:
+                f = st.periodic_x(f)
+            if cfg.bc.ns_periodic:
+                f = st.periodic_y(f)
+            return f
+        avg = FastAverages(
+            Zt_avg1=_ring(avg.Zt_avg1 + cffA1 * carry.zeta),
+            DU_avg1=_ring(avg.DU_avg1 + cffA1 * DUon),
+            DV_avg1=_ring(avg.DV_avg1 + cffA1 * DVom),
+            DU_avg2=_ring(avg.DU_avg2 + cffA2 * DUon),
+            DV_avg2=_ring(avg.DV_avg2 + cffA2 * DVom))
+
+        return (avg, carry.rufrc, carry.rvfrc,
+                carry.zeta, carry.ubar, carry.vbar)
+
+    return predictor, corrector, _aux_pass, init_carry
+
+
+def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
+                   var_rho: bool = True):
+    """Build the jittable fast barotropic loop.
+
+    Args:
+      nfast, w1, w2: from roms_tpu.core.weights.power_law_weights (w1/w2
+        0-based numpy arrays; weight(1,i) of the reference is w1[i-1]).
+      var_rho: include VAR_RHO_2D density terms in the 2D pressure gradient.
+
+    Returns fast_loop(zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
+                      ru0_prev, rv0_prev, iic)
+      -> (FastAverages, rufrc_eff, rvfrc_eff, zeta_fin, ubar_fin, vbar_fin)
+
+    ru0_prev/rv0_prev: rufrc history of the previous baroclinic step
+    (reference ru(:,:,0,nnew)); rufrc AB3 extrapolation per
+    step2d_LF_AM3.h:2190-2425. ru0_prev2 is the two-steps-back history
+    (ru(:,:,0,nstp) before overwrite).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    w1j = jnp.asarray(w1, dtype)
+    w2j = jnp.asarray(w2, dtype)
+    predictor, corrector, _aux_pass, init_carry = make_substep_kernels(
+        cfg, nfast, w1j, w2j, var_rho)
+
     def fast_loop(grid, zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
                   ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic,
                   obc=None, sources=None, stokes2d=None):
@@ -564,32 +619,5 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
         iifs = jnp.arange(1, nfast + 1, dtype=jnp.int32)
         carry, _ = lax.scan(body, carry, iifs)
         return _aux_pass(grid, carry, sources, stokes2d)
-
-    def _aux_pass(grid, carry, sources, stokes2d):
-
-        # Auxiliary (nfast+1) predictor pass: final accumulation only
-        # (step2d_LF_AM3.h:821-860 + RETURN before time stepping).
-        _, DUon, DVom = _flux_state(cfg, grid, carry.zeta, carry.ubar,
-                                    carry.vbar, sources, stokes2d)
-        cffA1 = w1j[nfast - 1]
-        cffA2 = (8.0 / 12.0) * w2j[nfast] - (1.0 / 12.0) * w2j[nfast + 1]
-        avg = carry.avg
-        # Reference only refreshes ghosts (exchange_*2d + mp_exchange2d,
-        # step2d_LF_AM3.h:821-860), no physical BC is applied to averages.
-        def _ring(f):
-            if cfg.bc.ew_periodic:
-                f = st.periodic_x(f)
-            if cfg.bc.ns_periodic:
-                f = st.periodic_y(f)
-            return f
-        avg = FastAverages(
-            Zt_avg1=_ring(avg.Zt_avg1 + cffA1 * carry.zeta),
-            DU_avg1=_ring(avg.DU_avg1 + cffA1 * DUon),
-            DV_avg1=_ring(avg.DV_avg1 + cffA1 * DVom),
-            DU_avg2=_ring(avg.DU_avg2 + cffA2 * DUon),
-            DV_avg2=_ring(avg.DV_avg2 + cffA2 * DVom))
-
-        return (avg, carry.rufrc, carry.rvfrc,
-                carry.zeta, carry.ubar, carry.vbar)
 
     return fast_loop

@@ -88,8 +88,13 @@ def audit_hlo(hlo_text: str, field_bytes_threshold: int = 0):
     all-gather ops whose output exceeds field_bytes_threshold bytes —
     a field-sized all-gather means GSPMD fell back to replicating a
     sharded array, the failure mode the audit test guards against
-    (halo exchange must stay O(halo), mp_exchange.F semantics)."""
+    (halo exchange must stay O(halo), mp_exchange.F semantics) — and
+    `collective_bytes`, the summed output bytes of every collective
+    instruction (static program bytes: an op inside a lax.scan body is
+    counted once but executes every iteration; compare programs with
+    the same loop structure)."""
     counts = {c: 0 for c in _COLLECTIVES}
+    counts["collective_bytes"] = 0
     big_all_gathers = []
     # instruction lines look like:  %x = f32[30,258,2050]{...} all-gather(...)
     inst = re.compile(
@@ -109,10 +114,11 @@ def audit_hlo(hlo_text: str, field_bytes_threshold: int = 0):
             continue
         dt, shape_s, op = m.groups()
         counts[op] += 1
+        dims = [int(d) for d in shape_s.split(",") if d]
+        nbytes = dtype_bytes.get(dt, 4) * int(np.prod(dims)) \
+            if dims else dtype_bytes.get(dt, 4)
+        counts["collective_bytes"] += nbytes
         if op == "all-gather" and field_bytes_threshold:
-            dims = [int(d) for d in shape_s.split(",") if d]
-            nbytes = dtype_bytes.get(dt, 4) * int(np.prod(dims)) \
-                if dims else 0
             if nbytes > field_bytes_threshold:
                 big_all_gathers.append((line.strip()[:120], nbytes))
     counts["big_all_gathers"] = big_all_gathers

@@ -200,3 +200,55 @@ class TestMKThermo:
         # Archimedes: remaining snow load no longer floods
         load = icfg.rhos * a(hsn2) - (cfg.rho0 - icfg.rhoi) * a(hi2)
         assert (load[interior] < 1e-6).all()
+
+
+class TestMpdataAdvection:
+    """MPDATA vs upwind (ice_smolar.h vs ICE_UPWIND)."""
+
+    def _setup(self):
+        cfg = upwelling.make_config(Lm=64, Mm=16, N=4, dt=60.0,
+                                    dtype="float64")
+        grid = upwelling.make_grid(cfg)
+        Mj, Li = cfg.shape2d
+        jj, ii = np.meshgrid(np.arange(Mj), np.arange(Li),
+                             indexing="ij")
+        blob = 0.8 * np.exp(-((ii - 16.0) ** 2 + (jj - 9.0) ** 2)
+                            / 18.0)
+        from roms_tpu.ops import stencil as st
+        ai = st.periodic_x(jnp.asarray(blob))   # ring-consistent init
+        ui = jnp.full((Mj, Li), 0.5)          # uniform eastward drift
+        vi = jnp.zeros((Mj, Li))
+        return cfg, grid, ai, ui, vi
+
+    def _advect(self, scheme, nsteps=120):
+        cfg, grid, ai, ui, vi = self._setup()
+        icfg = seaice.IceConfig(advect=scheme)
+        hi = 2.0 * ai
+        for _ in range(nsteps):
+            ai, hi = seaice.ice_advect(cfg, icfg, grid, ai, hi, ui, vi)
+        return cfg, np.asarray(ai)
+
+    def test_mpdata_monotone_positive(self):
+        cfg, ai = self._advect("mpdata")
+        assert np.isfinite(ai).all()
+        assert ai.min() >= 0.0
+        assert ai.max() <= 0.8 + 1e-9
+
+    def test_mpdata_conserves_area(self):
+        # periodic-x channel, zonal drift: total interior ice area is
+        # invariant (both passes are flux-form, ice_smolar.h:925-947)
+        cfg, grid, ai0, ui, vi = self._setup()
+        icfg = seaice.IceConfig(advect="mpdata")
+        ai, hi = ai0, 2.0 * ai0
+        for _ in range(60):
+            ai, hi = seaice.ice_advect(cfg, icfg, grid, ai, hi, ui, vi)
+        a0 = float(np.asarray(ai0)[1:-1, 1:-1].sum())
+        a1 = float(np.asarray(ai)[1:-1, 1:-1].sum())
+        assert abs(a1 - a0) / a0 < 1e-12
+
+    def test_mpdata_less_diffusive_than_upwind(self):
+        _, ai_up = self._advect("upwind")
+        _, ai_mp = self._advect("mpdata")
+        # antidiffusive correction must retain more of the peak
+        assert ai_mp.max() > ai_up.max() * 1.15, \
+            (float(ai_mp.max()), float(ai_up.max()))
