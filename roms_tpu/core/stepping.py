@@ -124,7 +124,7 @@ class Model:
 
     def step_impl(self, state: State, grid: Optional[Grid] = None,
                   collect_diag: bool = False, obc_data=None,
-                  forcing_override=None):
+                  forcing_override=None, forcing_adjust=None):
         cfg = self.cfg
         grid = self.grid if grid is None else grid
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
@@ -184,6 +184,21 @@ class Model:
                             stflx=forcing.stflx.at[1].set(val))
                     else:
                         forcing = forcing._replace(**{fname: val})
+        if forcing_adjust is not None:
+            # ADDITIVE surface-forcing adjustments — the 4D-Var control
+            # path (frc_adjust.F semantics: the time-interpolated
+            # adjustment increments the background forcing; keys:
+            # sustr/svstr/srflx and stflx with a leading NAT axis)
+            for fname, val in forcing_adjust.items():
+                if val is None:
+                    continue
+                if fname == "stflx":
+                    nat = val.shape[0]
+                    forcing = forcing._replace(
+                        stflx=forcing.stflx.at[:nat].add(val))
+                else:
+                    forcing = forcing._replace(
+                        **{fname: getattr(forcing, fname) + val})
         ice_new = state.ice
         if self.ice_fn is not None:
             # sea-ice step before the ocean step (seaice.F driver

@@ -1,0 +1,197 @@
+"""4D-Var adjustable controls beyond initial conditions + the
+observation-sensitivity / array-modes driver family.
+
+Twin experiments on a tiny UPWELLING configuration:
+  - a wind-stress control recovers a known forcing perturbation
+    (ADJUST_WSTRESS, frc_adjust.F semantics)
+  - an open-boundary control recovers a boundary-data perturbation
+    (ADJUST_BOUNDARY, obc_adjust.F semantics)
+  - obs_sensitivity ranks synthetic observations by impact
+    (obs_sen_rbl4dvar_analysis.h)
+  - array modes of the stabilized representer matrix
+    (array_modes_w4dvar.h)
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from roms_tpu import config as C
+from roms_tpu.assim.controls import (ExtControl, ForcingControl,
+                                     array_modes, i4dvar_ctrl,
+                                     interp_records, obs_sensitivity,
+                                     observe_trajectory_ctrl,
+                                     uniform_sigmas,
+                                     zeros_forcing_control,
+                                     zeros_like_control)
+from roms_tpu.assim.i4dvar import Observations
+from roms_tpu.config import LBC, BoundaryConfig
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import upwelling
+
+
+def tiny_model(bc=None):
+    cfg = upwelling.make_config(Lm=8, Mm=8, N=4, dt=120.0, ndtfast=8,
+                                dtype="float64")
+    if bc is not None:
+        cfg = cfg.replace(bc=bc)
+    grid = upwelling.make_grid(cfg)
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  upwelling.make_vmix_fn(cfg))
+    x0 = upwelling.make_initial(cfg, grid)
+    return cfg, grid, model, x0
+
+
+def surface_u_obs(cfg, step):
+    jj, ii = np.meshgrid(np.arange(2, cfg.shape2d[0] - 2),
+                         np.arange(2, cfg.shape2d[1] - 2), indexing="ij")
+    kk = np.full_like(jj, cfg.N - 1)
+    idx = jnp.asarray(np.stack([kk.ravel(), jj.ravel(), ii.ravel()],
+                               axis=1))
+    return Observations(step=step, field="u", indices=idx, values=None,
+                        error=1e-4)
+
+
+def test_interp_records():
+    times = jnp.asarray([0.0, 100.0, 200.0])
+    vals = jnp.asarray([0.0, 1.0, 3.0])[:, None] * jnp.ones((3, 2))
+    np.testing.assert_allclose(np.asarray(interp_records(times, vals,
+                                                         50.0)), 0.5)
+    np.testing.assert_allclose(np.asarray(interp_records(times, vals,
+                                                         150.0)), 2.0)
+    # clamped outside the window
+    np.testing.assert_allclose(np.asarray(interp_records(times, vals,
+                                                         500.0)), 3.0)
+
+
+def test_wind_stress_control_recovers_forcing():
+    cfg, grid, model, x0 = tiny_model()
+    nsteps, obs_step = 3, 3
+    frc_times = jnp.asarray([0.0, nsteps * cfg.dt])
+    Mj, Li = cfg.shape2d
+
+    # truth: an extra zonal wind-stress patch, constant over the window
+    patch = 2.0e-4 * np.exp(
+        -((np.arange(Mj)[:, None] - Mj / 2) ** 2
+          + (np.arange(Li)[None, :] - Li / 2) ** 2) / 6.0)
+    frc_true = zeros_forcing_control(cfg, 2)._replace(
+        sustr=jnp.broadcast_to(jnp.asarray(patch), (2, Mj, Li)))
+    ctrl_true = ExtControl(ic=None, frc=frc_true, obc=None)
+
+    obs0 = surface_u_obs(cfg, obs_step)
+    y_true = observe_trajectory_ctrl(model, grid, x0, ctrl_true, obs0,
+                                     nsteps, frc_times=frc_times)
+    obs = obs0._replace(values=y_true)
+
+    template = ExtControl(ic=None, frc=zeros_forcing_control(cfg, 2),
+                          obc=None)
+    sig = uniform_sigmas(template, frc_sigma=1.0e-4)
+    ctrl_a, diag = i4dvar_ctrl(model, grid, x0, obs, nsteps, template,
+                               sig, n_inner=6, frc_times=frc_times)
+
+    assert diag["rms_innovation_a"] < 0.3 * diag["rms_innovation_b"], \
+        diag
+    # recovered stress adjustment points toward the true patch
+    rec = np.asarray(ctrl_a.frc.sustr[0])
+    corr = np.corrcoef(rec[2:-2, 2:-2].ravel(),
+                       patch[2:-2, 2:-2].ravel())[0, 1]
+    assert corr > 0.5, corr
+
+
+def test_obc_control_recovers_boundary_perturbation():
+    closed = LBC.same(C.CLOSED)
+    # the reference's standard open-boundary pairing: Chapman zeta +
+    # Flather normal flow; the zeta adjustment enters the dynamics
+    # through Flather's (zeta_avg - zeta_data) inflow term
+    bc = BoundaryConfig(
+        zeta=dataclasses.replace(closed, west=C.CHAPMAN_IMPLICIT),
+        ubar=dataclasses.replace(closed, west=C.FLATHER),
+        vbar=closed, u=closed, v=closed, t=closed, tke=closed)
+    cfg, grid, model, x0 = tiny_model(bc=bc)
+    Mj, _ = cfg.shape2d
+    nsteps, obs_step = 3, 3
+    obc_times = jnp.asarray([0.0, nsteps * cfg.dt])
+
+    # truth: +2 cm clamped elevation along the west boundary
+    dz = 0.02 * jnp.ones((2, Mj))
+    obc_true = {"zeta": {"west": dz}}
+    ctrl_true = ExtControl(ic=None, frc=None, obc=obc_true)
+
+    jj = np.arange(2, Mj - 2)
+    idx = jnp.asarray(np.stack([jj, np.full_like(jj, 2)], axis=1))
+    obs0 = Observations(step=obs_step, field="zeta", indices=idx,
+                        values=None, error=1e-4)
+    y_true = observe_trajectory_ctrl(model, grid, x0, ctrl_true, obs0,
+                                     nsteps, obc_times=obc_times)
+    obs = obs0._replace(values=y_true)
+
+    template = ExtControl(
+        ic=None, frc=None,
+        obc={"zeta": {"west": jnp.zeros((2, Mj))}})
+    sig = uniform_sigmas(template, obc_sigma=0.02)
+    ctrl_a, diag = i4dvar_ctrl(model, grid, x0, obs, nsteps, template,
+                               sig, n_inner=6, obc_times=obc_times)
+
+    assert diag["rms_innovation_a"] < 0.3 * diag["rms_innovation_b"], \
+        diag
+    rec = np.asarray(ctrl_a.obc["zeta"]["west"][0])
+    # interior of the recovered boundary adjustment has the true sign
+    # and a meaningful fraction of the true amplitude
+    assert rec[2:-2].mean() > 0.005, rec
+
+
+def test_obs_sensitivity_ranks_observations():
+    cfg, grid, model, x0 = tiny_model()
+    nsteps = 2
+    frc_times = jnp.asarray([0.0, nsteps * cfg.dt])
+    Mj, Li = cfg.shape2d
+
+    # two zeta observations: one precise, one with inflated error
+    idx = jnp.asarray([[Mj // 2, Li // 2], [Mj // 2, Li // 2 + 1]])
+    err = jnp.asarray([1e-4, 1.0])
+    obs = Observations(step=nsteps, field="zeta", indices=idx,
+                       values=jnp.zeros(2), error=err)
+
+    template = ExtControl(ic=None, frc=zeros_forcing_control(cfg, 2),
+                          obc=None)
+    sig = uniform_sigmas(template, frc_sigma=1e-4)
+
+    def J(ctrl):
+        # functional: mean observed zeta of the controlled trajectory
+        y = observe_trajectory_ctrl(model, grid, x0, ctrl, obs, nsteps,
+                                    frc_times=frc_times)
+        return jnp.mean(y)
+
+    s = obs_sensitivity(model, grid, x0, obs, nsteps, template, sig, J,
+                        n_inner=10, frc_times=frc_times)
+    s = np.asarray(s)
+    assert np.isfinite(s).all()
+    # the precise observation dominates the analysis impact
+    assert abs(s[0]) > 10.0 * abs(s[1]), s
+
+
+def test_array_modes_spectrum():
+    cfg, grid, model, x0 = tiny_model()
+    nsteps = 2
+    frc_times = jnp.asarray([0.0, nsteps * cfg.dt])
+    Mj, Li = cfg.shape2d
+
+    idx = jnp.asarray([[Mj // 2, 2], [Mj // 2, Li // 2],
+                       [Mj // 2, Li - 3]])
+    obs = Observations(step=nsteps, field="zeta", indices=idx,
+                       values=jnp.zeros(3), error=1e-3)
+    template = ExtControl(ic=None, frc=zeros_forcing_control(cfg, 2),
+                          obc=None)
+    sig = uniform_sigmas(template, frc_sigma=1e-4)
+
+    evals, Z, modes = array_modes(model, grid, x0, obs, nsteps,
+                                  template, sig, frc_times=frc_times)
+    # stabilized representer spectrum: descending, bounded below by R
+    assert evals[0] >= evals[-1] > 0.0
+    assert evals[-1] >= (1e-3) ** 2 * 0.99
+    # eigenvectors orthonormal
+    np.testing.assert_allclose(Z.T @ Z, np.eye(3), atol=1e-10)
+    # modes live in control space with the template structure
+    assert modes[0].frc.sustr.shape == template.frc.sustr.shape
