@@ -53,6 +53,35 @@ def _app_module(name: str):
                         idealized.double_gyre_grid,
                         idealized.double_gyre_initial,
                         idealized.double_gyre_forcing_fn, None),
+        # 6th element: extras(cfg, grid) -> dict of Model kwargs
+        # (obc_fn, sources, ...)
+        "CANYON": (idealized.canyon_config, idealized.canyon_grid,
+                   idealized.canyon_initial,
+                   lambda cfg, grid: idealized.zero_forcing(cfg),
+                   None),
+        "OVERFLOW": (idealized.overflow_config, idealized.overflow_grid,
+                     idealized.overflow_initial,
+                     lambda cfg, grid: idealized.zero_forcing(cfg),
+                     None),
+        "LAKE_SIGNELL": (idealized.lake_signell_config,
+                         idealized.lake_signell_grid,
+                         idealized.lake_signell_initial,
+                         idealized.lake_signell_forcing_fn, None),
+        "ESTUARY_TEST": (idealized.estuary_config, idealized.estuary_grid,
+                         idealized.estuary_initial,
+                         lambda cfg, grid: idealized.zero_forcing(cfg),
+                         None,
+                         lambda cfg, grid: {
+                             "obc_fn": idealized.estuary_obc_fn(cfg,
+                                                                grid)}),
+        "RIVERPLUME1": (idealized.riverplume_config,
+                        idealized.riverplume_grid,
+                        idealized.riverplume_initial,
+                        lambda cfg, grid: idealized.zero_forcing(cfg),
+                        None,
+                        lambda cfg, grid: {
+                            "sources": idealized.riverplume_sources(
+                                cfg, grid)}),
     }
     for key in table:
         if key in name:                    # e.g. "BENCHMARK3"
@@ -93,7 +122,8 @@ def main(argv=None):
         mod = (None, None,
                lambda cfg, grid: initial_state(cfg, grid),
                lambda cfg, grid: idealized.zero_forcing(cfg), None)
-    mk_cfg, mk_grid, mk_init, mk_forc, mk_vmix = mod
+    mk_cfg, mk_grid, mk_init, mk_forc, mk_vmix = mod[:5]
+    mk_extras = mod[5] if len(mod) > 5 else None
     over = {}
     if args.lm:
         over["Lm"] = args.lm
@@ -112,6 +142,16 @@ def main(argv=None):
         hdr = _bm.make_config(full_physics=True)
         cfg = cfg.replace(mixing=hdr.mixing, drag=hdr.drag,
                           eos=hdr.eos)
+    elif any(k in app.upper() for k in
+             ("CANYON", "OVERFLOW", "LAKE_SIGNELL", "ESTUARY_TEST",
+              "RIVERPLUME")):
+        # same header-physics merge for the newer analytical apps:
+        # the factory carries the .h file's compile-time selections
+        # (mixing closure, rotated diffusion, drag law, EOS, LBC set)
+        hdr = mk_cfg()
+        cfg = cfg.replace(mixing=hdr.mixing, drag=hdr.drag,
+                          eos=hdr.eos, bc=hdr.bc,
+                          uv_cor=hdr.uv_cor)
 
     # ---- file-based data path (realistic applications) -----------------
     # GRDNAME/ININAME/BRYNAME/CLMNAME/FRCNAME/NUDNAME deck keywords select
@@ -192,10 +232,13 @@ def main(argv=None):
     else:
         forcing_fn = mk_forc(cfg, grid)
 
+    extras = mk_extras(cfg, grid) if mk_extras else {}
+    if obc_fn is not None:
+        extras["obc_fn"] = obc_fn       # file data overrides analytic
     model = stepping.Model(
         cfg, grid, forcing_fn=forcing_fn,
         vmix_fn=mk_vmix(cfg) if mk_vmix else None,
-        obc_fn=obc_fn, clm_fn=clm_fn)
+        obc_fn=extras.pop("obc_fn", None), clm_fn=clm_fn, **extras)
     om = OutputManager(cfg, grid, params, outdir=args.outdir,
                        initial_state=state)
     if om.unsupported:

@@ -185,6 +185,13 @@ class MixingConfig:
     # Use parabolic-spline reconstruction for implicit vertical solves
     # (SPLINES_VDIFF / SPLINES_VVISC in upwelling.h:21-22).
     splines_vdiff: bool = True
+    # Epineutral (MIX_ISO_TS) weak-stratification limiter branch
+    # (t3dmix2_iso.h:188-324): 'eps' floors the per-layer density jump
+    # at 0.5 kg/m3 (the reference default — rotation degrades to
+    # s-surfaces in weak stratification), 'max_slope' keeps the small
+    # 1e-14 floor but caps the slope (TS_MIX_MAX_SLOPE), 'min_strat'
+    # enforces d(rho)/dz >= 0.1 (TS_MIX_MIN_STRAT).
+    ts_mix_limit: str = "eps"
     splines_vvisc: bool = True
 
 

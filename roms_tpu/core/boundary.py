@@ -93,26 +93,30 @@ def bc_u(f, lbc: LBC, gamma2: float = 1.0, bdata: Optional[dict] = None):
         f = f.at[..., :, 1].set(f[..., :, 2])
         f = f.at[..., :, 0].set(f[..., :, 2])
     elif lbc.west == CLAMPED:
-        f = f.at[..., :, 1].set(bd["west"])
-        f = f.at[..., :, 0].set(bd["west"])
+        val = bd["west"] if "west" in bd else f[..., :, 2]
+        f = f.at[..., :, 1].set(val)
+        f = f.at[..., :, 0].set(val)
     if lbc.east == CLOSED:
         f = f.at[..., :, -1].set(0.0)
     elif lbc.east == GRADIENT:
         f = f.at[..., :, -1].set(f[..., :, -2])
     elif lbc.east == CLAMPED:
-        f = f.at[..., :, -1].set(bd["east"])
+        f = f.at[..., :, -1].set(bd["east"] if "east" in bd
+                                 else f[..., :, -2])
     if lbc.south == CLOSED:
         f = f.at[..., 0, :].set(gamma2 * f[..., 1, :])
     elif lbc.south == GRADIENT:
         f = f.at[..., 0, :].set(f[..., 1, :])
     elif lbc.south == CLAMPED:
-        f = f.at[..., 0, :].set(bd["south"])
+        f = f.at[..., 0, :].set(bd["south"] if "south" in bd
+                                else f[..., 1, :])
     if lbc.north == CLOSED:
         f = f.at[..., -1, :].set(gamma2 * f[..., -2, :])
     elif lbc.north == GRADIENT:
         f = f.at[..., -1, :].set(f[..., -2, :])
     elif lbc.north == CLAMPED:
-        f = f.at[..., -1, :].set(bd["north"])
+        f = f.at[..., -1, :].set(bd["north"] if "north" in bd
+                                 else f[..., -2, :])
     f = _apply_periodic(f, lbc)
     if lbc.west != PERIODIC and lbc.south != PERIODIC:
         f = _corners(f)
@@ -129,26 +133,30 @@ def bc_v(f, lbc: LBC, gamma2: float = 1.0, bdata: Optional[dict] = None):
         f = f.at[..., 1, :].set(f[..., 2, :])
         f = f.at[..., 0, :].set(f[..., 2, :])
     elif lbc.south == CLAMPED:
-        f = f.at[..., 1, :].set(bd["south"])
-        f = f.at[..., 0, :].set(bd["south"])
+        val = bd["south"] if "south" in bd else f[..., 2, :]
+        f = f.at[..., 1, :].set(val)
+        f = f.at[..., 0, :].set(val)
     if lbc.north == CLOSED:
         f = f.at[..., -1, :].set(0.0)
     elif lbc.north == GRADIENT:
         f = f.at[..., -1, :].set(f[..., -2, :])
     elif lbc.north == CLAMPED:
-        f = f.at[..., -1, :].set(bd["north"])
+        f = f.at[..., -1, :].set(bd["north"] if "north" in bd
+                                 else f[..., -2, :])
     if lbc.west == CLOSED:
         f = f.at[..., :, 0].set(gamma2 * f[..., :, 1])
     elif lbc.west == GRADIENT:
         f = f.at[..., :, 0].set(f[..., :, 1])
     elif lbc.west == CLAMPED:
-        f = f.at[..., :, 0].set(bd["west"])
+        f = f.at[..., :, 0].set(bd["west"] if "west" in bd
+                                else f[..., :, 1])
     if lbc.east == CLOSED:
         f = f.at[..., :, -1].set(gamma2 * f[..., :, -2])
     elif lbc.east == GRADIENT:
         f = f.at[..., :, -1].set(f[..., :, -2])
     elif lbc.east == CLAMPED:
-        f = f.at[..., :, -1].set(bd["east"])
+        f = f.at[..., :, -1].set(bd["east"] if "east" in bd
+                                 else f[..., :, -2])
     f = _apply_periodic(f, lbc)
     if lbc.west != PERIODIC and lbc.south != PERIODIC:
         f = _corners(f)

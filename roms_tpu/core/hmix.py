@@ -381,9 +381,19 @@ def t3dmix2_iso(cfg: ModelConfig, grid: Grid, t, t_part, Hz, z_r,
 
 def _iso_slope_ctx(cfg: ModelConfig, grid: Grid, z_r, pden):
     """Shared isopycnal-direction quantities (gradients + limited
-    stratification factor), used by both iso operators."""
-    eps_strat = 1.0e-14
-    slope_max = 1.0e-4
+    stratification factor), used by both iso operators.
+
+    The weak-stratification limiter follows the reference's three CPP
+    branches via cfg.mixing.ts_mix_limit (t3dmix2_iso.h:188-324):
+    'eps' floors the per-layer density jump at eps=0.5 kg/m3 — NOT an
+    epsilon: in weak stratification the rotation degrades gracefully
+    toward s-surface diffusion instead of diverging (a tiny floor
+    makes the vertical triad flux ~dz/drho blow up on a
+    vertically-uniform front, e.g. the OVERFLOW initial state);
+    'max_slope' keeps the small=1e-14 floor but caps the slope
+    (TS_MIX_MAX_SLOPE, :304-312); 'min_strat' enforces a minimum
+    d(rho)/dz of 0.1 kg/m4 (TS_MIX_MIN_STRAT, :313-316)."""
+    limit = getattr(cfg.mixing, "ts_mix_limit", "eps")
     pm_u = 0.5 * (grid.pm + st.im1(grid.pm)) * grid.umask
     pn_v = 0.5 * (grid.pn + st.jm1(grid.pn)) * grid.vmask
     Rx = pm_u * (pden - st.im1(pden))
@@ -392,13 +402,21 @@ def _iso_slope_ctx(cfg: ModelConfig, grid: Grid, z_r, pden):
         Rx = st.periodic_x(Rx)
     if cfg.bc.ns_periodic:
         Re = st.periodic_y(Re)
-    gradR = jnp.sqrt(Rx[1:] ** 2 + st.ip1(Rx)[1:] ** 2 +
-                     Rx[:-1] ** 2 + st.ip1(Rx)[:-1] ** 2 +
-                     Re[1:] ** 2 + st.jp1(Re)[1:] ** 2 +
-                     Re[:-1] ** 2 + st.jp1(Re)[:-1] ** 2)
-    slope_floor = 0.25 * slope_max * (z_r[1:] - z_r[:-1]) * gradR
-    drho = jnp.maximum(jnp.maximum(pden[:-1] - pden[1:], eps_strat),
-                       slope_floor)
+    if limit == "max_slope":
+        slope_max = 1.0e-4
+        gradR = jnp.sqrt(Rx[1:] ** 2 + st.ip1(Rx)[1:] ** 2 +
+                         Rx[:-1] ** 2 + st.ip1(Rx)[:-1] ** 2 +
+                         Re[1:] ** 2 + st.jp1(Re)[1:] ** 2 +
+                         Re[:-1] ** 2 + st.jp1(Re)[:-1] ** 2)
+        slope_floor = 0.25 * slope_max * (z_r[1:] - z_r[:-1]) * gradR
+        drho = jnp.maximum(jnp.maximum(pden[:-1] - pden[1:], 1.0e-14),
+                           slope_floor)
+    elif limit == "min_strat":
+        strat_min = 0.1
+        drho = jnp.maximum(pden[:-1] - pden[1:],
+                           strat_min * (z_r[1:] - z_r[:-1]))
+    else:                                   # 'eps' (reference default)
+        drho = jnp.maximum(pden[:-1] - pden[1:], 0.5)
     cffr = -1.0 / drho
     Ffac_i = cffr * (z_r[1:] - z_r[:-1])
     zz = jnp.zeros_like(cffr[:1])

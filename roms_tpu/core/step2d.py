@@ -281,7 +281,7 @@ def _rhs2d_momentum(cfg: ModelConfig, grid: Grid, ubar, vbar,
 
 
 def _zeta_bc(cfg, f, grid=None, z_old=None, dt2d=None, obc=None):
-    f = boundary.bc_rho(f, cfg.bc.zeta)
+    f = boundary.bc_rho(f, cfg.bc.zeta, (obc or {}).get("zeta"))
     if z_old is not None and _has_open(cfg.bc.zeta):
         f = obc_mod.zetabc(cfg, grid, f, z_old, dt2d, obc)
     return f
@@ -299,8 +299,9 @@ def _has_open(lbc):
 def _uv_bc(cfg, grid, u, v, z_old=None, ub_old=None, vb_old=None,
            obc=None, z_new=None, dt2d=None, red_stress=None):
     from ..config import REDUCED
-    u = boundary.bc_u(u, cfg.bc.ubar, cfg.gamma2)
-    v = boundary.bc_v(v, cfg.bc.vbar, cfg.gamma2)
+    bd = obc or {}
+    u = boundary.bc_u(u, cfg.bc.ubar, cfg.gamma2, bd.get("ubar"))
+    v = boundary.bc_v(v, cfg.bc.vbar, cfg.gamma2, bd.get("vbar"))
     if z_old is not None and (
             REDUCED in (cfg.bc.ubar.west, cfg.bc.ubar.east)
             or REDUCED in (cfg.bc.vbar.south, cfg.bc.vbar.north)):

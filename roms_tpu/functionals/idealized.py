@@ -314,3 +314,308 @@ def double_gyre_forcing_fn(cfg: ModelConfig, grid: Grid):
                        btflx=zerosT, srflx=zeros)
 
     return forcing
+
+
+# ---------------------------------------------------------------------------
+# CANYON — stratified flow over a coastal canyon in a periodic channel
+# (canyon.h; ana_grid.h:261-266, 946-953; ana_initial.h:598-607)
+# ---------------------------------------------------------------------------
+
+def canyon_config(Lm: int = 65, Mm: int = 48, N: int = 15,
+                  dt: float = 100.0, ndtfast: int = 20,
+                  dtype: str = "float64") -> ModelConfig:
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=3.5, theta_b=0.0, Tcline=50.0),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=14.0, S0=35.0,
+                      Tcoef=1.0e-4, Scoef=0.0),
+        mixing=MixingConfig(visc2=5.0, tnu2=(1.0, 1.0),
+                            mix_geo_ts=True),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-4),
+        bc=BoundaryConfig.uniform(LBC.ew_periodic()),
+        rho0=1025.0, gamma2=1.0, prsgrd="djs",
+        uv_cor=True, uv_adv=True, dtype=dtype,
+    )
+
+
+def canyon_grid(cfg: ModelConfig) -> Grid:
+    """h = 20 + (4000-20)/2 * (1 + tanh((y - yc(x))/10 km)), with the
+    shelf break indented by the canyon sin^24 notch
+    (ana_grid.h:946-953)."""
+    Xsize, Esize, depth = 128.0e3, 96.0e3, 4000.0
+
+    def h2d(xr, yr):
+        val1 = 32000.0 - 16000.0 * np.sin(np.pi * xr / Xsize) ** 24
+        return 20.0 + 0.5 * (depth - 20.0) * \
+            (1.0 + np.tanh((yr - val1) / 10000.0))
+
+    return _plane_grid(cfg, Xsize, Esize, depth, f0=1.0e-4, h2d=h2d)
+
+
+def canyon_initial(cfg: ModelConfig, grid: Grid) -> State:
+    from ..grid.depth import set_depth
+    zeta = jnp.zeros(cfg.shape2d, cfg.dtype)
+    z_r, _, _ = set_depth(grid, zeta)
+    T = 3.488 * jnp.exp(z_r / 800.0) * \
+        (1.0 - (2.0 / 3.0) * jnp.tanh(z_r / 800.0))
+    S = jnp.full_like(T, cfg.eos.S0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+# ---------------------------------------------------------------------------
+# OVERFLOW — dense gravity current down a tanh slope (overflow.h;
+# ana_grid.h:328-333, 1004-1011; ana_initial.h:778-786)
+# ---------------------------------------------------------------------------
+
+def overflow_config(Lm: int = 4, Mm: int = 128, N: int = 20,
+                    dt: float = 20.0, ndtfast: int = 20,
+                    dtype: str = "float64") -> ModelConfig:
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=3.0, theta_b=1.0, Tcline=50.0),
+        eos=EOSConfig(linear=True, R0=1030.0, T0=5.0, S0=0.0,
+                      Tcoef=1.7e-4, Scoef=0.0),
+        mixing=MixingConfig(visc2=5.0, tnu2=(5.0, 0.0),
+                            mix_iso_ts=True, akv_bak=1.0e-6,
+                            akt_bak=(1.0e-7, 1.0e-7)),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=0.0),
+        bc=BoundaryConfig(),               # closed on all sides
+        rho0=1025.0, gamma2=1.0, uv_cor=False, uv_adv=True,
+        dtype=dtype,
+    )
+
+
+def overflow_grid(cfg: ModelConfig) -> Grid:
+    def h2d(xr, yr):
+        return 200.0 + 0.5 * (4000.0 - 200.0) * \
+            (1.0 + np.tanh((yr - 100000.0) / 20000.0))
+
+    return _plane_grid(cfg, 4.0e3, 200.0e3, 4000.0, f0=0.0, h2d=h2d)
+
+
+def overflow_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    dy = 200.0e3 / cfg.Mm
+    yr = jnp.asarray((dy * (np.arange(Mj) - 0.5))[:, None]
+                     + np.zeros((1, Li)), cfg.dtype)
+    T0 = cfg.eos.T0
+    T2d = T0 - 0.5 * T0 * (1.0 + jnp.tanh((yr - 60000.0) / 2000.0))
+    T = jnp.broadcast_to(T2d[None], (cfg.N, Mj, Li))
+    S = jnp.full_like(T, cfg.eos.S0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+# ---------------------------------------------------------------------------
+# LAKE_SIGNELL — wind-driven closed lake with GLS mixing, SSW wave-current
+# BBL and suspended sediment (lake_signell.h; ana_grid.h:310-315,
+# 1000-1003; ana_smflux.h:219-231)
+# ---------------------------------------------------------------------------
+
+def lake_signell_config(Lm: int = 100, Mm: int = 20, N: int = 8,
+                        dt: float = 60.0, ndtfast: int = 20,
+                        dtype: str = "float64") -> ModelConfig:
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=1.0, theta_b=1.0, Tcline=20.0),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=10.0, S0=30.0,
+                      Tcoef=1.7e-4, Scoef=7.6e-4),
+        mixing=MixingConfig(vmix="gls", akv_bak=5.0e-6,
+                            akt_bak=(5.0e-6, 5.0e-6)),
+        drag=BottomDragConfig(kind="log", Zob=0.005),
+        bc=BoundaryConfig(),                   # closed basin
+        rho0=1025.0, gamma2=1.0, dtype=dtype,
+    )
+
+
+def lake_signell_grid(cfg: ModelConfig) -> Grid:
+    Mm = cfg.Mm
+
+    def h2d(xr, yr):
+        dy = 10.0e3 / Mm
+        j = yr / dy + 0.5                       # recover the j index
+        return 18.0 - 16.0 * (Mm - j) / (Mm - 1.0)
+
+    return _plane_grid(cfg, 50.0e3, 10.0e3, 18.0, f0=0.0, h2d=h2d)
+
+
+def lake_signell_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    T = jnp.full((cfg.N, Mj, Li), 10.0, cfg.dtype)
+    S = jnp.full_like(T, 30.0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def lake_signell_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """0.25 N/m2 along-lake wind, tanh ramp up at hour 15 over 10 h and
+    down at hour 50 (ana_smflux.h:219-231)."""
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    zerosT = jnp.zeros((cfg.NT, Mj, Li), dtype)
+    mxst, ramp_u, ramp_time, ramp_d = 0.25, 15.0, 10.0, 50.0
+
+    def forcing(time):
+        th = time / 3600.0
+        up = 0.5 * (jnp.tanh((th - ramp_u) / (ramp_time / 5.0)) + 1.0)
+        dn = 1.0 - 0.5 * (jnp.tanh((th - ramp_d)
+                                   / (ramp_time / 5.0)) + 1.0)
+        cff1 = jnp.minimum(up, dn)
+        sustr = (mxst / cfg.rho0 * cff1) + zeros
+        return Forcing(sustr=sustr.astype(dtype), svstr=zeros,
+                       stflx=zerosT, btflx=zerosT, srflx=zeros)
+
+    return forcing
+
+
+# ---------------------------------------------------------------------------
+# ESTUARY_TEST — tidal estuary with salinity intrusion and GLS mixing
+# (estuary_test.h; ana_grid.h:280-285, 954-959; ana_initial.h:647-660;
+# ana_fsobc.h:106-113; ana_m2obc.h:127-168)
+# ---------------------------------------------------------------------------
+
+def estuary_config(Lm: int = 200, Mm: int = 3, N: int = 20,
+                   dt: float = 30.0, ndtfast: int = 20,
+                   dtype: str = "float64") -> ModelConfig:
+    from ..config import (CHAPMAN_IMPLICIT, CLAMPED, GRADIENT,
+                          RADIATION)
+    zeta = LBC(west=CHAPMAN_IMPLICIT, east=GRADIENT)
+    uv2 = LBC(west=CLAMPED, east=CLAMPED)
+    uv3 = LBC(west=GRADIENT, east=GRADIENT)
+    trc = LBC(west=RADIATION, east=CLAMPED)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=4,
+                                 theta_s=2.0, theta_b=2.0, Tcline=3.0),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=10.0, S0=30.0,
+                      Tcoef=1.7e-4, Scoef=7.6e-4),
+        mixing=MixingConfig(vmix="gls", akv_bak=5.0e-6,
+                            akt_bak=(5.0e-6, 5.0e-6)),
+        drag=BottomDragConfig(kind="log", Zob=0.005),
+        bc=BoundaryConfig(zeta=zeta, ubar=uv2, vbar=uv2,
+                          u=uv3, v=uv3, t=trc, tke=uv3),
+        rho0=1025.0, gamma2=1.0, uv_cor=False, dtype=dtype,
+    )
+
+
+def estuary_grid(cfg: ModelConfig) -> Grid:
+    def h2d(xr, yr):
+        return 5.0 + (100000.0 - xr) / 100000.0 * 5.0
+
+    return _plane_grid(cfg, 100.0e3, 300.0, 10.0, f0=0.0, h2d=h2d)
+
+
+def estuary_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    dx = 100.0e3 / cfg.Lm
+    xr = jnp.asarray((dx * (np.arange(Li) - 0.5))[None, :]
+                     + np.zeros((Mj, 1)), cfg.dtype)
+    S2d = jnp.where(xr <= 30000.0, 30.0,
+                    jnp.where(xr <= 80000.0,
+                              (80000.0 - xr) / 50000.0 * 30.0, 0.0))
+    T = jnp.full((cfg.N, Mj, Li), 10.0, cfg.dtype)
+    S = jnp.broadcast_to(S2d[None], T.shape)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def estuary_obc_fn(cfg: ModelConfig, grid: Grid):
+    """M2 tide at the mouth: zeta_west = sin(2 pi t/12h); ubar_west
+    carries the tidal + river volume flux through the (undisturbed)
+    western section — the reference divides by the instantaneous area
+    (ana_m2obc.h:136-148); the rest-area approximation here changes the
+    flux by O(zeta/h).  Tracer data for the Cla east edge: river water
+    (S=0)."""
+    Mj = cfg.shape2d[0]
+    h_w = np.asarray(grid.h)[:, 1]
+    pn_w = np.asarray(grid.pn)[:, 1]
+    area = float(np.sum(h_w[1:-1] / pn_w[1:-1]))
+    tid_flow = 0.40 * 300.0 * 10.0
+    riv_flow = 0.08 * 300.0 * 5.0
+    zeros_col = jnp.zeros((Mj,), cfg.dtype)
+    t_east = {0: {"east": jnp.full((cfg.N, Mj), 10.0, cfg.dtype)},
+              1: {"east": jnp.zeros((cfg.N, Mj), cfg.dtype)}}
+
+    def obc(time):
+        zw = 1.0 * jnp.sin(2.0 * jnp.pi * time / (12.0 * 3600.0))
+        flux = -tid_flow * jnp.sin(2.0 * jnp.pi * time
+                                   / (12.0 * 3600.0)) - riv_flow
+        ub_w = (flux / area) + zeros_col
+        ub_e = (-riv_flow / area) + zeros_col
+        return {"zeta": {"west": zw + zeros_col},
+                "ubar": {"west": ub_w, "east": ub_e},
+                "vbar": {"west": zeros_col, "east": zeros_col},
+                "t": t_east}
+
+    return obc
+
+
+# ---------------------------------------------------------------------------
+# RIVERPLUME1 — buoyant river discharge onto a rotating shelf with KPP
+# and a masked coastline (riverplume1.h; ana_grid.h:334-339, 1012-1021;
+# ana_initial.h:787-796; ana_mask.h; ana_psource.h:156-174, 347)
+# ---------------------------------------------------------------------------
+
+def riverplume_config(Lm: int = 39, Mm: int = 67, N: int = 13,
+                      dt: float = 120.0, ndtfast: int = 20,
+                      dtype: str = "float64") -> ModelConfig:
+    from ..config import GRADIENT, RADIATION
+    open_ew = LBC(west=GRADIENT, east=RADIATION, south=GRADIENT,
+                  north=GRADIENT)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=4,
+                                 theta_s=3.0, theta_b=1.0, Tcline=30.0),
+        eos=EOSConfig(),                       # NONLIN_EOS
+        mixing=MixingConfig(vmix="lmd", bkpp=True, tnu2=(5.0, 5.0),
+                            mix_geo_ts=True),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig(zeta=open_ew, ubar=open_ew, vbar=open_ew,
+                          u=open_ew, v=open_ew, t=open_ew,
+                          tke=open_ew),
+        rho0=1025.0, gamma2=1.0, dtype=dtype,
+    )
+
+
+def riverplume_grid(cfg: ModelConfig) -> Grid:
+    Lm, Mm = cfg.Lm, cfg.Mm
+    Mj, Li = cfg.shape2d
+
+    def h2d(xr, yr):
+        dx = 58.5e3 / Lm
+        i = xr / dx + 0.5
+        return np.where(i <= 5.0, 15.0,
+                        150.0 + (Lm - i) * (15.0 - 150.0) / (Lm - 6.0))
+
+    rmask = np.ones((Mj, Li))
+    # coastline along the west wall with the river-channel gap at
+    # j in (Mm-18, Mm-16) (ana_mask.h RIVERPLUME1)
+    for i in range(0, min(5, Li - 1) + 1):
+        rmask[:Mm - 18 + 1, i] = 0.0
+        rmask[Mm - 16:, i] = 0.0
+    grid = _plane_grid(cfg, 58.5e3, 201.0e3, 150.0, f0=1.0e-4,
+                       h2d=h2d)
+    return build_grid(cfg, h=np.asarray(grid.h), pm=np.asarray(grid.pm),
+                      pn=np.asarray(grid.pn), f=np.asarray(grid.f),
+                      xr=np.asarray(grid.xr), yr=np.asarray(grid.yr),
+                      rmask=rmask)
+
+
+def riverplume_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    k = jnp.arange(1, cfg.N + 1, dtype=cfg.dtype)[:, None, None]
+    T = 14.0 + 0.01 * k + jnp.zeros((cfg.N, Mj, Li), cfg.dtype)
+    S = jnp.full_like(T, 32.0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def riverplume_sources(cfg: ModelConfig, grid: Grid):
+    """1500 m3/s river through the western-wall channel face
+    (ana_psource.h:156-161, 347: LuvSrc at i=2, j=Mm-17 here — the
+    gap in the ana_mask coastline), fresh (S=0) and 14 C."""
+    from ..core.sources import make_point_sources
+    j_gap = cfg.Mm - 17
+    return make_point_sources(
+        cfg, locations=[(j_gap, 2)], qbar_values=[1500.0],
+        tsrc_values=[(14.0, 0.0)], directions=["u"])

@@ -17,7 +17,7 @@ def _run(mix_iso, mix_geo=False, nsteps=30, tnu=500.0):
     cfg = ia.seamount_config()
     cfg = cfg.replace(mixing=dataclasses.replace(
         cfg.mixing, mix_iso_ts=mix_iso, mix_geo_ts=mix_geo,
-        tnu2=(tnu, tnu)))
+        tnu2=(tnu, tnu), ts_mix_limit="max_slope"))
     grid = ia.seamount_grid(cfg)
     s0 = ia.seamount_initial(cfg, grid)
     m = Model(cfg, grid, ia.zero_forcing(cfg))
@@ -95,7 +95,8 @@ def test_biharmonic_iso_selective():
     def run(iso):
         cfg = ia.seamount_config()
         cfg = cfg.replace(mixing=dataclasses.replace(
-            cfg.mixing, mix_iso_ts=iso, tnu4=(1.0e8, 1.0e8)))
+            cfg.mixing, mix_iso_ts=iso, tnu4=(1.0e8, 1.0e8),
+            ts_mix_limit="max_slope"))
         grid = ia.seamount_grid(cfg)
         s0 = ia.seamount_initial(cfg, grid)
         m = Model(cfg, grid, ia.zero_forcing(cfg))
