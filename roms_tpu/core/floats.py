@@ -62,14 +62,19 @@ def _interp3(f3, x, y, s, sc_r):
 
 
 def step_floats(cfg: ModelConfig, grid: Grid, flt: Floats,
-                u, v, W, Hz, sc_r, Akt=None, key=None) -> Floats:
+                u, v, W, Hz, sc_r, Akt=None, key=None,
+                w_extra=None) -> Floats:
     """Advance float positions one baroclinic dt with RK4.
 
     With Akt (interface diffusivity, (N+1, Mj, Li)) and a PRNG key,
     adds the FLOAT_VWALK vertical random walk (vwalk_floats.F:196-220,
     Hunter et al 1993):  w = sqrt(2 Akt / dt) * N(0,1) + dAkt/dz,
     the gradient term being the Visser drift that keeps particles from
-    accumulating in low-diffusivity layers."""
+    accumulating in low-diffusivity layers.
+
+    w_extra: optional (Nf,) per-float vertical velocity (m/s, positive
+    up) from biological behavior (biology_floats.F w_bio), added as a
+    sigma-rate using the local water-column depth."""
     dt = cfg.dt
     Mj, Li = cfg.shape2d
     # grid-relative velocities: dx/dt = u * pm (cells/s)
@@ -112,6 +117,11 @@ def step_floats(cfg: ModelConfig, grid: Grid, flt: Floats,
         w_rw = jnp.sqrt(2.0 * jnp.maximum(ak_f, 0.0) / dt) * rw + dak_f
         D_f = jax.vmap(lambda xx, yy: _interp2(D, xx, yy))(x, y)
         s = s + dt * w_rw / jnp.maximum(D_f, 1e-6)
+
+    if w_extra is not None:
+        D = jnp.sum(Hz, axis=0)
+        D_f = jax.vmap(lambda xx, yy: _interp2(D, xx, yy))(x, y)
+        s = s + dt * w_extra / jnp.maximum(D_f, 1e-6)
 
     if cfg.bc.ew_periodic:
         x = jnp.mod(x - 1.0, float(cfg.Lm)) + 1.0
