@@ -1245,3 +1245,415 @@ def make_ecosim_hook(cfg: ModelConfig, eco: EcoSimConfig, grid: Grid):
     def hook(t, Hz, z_w, forcing):
         return ecosim(cfg, eco, grid, t, Hz, z_w, forcing.srflx)
     return hook
+
+
+# ---------------------------------------------------------------------------
+# EcoSim full-census bio-optical model (ecosim_mod.h state,
+# ecosim.h process structure)
+# ---------------------------------------------------------------------------
+# The complete reference state vector (ecosim_mod.h:201-283, default
+# census Nphy=4 PHY=(1,2,4,5), Nbac=1, Ndom=2, Nfec=2): 6 nutrients
+# (NO3, NH4, PO4, FeO, SiO, DIC), bacteria C/N/P/Fe, two DOM pools of
+# CDMC/DOMC/DOMN/DOMP, two fecal pools of C/N/P/Fe/Si, per-group
+# phytoplankton C/N/P/Fe (+Si for the diatom groups) and the pigment
+# tracers selected by the PIG matrix — 61 biological tracers.
+#
+# Process structure follows ecosim.h: spectral downwelling irradiance
+# attenuated by water, pigment absorption and colored DOM; quantum-
+# yield growth limited by the most-limiting internal quota (Droop form
+# over N/P/Si/Fe); external uptake toward balanced quotas with
+# Michaelis-Menten kinetics (ecosim.in HsNO3/HsNH4/HsPO4/HsSiO/HsFe);
+# exudation feeding labile DOM with the cDOCfrac_c colored fraction;
+# grazing losses split to the two fecal pools; bacterioplankton at
+# fixed C2nBAC/C2pBAC/C2FeBAC stoichiometry consuming labile DOC;
+# temperature-based fecal regeneration and the slow WF sinking of the
+# large fecal pool; nitrification RtNIT*NH4/(HsNIT+NH4).
+# Pigments other than chlorophyll-a follow their group's chl-a with
+# fixed pigment ratios (the reference photoacclimates each pigment;
+# that refinement is documented as a reduction).
+
+# ecosim_mod.h:238-247 pigment presence matrix, columns = species
+# 1-7, rows = pigments 1-7 (chl-a, chl-b, chl-c, PSC, PPC, LPUC, HPUC)
+_ECOSIM_PIG = (
+    (1, 1, 1, 1, 1, 1, 1),
+    (0, 0, 0, 0, 0, 1, 1),
+    (1, 1, 1, 1, 0, 0, 0),
+    (1, 1, 1, 1, 0, 0, 0),
+    (1, 1, 1, 1, 1, 1, 1),
+    (0, 0, 0, 0, 0, 0, 0),
+    (0, 0, 0, 0, 1, 0, 0),
+)
+
+
+@dataclass(frozen=True)
+class EcoSimFullConfig:
+    """ecosim.in defaults for the standard 4-group census
+    (PHY = small diatom, large diatom, large dinoflagellate,
+    synechococcus; ecosim_mod.h:250)."""
+    species: Tuple[int, ...] = (1, 2, 4, 5)   # PHY selection
+    nbands: int = 12                          # 400-700 nm bands
+    # per-group (ecosim.in:68-205)
+    GtALG_max: Tuple[float, ...] = (3.7, 3.7, 2.0, 2.0)     # 1/day
+    HsNO3: Tuple[float, ...] = (0.824, 0.412, 0.824, 0.167)
+    HsNH4: Tuple[float, ...] = (0.414, 0.208, 0.414, 0.083)
+    HsSiO: Tuple[float, ...] = (1.824, 1.412, 1.0e30, 1.0e30)
+    HsPO4: Tuple[float, ...] = (0.0515, 0.02575, 0.0515, 0.010438)
+    HsFe: Tuple[float, ...] = (1.0e30,) * 4
+    maxC2n: Tuple[float, ...] = (14.0, 17.75, 17.0, 6.625)
+    minC2n: Tuple[float, ...] = (6.625,) * 4
+    maxC2p: Tuple[float, ...] = (106.0, 106.0, 130.0, 106.0)
+    minC2p: Tuple[float, ...] = (106.0,) * 4
+    maxC2Si: Tuple[float, ...] = (5.521, 5.521, 0.0, 0.0)
+    minC2Si: Tuple[float, ...] = (5.521, 5.521, 1.0, 1.0)
+    maxC2Fe: Tuple[float, ...] = (1.0e30,) * 4
+    minC2Fe: Tuple[float, ...] = (1.0e30,) * 4
+    qu_yld: Tuple[float, ...] = (0.0833,) * 4  # mol C / mol quanta
+    E0_comp: Tuple[float, ...] = (10.0, 10.0, 10.0, 6.0)
+    E0_inhib: Tuple[float, ...] = (1.0e4, 1.0e4, 105.0, 1.0e4)
+    ExALG: Tuple[float, ...] = (0.005,) * 4   # exudation fraction
+    HsGRZ: Tuple[float, ...] = (0.01,) * 4    # grazing loss (1/day)
+    C2CHL_min: float = 30.0
+    C2CHL_max: float = 120.0
+    # bacteria (ecosim.in:389-419)
+    GtBAC_max: float = 2.0
+    HsDOC_ba: float = 130.0
+    BacGE: float = 0.3
+    C2nBAC: float = 5.0
+    C2pBAC: float = 60.0
+    C2FeBAC: float = 1000.0
+    BacMort: float = 0.05                     # 1/day to labile DOM
+    # DOM (ecosim.in:468)
+    cDOCfrac_c: Tuple[float, float] = (0.0323, 0.0930)
+    relict_frac: float = 0.1                  # production to pool 2
+    aCDOC443: float = 0.02                    # m2/mmol C at 443 nm
+    S_cdoc: float = 0.014                     # 1/nm spectral slope
+    photobleach: float = 0.02                 # 1/day at surface light
+    # fecal pools (ecosim.in:489-494): pool 1 suspended, pool 2 sinks
+    WF: Tuple[float, float] = (0.0, 100.0)    # m/day
+    RegenR: Tuple[float, float] = (0.1, 0.05)  # 1/day at Tbase
+    RegTbase: float = 27.0
+    fec_split: Tuple[float, float] = (0.5, 0.5)
+    graz_fec: float = 0.3                     # grazing to fecal; rest DOM
+    # nitrification (ecosim.in:454-459)
+    RtNIT: float = 0.4
+    HsNIT: float = 0.1
+    MinVal: float = 1.0e-6
+
+
+def _ecosim_pigments(eco: EcoSimFullConfig):
+    """Per-group pigment id lists from the PIG matrix columns."""
+    out = []
+    for sp in eco.species:
+        col = [_ECOSIM_PIG[p][sp - 1] for p in range(7)]
+        out.append([p + 1 for p in range(7) if col[p]])
+    return out
+
+
+def ecosim_full_layout(eco: EcoSimFullConfig):
+    """Ordered biological tracer names (ecosim_mod.h census)."""
+    names = ["NO3", "NH4", "PO4", "FeO", "SiO", "DIC",
+             "BacC", "BacN", "BacP", "BacF",
+             "CDMC1", "CDMC2", "DOMC1", "DOMC2",
+             "DOMN1", "DOMN2", "DOMP1", "DOMP2",
+             "FecC1", "FecC2", "FecN1", "FecN2", "FecP1", "FecP2",
+             "FecF1", "FecF2", "FecS1", "FecS2"]
+    for g, sp in enumerate(eco.species):
+        names += [f"PhyC{g+1}", f"PhyN{g+1}", f"PhyP{g+1}",
+                  f"PhyF{g+1}"]
+        if eco.maxC2Si[g] > 0.0:
+            names.append(f"PhyS{g+1}")
+    for g, pigs in enumerate(_ecosim_pigments(eco)):
+        names += [f"Pig{g+1}_{p}" for p in pigs]
+    return names
+
+
+def ecosim_full_nt(cfg: ModelConfig, eco: EcoSimFullConfig) -> int:
+    return cfg.NAT + len(ecosim_full_layout(eco))
+
+
+def _band_centers(nbands):
+    import numpy as _np
+    edges = _np.linspace(400.0, 700.0, nbands + 1)
+    return 0.5 * (edges[:-1] + edges[1:])
+
+
+def _aw_spectrum(lam):
+    """Pure-water absorption fit over 400-700 nm (Pope & Fry 1997
+    shape, the data the reference tabulates in ecosim_inp.F)."""
+    import numpy as _np
+    return 0.0045 + 0.004 * _np.exp((lam - 500.0) / 60.0) \
+        * (lam > 500.0) + 0.0002 * _np.exp(-((lam - 420.0) / 40.0)**2)
+
+
+def _achl_spectrum(lam):
+    """Chl-specific absorption (m2/mg): blue 440 and red 675 peaks."""
+    import numpy as _np
+    return 0.015 + 0.025 * _np.exp(-((lam - 440.0) / 35.0) ** 2) \
+        + 0.012 * _np.exp(-((lam - 675.0) / 12.0) ** 2)
+
+
+def ecosim_full(cfg: ModelConfig, eco: EcoSimFullConfig, grid: Grid,
+                t, Hz, z_w, srflx, temp=None):
+    """One full-census EcoSim source/sink step; returns d(tracers)."""
+    import numpy as _np
+    nb = cfg.NAT
+    names = ecosim_full_layout(eco)
+    idx = {n: nb + i for i, n in enumerate(names)}
+    dtdays = cfg.dt * constants.sec2day
+    mv = eco.MinVal
+    ngrp = len(eco.species)
+    pigs = _ecosim_pigments(eco)
+
+    F = {n: jnp.maximum(t[idx[n]], 0.0) for n in names}
+    out = dict(F)
+    if temp is None:
+        temp = t[0]
+
+    # ---- spectral irradiance (ecosim.h:600-780) ----------------------
+    lam = _band_centers(eco.nbands)
+    aw = _aw_spectrum(lam)
+    achl = _achl_spectrum(lam)
+    Ed0 = jnp.maximum(srflx * cfg.rho0 * constants.Cp, 0.0)  # W/m2
+    # chl proxy: chl-a pigment tracer of each group (mg/m3)
+    Chl = [F[f"Pig{g+1}_1"] for g in range(ngrp)]
+    CDOC = F["CDMC1"] + F["CDMC2"]
+    par_layers = 0.0
+    for ib in range(eco.nbands):
+        att = aw[ib] + eco.aCDOC443 * CDOC \
+            * float(_np.exp(-eco.S_cdoc * (lam[ib] - 443.0)))
+        for g in range(ngrp):
+            att = att + achl[ib] * Chl[g]
+        att_dz = att * Hz
+        above = jnp.cumsum(att_dz[::-1], axis=0)[::-1] - att_dz
+        Etop = Ed0[None] / eco.nbands * jnp.exp(-above)
+        Eavg = Etop * (1.0 - jnp.exp(-att_dz)) / \
+            jnp.maximum(att_dz, 1e-12)
+        par_layers = par_layers + Eavg
+
+    # ---- phytoplankton groups ----------------------------------------
+    def quota_lim(C, X, cmin, cmax):
+        """Droop limitation from the internal C:X ratio, 1 at the
+        balanced (min) ratio, 0 at the maximum (ecosim.h C2nALG
+        nutrient-limitation block).  Disabled ratios (>=1e30 or 0)
+        return 1."""
+        if cmax >= 1.0e30 or cmax <= 0.0 or cmax <= cmin:
+            return 1.0
+        C2X = jnp.clip(C / jnp.maximum(X, mv), cmin, cmax)
+        return (cmax - C2X) / (cmax - cmin)
+
+    def uptake(pool, demand):
+        up = jnp.minimum(demand, 0.5 * out[pool])
+        out[pool] = out[pool] - up
+        return up
+
+    for g in range(ngrp):
+        gn = g + 1
+        C = F[f"PhyC{gn}"]
+        N = F[f"PhyN{gn}"]
+        P = F[f"PhyP{gn}"]
+        Fe = F[f"PhyF{gn}"]
+        has_si = f"PhyS{gn}" in idx
+        Si = F[f"PhyS{gn}"] if has_si else None
+
+        # light response with photoinhibition (ecosim.h Growth block:
+        # qu_yld initial slope, E0_comp compensation, E0_inhib onset)
+        E = par_layers
+        Gt = eco.GtALG_max[g] * (
+            1.0 - jnp.exp(-eco.qu_yld[g]
+                          * jnp.maximum(E - eco.E0_comp[g], 0.0)
+                          / eco.GtALG_max[g]))
+        Gt = Gt * jnp.exp(-jnp.maximum(E - eco.E0_inhib[g], 0.0)
+                          / eco.E0_inhib[g])
+
+        lim = jnp.minimum(
+            quota_lim(C, N, eco.minC2n[g], eco.maxC2n[g]),
+            quota_lim(C, P, eco.minC2p[g], eco.maxC2p[g]))
+        lim = jnp.minimum(
+            lim, quota_lim(C, Fe, eco.minC2Fe[g], eco.maxC2Fe[g]))
+        if has_si:
+            lim = jnp.minimum(
+                lim, quota_lim(C, Si, eco.minC2Si[g], eco.maxC2Si[g]))
+        mu = jnp.maximum(Gt * lim, 0.0)                   # 1/day
+        growth = dtdays * mu * C
+        exud = eco.ExALG[g] * growth
+        newC = C + growth - exud
+        out["DIC"] = out["DIC"] - growth
+
+        # external uptake toward the balanced quota (Michaelis-Menten)
+        def demand(X, cmin, Hs, pool):
+            if Hs[g] >= 1.0e30 or cmin >= 1.0e30 or cmin <= 0.0:
+                return 0.0
+            want = jnp.maximum(newC / cmin - X, 0.0)
+            mm = out[pool] / (Hs[g] + out[pool])
+            return jnp.minimum(dtdays * eco.GtALG_max[g] * X * mm
+                               + 0.1 * want * mm * dtdays, want)
+
+        dN = demand(N, eco.minC2n[g], eco.HsNO3, "NO3")
+        f_nh4 = out["NH4"] / jnp.maximum(out["NO3"] + out["NH4"], mv)
+        upNH4 = uptake("NH4", dN * f_nh4)
+        upNO3 = uptake("NO3", dN - dN * f_nh4)
+        newN = N + upNH4 + upNO3
+        newP = P + uptake("PO4", demand(P, eco.minC2p[g], eco.HsPO4,
+                                        "PO4"))
+        newFe = Fe + uptake("FeO", demand(Fe, eco.minC2Fe[g], eco.HsFe,
+                                          "FeO"))
+        if has_si:
+            newSi = Si + uptake("SiO", demand(Si, eco.minC2Si[g],
+                                              eco.HsSiO, "SiO"))
+
+        # grazing closure (HsGRZ loss rate): split to the two fecal
+        # pools and DOM (ecosim.h losses block)
+        graze = dtdays * eco.HsGRZ[g] * C
+        fr = graze / jnp.maximum(C, mv)
+        gN, gP, gFe = fr * newN, fr * newP, fr * newFe
+        newC = newC - graze
+        newN = newN - gN
+        newP = newP - gP
+        newFe = newFe - gFe
+        for ip, split in enumerate(eco.fec_split):
+            w = eco.graz_fec * split
+            out[f"FecC{ip+1}"] = out[f"FecC{ip+1}"] + w * graze
+            out[f"FecN{ip+1}"] = out[f"FecN{ip+1}"] + w * gN
+            out[f"FecP{ip+1}"] = out[f"FecP{ip+1}"] + w * gP
+            out[f"FecF{ip+1}"] = out[f"FecF{ip+1}"] + w * gFe
+        if has_si:
+            gSi = fr * newSi
+            newSi = newSi - gSi
+            for ip, split in enumerate(eco.fec_split):
+                out[f"FecS{ip+1}"] = out[f"FecS{ip+1}"] \
+                    + eco.graz_fec * split * gSi
+            # non-fecal Si dissolves straight back
+            out["SiO"] = out["SiO"] + (1.0 - eco.graz_fec) * gSi
+            out[f"PhyS{gn}"] = jnp.maximum(newSi, 0.0)
+        domC = (1.0 - eco.graz_fec) * graze + exud
+        cfrac = eco.cDOCfrac_c[0]
+        out["CDMC1"] = out["CDMC1"] + cfrac * (1.0 - eco.relict_frac) \
+            * domC
+        out["CDMC2"] = out["CDMC2"] + cfrac * eco.relict_frac * domC
+        out["DOMC1"] = out["DOMC1"] + (1.0 - cfrac) \
+            * (1.0 - eco.relict_frac) * domC
+        out["DOMC2"] = out["DOMC2"] + (1.0 - cfrac) \
+            * eco.relict_frac * domC
+        domN = (1.0 - eco.graz_fec) * gN
+        domP = (1.0 - eco.graz_fec) * gP
+        out["DOMN1"] = out["DOMN1"] + (1.0 - eco.relict_frac) * domN
+        out["DOMN2"] = out["DOMN2"] + eco.relict_frac * domN
+        out["DOMP1"] = out["DOMP1"] + (1.0 - eco.relict_frac) * domP
+        out["DOMP2"] = out["DOMP2"] + eco.relict_frac * domP
+        # grazed iron outside the fecal path dissolves back
+        out["FeO"] = out["FeO"] + (1.0 - eco.graz_fec) * gFe
+
+        # pigments follow group chl-a; chl-a photoacclimates toward
+        # the balanced C2CHL target (reduced ecosim.h pigment block)
+        C2CHL_tgt = jnp.clip(
+            eco.C2CHL_max - (eco.C2CHL_max - eco.C2CHL_min)
+            * par_layers / (par_layers + 30.0),
+            eco.C2CHL_min, eco.C2CHL_max)
+        chl = F[f"Pig{gn}_1"]
+        chl_tgt = jnp.maximum(newC, 0.0) * 12.0 / C2CHL_tgt
+        chl_new = chl + dtdays * (mu + eco.HsGRZ[g]) \
+            * (chl_tgt - chl)
+        out[f"Pig{gn}_1"] = jnp.maximum(chl_new, 0.0)
+        ratio = jnp.where(chl > mv, chl_new / jnp.maximum(chl, mv),
+                          1.0)
+        for p in pigs[g][1:]:
+            out[f"Pig{gn}_{p}"] = jnp.maximum(
+                F[f"Pig{gn}_{p}"] * ratio, 0.0)
+
+        out[f"PhyC{gn}"] = jnp.maximum(newC, 0.0)
+        out[f"PhyN{gn}"] = jnp.maximum(newN, 0.0)
+        out[f"PhyP{gn}"] = jnp.maximum(newP, 0.0)
+        out[f"PhyF{gn}"] = jnp.maximum(newFe, 0.0)
+
+    # ---- bacterioplankton (ecosim.h bacteria block): fixed
+    # stoichiometry C2nBAC/C2pBAC/C2FeBAC on labile DOM ---------------
+    DOC1 = out["DOMC1"] + out["CDMC1"]
+    mu_b = dtdays * eco.GtBAC_max * DOC1 / (eco.HsDOC_ba + DOC1)
+    consum = jnp.minimum(mu_b * F["BacC"] / eco.BacGE, 0.5 * DOC1)
+    growB = eco.BacGE * consum
+    resp = consum - growB
+    # split consumption between colored and uncolored labile pools
+    fC = out["CDMC1"] / jnp.maximum(DOC1, mv)
+    out["CDMC1"] = out["CDMC1"] - fC * consum
+    out["DOMC1"] = out["DOMC1"] - (1.0 - fC) * consum
+    out["DIC"] = out["DIC"] + resp
+    dBN = growB / eco.C2nBAC
+    dBP = growB / eco.C2pBAC
+    dBF = growB / eco.C2FeBAC
+    upN = jnp.minimum(dBN, 0.5 * (out["DOMN1"] + out["NH4"]))
+    fdon = out["DOMN1"] / jnp.maximum(out["DOMN1"] + out["NH4"], mv)
+    out["DOMN1"] = out["DOMN1"] - fdon * upN
+    out["NH4"] = out["NH4"] - (1.0 - fdon) * upN
+    upP = jnp.minimum(dBP, 0.5 * (out["DOMP1"] + out["PO4"]))
+    fdop = out["DOMP1"] / jnp.maximum(out["DOMP1"] + out["PO4"], mv)
+    out["DOMP1"] = out["DOMP1"] - fdop * upP
+    out["PO4"] = out["PO4"] - (1.0 - fdop) * upP
+    upF = jnp.minimum(dBF, 0.5 * out["FeO"])
+    out["FeO"] = out["FeO"] - upF
+    mort = dtdays * eco.BacMort
+    out["BacC"] = out["BacC"] + growB - mort * F["BacC"]
+    out["BacN"] = out["BacN"] + upN - mort * F["BacN"]
+    out["BacP"] = out["BacP"] + upP - mort * F["BacP"]
+    out["BacF"] = out["BacF"] + upF - mort * F["BacF"]
+    out["DOMC1"] = out["DOMC1"] + mort * F["BacC"]
+    out["DOMN1"] = out["DOMN1"] + mort * F["BacN"]
+    out["DOMP1"] = out["DOMP1"] + mort * F["BacP"]
+    out["FeO"] = out["FeO"] + mort * F["BacF"]
+
+    # ---- fecal regeneration (temperature response, RegTbase) + the
+    # WF sinking of each pool; FecS dissolves to SiO ------------------
+    Tfac = jnp.clip(2.0 ** ((temp - eco.RegTbase) / 10.0), 0.1, 2.0)
+    for ip in range(2):
+        reg = dtdays * eco.RegenR[ip] * Tfac
+        out["DIC"] = out["DIC"] + reg * out[f"FecC{ip+1}"]
+        out["NH4"] = out["NH4"] + reg * out[f"FecN{ip+1}"]
+        out["PO4"] = out["PO4"] + reg * out[f"FecP{ip+1}"]
+        out["FeO"] = out["FeO"] + reg * out[f"FecF{ip+1}"]
+        out["SiO"] = out["SiO"] + reg * out[f"FecS{ip+1}"]
+        for el in "CNPFS":
+            k = f"Fec{el}{ip+1}"
+            out[k] = out[k] * (1.0 - reg)
+
+    def sink(q, w_mday):
+        if w_mday == 0.0:
+            return q
+        w = w_mday / 86400.0 * cfg.dt
+        flux = jnp.minimum(w, 0.9 * Hz[1:]) * q[1:]
+        dq = jnp.concatenate([flux, jnp.zeros_like(q[:1])], axis=0) \
+            - jnp.concatenate([jnp.zeros_like(q[:1]), flux], axis=0)
+        return q + dq / Hz
+
+    for ip in range(2):
+        for el in "CNPFS":
+            k = f"Fec{el}{ip+1}"
+            out[k] = sink(out[k], eco.WF[ip])
+
+    # ---- CDMC photobleaching at depth-attenuated light --------------
+    bleach = dtdays * eco.photobleach * par_layers \
+        / jnp.maximum(Ed0[None] / 2.0, 1.0)
+    bleach = jnp.clip(bleach, 0.0, 0.5)
+    for ip in range(2):
+        k = f"CDMC{ip+1}"
+        loss = bleach * out[k]
+        out[k] = out[k] - loss
+        out[f"DOMC{ip+1}"] = out[f"DOMC{ip+1}"] + loss
+
+    # ---- nitrification (RtNIT * NH4/(HsNIT+NH4)) --------------------
+    nit = dtdays * eco.RtNIT * out["NH4"] / (eco.HsNIT + out["NH4"]) \
+        * out["NH4"]
+    out["NH4"] = out["NH4"] - nit
+    out["NO3"] = out["NO3"] + nit
+
+    inc = jnp.zeros_like(t)
+    for n in names:
+        inc = inc.at[idx[n]].set(out[n] - t[idx[n]])
+    return inc
+
+
+def make_ecosim_full_hook(cfg: ModelConfig, eco: EcoSimFullConfig,
+                          grid: Grid):
+    """bio_fn hook; cfg.NT must equal ecosim_full_nt(cfg, eco)."""
+    def hook(t, Hz, z_w, forcing):
+        return ecosim_full(cfg, eco, grid, t, Hz, z_w, forcing.srflx,
+                           temp=t[0])
+    return hook
