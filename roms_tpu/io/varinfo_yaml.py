@@ -27,6 +27,9 @@ _TYPE_TO_LOC = {
     "r3dvar": "r3", "u3dvar": "u3", "v3dvar": "v3", "p3dvar": "r3",
     "w3dvar": "w3", "b3dvar": "b3", "l3dvar": "r3", "l4dvar": "r3",
     "nulvar": "nul",
+    # the reference file's own typo: bvstrc has `type: idVbrs`
+    # (varinfo.yaml:1013) where v2dvar is meant
+    "idVbrs": "v2",
 }
 
 _KEY = re.compile(r"^\s*(-\s+)?([A-Za-z_][A-Za-z0-9_]*):\s*(.*?)\s*$")
