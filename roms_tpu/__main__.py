@@ -82,6 +82,21 @@ def _app_module(name: str):
                         lambda cfg, grid: {
                             "sources": idealized.riverplume_sources(
                                 cfg, grid)}),
+        "WINDBASIN": (idealized.windbasin_config,
+                      idealized.windbasin_grid,
+                      idealized.windbasin_initial,
+                      idealized.windbasin_forcing_fn, None),
+        "LMD_TEST": (idealized.lmd_test_config, idealized.lmd_test_grid,
+                     idealized.lmd_test_initial,
+                     idealized.lmd_test_forcing_fn, None),
+        "MIXED_LAYER": (idealized.mixed_layer_config,
+                        idealized.mixed_layer_grid,
+                        idealized.mixed_layer_initial,
+                        idealized.mixed_layer_forcing_fn, None),
+        "SED_TOY": (idealized.sed_toy_config, idealized.sed_toy_grid,
+                    idealized.sed_toy_initial,
+                    lambda cfg, grid: idealized.zero_forcing(cfg),
+                    None),
     }
     for key in table:
         if key in name:                    # e.g. "BENCHMARK3"
@@ -144,7 +159,8 @@ def main(argv=None):
                           eos=hdr.eos)
     elif any(k in app.upper() for k in
              ("CANYON", "OVERFLOW", "LAKE_SIGNELL", "ESTUARY_TEST",
-              "RIVERPLUME")):
+              "RIVERPLUME", "WINDBASIN", "LMD_TEST", "MIXED_LAYER",
+              "SED_TOY")):
         # same header-physics merge for the newer analytical apps:
         # the factory carries the .h file's compile-time selections
         # (mixing closure, rotated diffusion, drag law, EOS, LBC set)

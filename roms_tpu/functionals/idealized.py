@@ -619,3 +619,204 @@ def riverplume_sources(cfg: ModelConfig, grid: Grid):
     return make_point_sources(
         cfg, locations=[(j_gap, 2)], qbar_values=[1500.0],
         tsrc_values=[(14.0, 0.0)], directions=["u"])
+
+
+# ---------------------------------------------------------------------------
+# WINDBASIN — wind-driven homogeneous rotating basin (windbasin.h;
+# ana_grid.h:376-381; ana_initial.h:850-859; ana_smflux.h:331-340)
+# ---------------------------------------------------------------------------
+
+def windbasin_config(Lm: int = 101, Mm: int = 52, N: int = 25,
+                     dt: float = 300.0, ndtfast: int = 30,
+                     dtype: str = "float64") -> ModelConfig:
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=0.001, theta_b=0.0,
+                                 Tcline=1e16),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=20.0, S0=35.0,
+                      Tcoef=1.7e-4, Scoef=0.0),
+        mixing=MixingConfig(visc2=2.0),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig(),                   # closed basin
+        rho0=1025.0, gamma2=1.0, dtype=dtype,
+    )
+
+
+def windbasin_grid(cfg: ModelConfig) -> Grid:
+    return _plane_grid(cfg, 2000.0 * cfg.Lm, 1000.0 * cfg.Mm, 50.0,
+                       f0=1.0e-4)
+
+
+def windbasin_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    T = jnp.full((cfg.N, Mj, Li), 20.0, cfg.dtype)   # homogeneous
+    S = jnp.full_like(T, cfg.eos.S0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def windbasin_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """Westward wind ramped over 2 days then constant -0.1 N/m2
+    (ana_smflux.h:331-340)."""
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    zerosT = jnp.zeros((cfg.NT, Mj, Li), dtype)
+
+    def forcing(time):
+        tdays = time / 86400.0
+        amp = jnp.where(tdays <= 2.0,
+                        -0.1 * jnp.sin(jnp.pi * tdays / 4.0),
+                        -0.1) / cfg.rho0
+        return Forcing(sustr=amp + zeros, svstr=zeros, stflx=zerosT,
+                       btflx=zerosT, srflx=zeros)
+
+    return forcing
+
+
+# ---------------------------------------------------------------------------
+# LMD_TEST — doubly periodic KPP mixed-layer deepening under a wind
+# pulse (lmd_test.h; ana_grid.h; ana_initial.h:719-730;
+# ana_smflux.h:236-250)
+# ---------------------------------------------------------------------------
+
+def lmd_test_config(Lm: int = 10, Mm: int = 10, N: int = 50,
+                    dt: float = 300.0, ndtfast: int = 30,
+                    dtype: str = "float64") -> ModelConfig:
+    from ..config import PERIODIC
+    per = LBC(west=PERIODIC, east=PERIODIC, south=PERIODIC,
+              north=PERIODIC)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=3.0, theta_b=0.0, Tcline=50.0),
+        eos=EOSConfig(),                       # NONLIN_EOS
+        mixing=MixingConfig(vmix="lmd", bkpp=True),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig.uniform(per),
+        rho0=1025.0, gamma2=1.0, dtype=dtype,
+    )
+
+
+def lmd_test_grid(cfg: ModelConfig) -> Grid:
+    return _plane_grid(cfg, 100.0e3, 100.0e3, 50.0, f0=1.09e-4)
+
+
+def lmd_test_initial(cfg: ModelConfig, grid: Grid) -> State:
+    from ..grid.depth import set_depth
+    zeta = jnp.zeros(cfg.shape2d, cfg.dtype)
+    z_r, _, _ = set_depth(grid, zeta)
+    T = jnp.minimum(13.0, 7.0 + 0.2 * (z_r + 50.0))
+    S = jnp.full_like(T, 35.0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def lmd_test_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """16-hour wind pulse -0.6 sin(pi t/T) sin(2 pi t/T) N/m2
+    (ana_smflux.h:236-250)."""
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    zerosT = jnp.zeros((cfg.NT, Mj, Li), dtype)
+
+    def forcing(time):
+        amp = jnp.where(
+            time <= 57600.0,
+            -0.6 * jnp.sin(jnp.pi * time / 57600.0)
+            * jnp.sin(2.0 * jnp.pi * time / 57600.0) / cfg.rho0,
+            0.0)
+        return Forcing(sustr=amp + zeros, svstr=zeros, stflx=zerosT,
+                       btflx=zerosT, srflx=zeros)
+
+    return forcing
+
+
+# ---------------------------------------------------------------------------
+# MIXED_LAYER — tiny GLS surface-mixed-layer deepening box
+# (mixed_layer.h; ana_grid.h; ana_initial.h:731-742; ana_smflux.h:189-197)
+# ---------------------------------------------------------------------------
+
+def mixed_layer_config(Lm: int = 5, Mm: int = 4, N: int = 30,
+                       dt: float = 30.0, ndtfast: int = 10,
+                       dtype: str = "float64") -> ModelConfig:
+    from ..config import PERIODIC
+    per = LBC(west=PERIODIC, east=PERIODIC, south=PERIODIC,
+              north=PERIODIC)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=0.001, theta_b=0.0,
+                                 Tcline=1e16),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=10.0, S0=35.0,
+                      Tcoef=1.7e-4, Scoef=0.0),
+        mixing=MixingConfig(vmix="gls"),
+        drag=BottomDragConfig(kind="log", Zob=0.02),
+        bc=BoundaryConfig.uniform(per),
+        rho0=1025.0, gamma2=1.0, uv_cor=False, dtype=dtype,
+    )
+
+
+def mixed_layer_grid(cfg: ModelConfig) -> Grid:
+    return _plane_grid(cfg, 500.0, 400.0, 50.0, f0=0.0)
+
+
+def mixed_layer_initial(cfg: ModelConfig, grid: Grid) -> State:
+    from ..grid.depth import set_depth
+    zeta = jnp.zeros(cfg.shape2d, cfg.dtype)
+    z_r, _, _ = set_depth(grid, zeta)
+    T = 10.0 + 3.0 * (z_r + grid.h[None]) / grid.h[None]
+    S = jnp.full_like(T, cfg.eos.S0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def mixed_layer_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """Constant 1e-4 m2/s2 kinematic wind stress (ana_smflux.h:189)."""
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    zerosT = jnp.zeros((cfg.NT, Mj, Li), dtype)
+    sustr = jnp.full((Mj, Li), 1.0e-4, dtype)
+
+    def forcing(time):
+        return Forcing(sustr=sustr, svstr=zeros, stflx=zerosT,
+                       btflx=zerosT, srflx=zeros)
+
+    return forcing
+
+
+# ---------------------------------------------------------------------------
+# SED_TOY — doubly periodic sediment column driven by a prescribed
+# current (sed_toy.h; ana_grid.h; ana_initial.h:292-300, 491-499)
+# ---------------------------------------------------------------------------
+
+def sed_toy_config(Lm: int = 4, Mm: int = 3, N: int = 20,
+                   dt: float = 2.0, ndtfast: int = 10,
+                   dtype: str = "float64") -> ModelConfig:
+    from ..config import PERIODIC
+    per = LBC(west=PERIODIC, east=PERIODIC, south=PERIODIC,
+              north=PERIODIC)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=3, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=0.001, theta_b=0.0,
+                                 Tcline=1e16),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=14.0, S0=35.0,
+                      Tcoef=1.7e-4, Scoef=0.0),
+        mixing=MixingConfig(vmix="gls"),
+        drag=BottomDragConfig(kind="log", Zob=0.0005),
+        bc=BoundaryConfig.uniform(per),
+        rho0=1025.0, gamma2=1.0, uv_cor=False, dtype=dtype,
+    )
+
+
+def sed_toy_grid(cfg: ModelConfig) -> Grid:
+    return _plane_grid(cfg, 40.0, 30.0, 0.5, f0=0.0)
+
+
+def sed_toy_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    T = jnp.full((cfg.N, Mj, Li), 14.0, cfg.dtype)
+    S = jnp.full_like(T, 35.0)
+    sed0 = jnp.zeros_like(T)
+    u = jnp.ones((cfg.N, Mj, Li), cfg.dtype)       # 1 m/s along-flume
+    return initial_state(cfg, grid, u=u, t=jnp.stack([T, S, sed0]))
