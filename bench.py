@@ -113,17 +113,34 @@ def _run_size(jax, size, steps, warmup, dtype, variant):
     jax.block_until_ready(s)
     wall = time.perf_counter() - t0
 
+    # Force a real device->host readback: a wedged backend can make
+    # block_until_ready return instantly on bogus buffers (observed as
+    # an impossible 0.22 ms/step BENCHMARK3 "measurement" after an
+    # INTERNAL tunnel error earlier in the same process).
+    import numpy as np
+    zsum = float(np.asarray(s.zeta).sum())
+    if not np.isfinite(zsum):
+        raise RuntimeError(f"non-finite state after {steps} steps")
+
     points = Lm * Mm * N
     value = points * steps / wall
     vs = (round(value / ROUND1_BM3_FULL, 3)
           if (size == 3 and full) else None)
-    print(json.dumps({
+    rec = {
         "metric": _metric_name(size, variant),
         "value": round(value, 1),
         "unit": "gridpoint-steps/s",
         "vs_baseline": vs,
         "ms_per_step": round(wall / steps * 1e3, 2),
-    }), flush=True)
+        "zeta_sum": zsum,
+    }
+    # Sanity floor: one step touches >= ~40 field-sized HBM passes;
+    # anything below 0.01 ms per million interior points is physically
+    # impossible on this chip class and flags a broken measurement.
+    if wall / steps < 0.01e-3 * (points / 1e6):
+        rec["error"] = "implausible_timing"
+    print(json.dumps(rec), flush=True)
+    return "error" not in rec
 
 
 def main():
@@ -142,6 +159,21 @@ def main():
                         "size-3 line printed last)")
     args = p.parse_args()
 
+    if args.ladder:
+        # One fresh subprocess per rung: a backend INTERNAL error
+        # poisons the whole process (subsequent "runs" return garbage
+        # timings), so rungs must not share a jax runtime.
+        import subprocess
+        rc = 0
+        for size in (1, 2, 3):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--size", str(size), "--steps", str(args.steps),
+                   "--warmup", str(args.warmup), "--dtype", args.dtype,
+                   "--variant", args.variant]
+            r = subprocess.run(cmd, timeout=1800)
+            rc = rc or r.returncode
+        sys.exit(rc)
+
     try:
         jax, _ = _init_backend(args)
     except TimeoutError as e:
@@ -154,17 +186,16 @@ def main():
         _emit_error(args.size, args.variant, kind, str(e))
         sys.exit(1)
 
-    sizes = [1, 2, 3] if args.ladder else [args.size]
     rc = 0
-    for size in sizes:
-        try:
-            _run_size(jax, size, args.steps, args.warmup,
-                      args.dtype, args.variant)
-        except Exception as e:
-            kind = ("backend_unavailable" if "UNAVAILABLE" in str(e)
-                    else "run_failed")
-            _emit_error(size, args.variant, kind, str(e))
-            rc = 1
+    try:
+        ok = _run_size(jax, args.size, args.steps, args.warmup,
+                       args.dtype, args.variant)
+        rc = 0 if ok else 1
+    except Exception as e:
+        kind = ("backend_unavailable" if "UNAVAILABLE" in str(e)
+                else "run_failed")
+        _emit_error(args.size, args.variant, kind, str(e))
+        rc = 1
     sys.exit(rc)
 
 
