@@ -575,11 +575,15 @@ def make_fast_loop(cfg: ModelConfig, nfast: int, w1, w2,
                   ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic,
                   obc=None, sources=None, stokes2d=None):
         from ..ops import pallas_step2d as p2d
+        use_res = p2d.use_pallas_fastloop_res(cfg, zeta0.shape)
         if (obc in (None, {}) and sources is None and stokes2d is None
-                and p2d.use_pallas_step2d(cfg)):
-            # fused Pallas engine: whole predictor+corrector substep in
-            # one VMEM pass (ops/pallas_step2d.py)
-            pc = p2d.fast_loop_pallas(
+                and (use_res or p2d.use_pallas_step2d(cfg))):
+            # fused Pallas engine: VMEM-resident whole-grid loop (all
+            # substeps in ONE kernel) when it fits, else the j-blocked
+            # per-substep kernel (ops/pallas_step2d.py)
+            engine = (p2d.fast_loop_pallas_res if use_res
+                      else p2d.fast_loop_pallas)
+            pc = engine(
                 cfg, grid, nfast, w1j, w2j, var_rho,
                 zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
                 ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic)

@@ -137,11 +137,38 @@ _OUTPUTS = ("zeta", "ubar", "vbar", "zeta_prev", "ubar_prev",
             "rufrc", "rvfrc", "Zt", "DU1", "DV1", "DU2", "DV2")
 
 
-def _flux_state(E, zeta, ubar, vbar, Li):
+def _on_u(E, C):
+    """1/pn_u with ghost col 0 copied (grid/grid.py:137,144)."""
+    if not C.get("derive"):
+        return E["on_u"]
+    pn = E["pn"]
+    lane = _iota_l(pn.shape)
+    pn_u = jnp.where(lane == 0, pn, 0.5 * (pn + _im1(pn)))
+    return 1.0 / pn_u
+
+
+def _om_v(E, C):
+    """1/pm_v with ghost row 0 copied (grid/grid.py:138,145)."""
+    if not C.get("derive"):
+        return E["om_v"]
+    pm = E["pm"]
+    pm_v = jnp.where(C["grow"] == 0, pm, 0.5 * (pm + _jm1(pm)))
+    return 1.0 / pm_v
+
+
+def _p_avg(a, grow):
+    """grid._avg_p: psi-point average with ghost row/col 0 copied."""
+    out = 0.25 * (a + _im1(a) + _jm1(a) + _im1(_jm1(a)))
+    out = jnp.where(grow == 0, a, out)
+    return jnp.where(_iota_l(a.shape) == 0, a, out)
+
+
+def _flux_state(E, C, zeta, ubar, vbar):
     """core/step2d._flux_state for the gated config (EW-periodic)."""
+    Li = C["Li"]
     Drhs = zeta + E["h"]
-    DUon = ubar * (0.5 * (Drhs + _im1(Drhs))) * E["on_u"]
-    DVom = vbar * (0.5 * (Drhs + _jm1(Drhs))) * E["om_v"]
+    DUon = ubar * (0.5 * (Drhs + _im1(Drhs))) * _on_u(E, C)
+    DVom = vbar * (0.5 * (Drhs + _jm1(Drhs))) * _om_v(E, C)
     Drhs = _perx(Drhs, Li)
     DUon = _perx(DUon, Li)
     DVom = _perx(DVom, Li)
@@ -163,9 +190,11 @@ def _gzeta(zwrk, rhoS, rhoA, var_rho, sal_scalar, rho0):
     return gzeta, gzeta2, gzetaSA, zwrk
 
 
-def _rhs2d(E, ubar, vbar, Drhs, DUon, DVom, gz, gz2, gzSA, zwrk,
-           grow, Mj, Li, g, var_rho, uv_adv, uv_cor, curvgrid, visc_on):
+def _rhs2d(E, C, ubar, vbar, Drhs, DUon, DVom, gz, gz2, gzSA, zwrk):
     """core/step2d._rhs2d_momentum, EW-periodic / non-NS-periodic."""
+    grow, Mj, Li, g = C["grow"], C["Mj"], C["Li"], C["g"]
+    var_rho, uv_adv = C["var_rho"], C["uv_adv"]
+    uv_cor, curvgrid, visc_on = C["uv_cor"], C["curvgrid"], C["visc_on"]
     h = E["h"]
     cff1 = 0.5 * g
     third = 1.0 / 3.0
@@ -179,8 +208,8 @@ def _rhs2d(E, ubar, vbar, Drhs, DUon, DVom, gz, gz2, gzSA, zwrk,
         pg_v = pg_v + (_jm1(h) - h) * (
             _jm1(gzSA) + gzSA
             + third * (_jm1(rhoA) - rhoA) * (_jm1(zwrk) - zwrk))
-    rhs_u = cff1 * E["on_u"] * pg_u
-    rhs_v = cff1 * E["om_v"] * pg_v
+    rhs_u = cff1 * _on_u(E, C) * pg_u
+    rhs_v = cff1 * _om_v(E, C) * pg_v
 
     if uv_adv:
         sixth = 1.0 / 6.0
@@ -227,9 +256,20 @@ def _rhs2d(E, ubar, vbar, Drhs, DUon, DVom, gz, gz2, gzSA, zwrk,
         rhs_v = rhs_v - 0.5 * (VFec + _jm1(VFec))
 
     if curvgrid and uv_adv:
+        if C.get("derive"):
+            # ana_grid.h:762-775 centered differences, edges zeroed
+            inv_pn = 1.0 / E["pn"]
+            inv_pm = 1.0 / E["pm"]
+            lane = _iota_l(inv_pn.shape)
+            dndx = jnp.where((lane == 0) | (lane == Li - 1), 0.0,
+                             0.5 * (_ip1(inv_pn) - _im1(inv_pn)))
+            dmde = jnp.where((grow == 0) | (grow == Mj - 1), 0.0,
+                             0.5 * (_jp1(inv_pm) - _jm1(inv_pm)))
+        else:
+            dndx, dmde = E["dndx"], E["dmde"]
         cff1_ = 0.5 * (vbar + _jp1(vbar))
         cff2_ = 0.5 * (ubar + _ip1(ubar))
-        cffm = Drhs * (cff1_ * E["dndx"] - cff2_ * E["dmde"])
+        cffm = Drhs * (cff1_ * dndx - cff2_ * dmde)
         UFxm = cffm * cff1_
         VFem = cffm * cff2_
         UFxm = _perx(UFxm, Li)
@@ -238,26 +278,50 @@ def _rhs2d(E, ubar, vbar, Drhs, DUon, DVom, gz, gz2, gzSA, zwrk,
         rhs_v = rhs_v - 0.5 * (VFem + _jm1(VFem))
 
     if visc_on:
+        pn, pm = E["pn"], E["pm"]
+        if C.get("derive"):
+            # metrics.F combinations recomputed in place of 9 resident
+            # VMEM blocks (grid/grid.py:126-153)
+            lane = _iota_l(pm.shape)
+            rmask = E["rmask"]
+            pmask = (rmask * _im1(rmask) * _jm1(rmask)
+                     * _im1(_jm1(rmask)))
+            pmask = jnp.where((grow == 0) | (lane == 0), 1.0, pmask)
+            on_r = 1.0 / pn
+            om_r = 1.0 / pm
+            pmon_r = pm / pn
+            pnom_r = pn / pm
+            pm_p = _p_avg(pm, grow)
+            pn_p = _p_avg(pn, grow)
+            om_p = 1.0 / pm_p
+            on_p = 1.0 / pn_p
+            pmon_p = pm_p / pn_p
+            pnom_p = pn_p / pm_p
+        else:
+            pmask = E["pmask"]
+            on_r, om_r = E["on_r"], E["om_r"]
+            pmon_r, pnom_r = E["pmon_r"], E["pnom_r"]
+            om_p, on_p = E["om_p"], E["on_p"]
+            pmon_p, pnom_p = E["pmon_p"], E["pnom_p"]
         Drhs_p = 0.25 * (Drhs + _im1(Drhs) + _jm1(Drhs)
                          + _im1(_jm1(Drhs)))
-        pn, pm = E["pn"], E["pm"]
         upn = pn + _im1(pn)
         vpm = pm + _jm1(pm)
         cff_r = E["visc2_r"] * Drhs * 0.5 * (
-            E["pmon_r"] * (_ip1(upn * ubar) - (upn * ubar))
-            - E["pnom_r"] * (_jp1(vpm * vbar) - (vpm * vbar)))
+            pmon_r * (_ip1(upn * ubar) - (upn * ubar))
+            - pnom_r * (_jp1(vpm * vbar) - (vpm * vbar)))
         cff_r = _perx(cff_r, Li)
-        UFxv = E["on_r"] * E["on_r"] * cff_r
-        VFev = E["om_r"] * E["om_r"] * cff_r
+        UFxv = on_r * on_r * cff_r
+        VFev = om_r * om_r * cff_r
 
         vpn = pn + _jm1(pn)
         upm = pm + _im1(pm)
         cff_p = E["visc2_p"] * Drhs_p * 0.5 * (
-            E["pmon_p"] * ((vpn * vbar) - _im1(vpn * vbar))
-            + E["pnom_p"] * ((upm * ubar) - _jm1(upm * ubar))) * E["pmask"]
+            pmon_p * ((vpn * vbar) - _im1(vpn * vbar))
+            + pnom_p * ((upm * ubar) - _jm1(upm * ubar))) * pmask
         cff_p = _perx(cff_p, Li)
-        UFev = E["om_p"] * E["om_p"] * cff_p
-        VFxv = E["on_p"] * E["on_p"] * cff_p
+        UFev = om_p * om_p * cff_p
+        VFxv = on_p * on_p * cff_p
 
         rhs_u = rhs_u + 0.5 * upn * (UFxv - _im1(UFxv)) \
             + 0.5 * upm * (_jp1(UFev) - UFev)
@@ -280,7 +344,7 @@ def _substep(E, P, scget, C):
     3 rows per stage), so KS substeps per call are valid while
     6*KS <= BJ.
     """
-    BJ, Mj, Li = C["BJ"], C["Mj"], C["Li"]
+    Mj, Li = C["Mj"], C["Li"]
     grow = C["grow"]
     g, rho0, dtfast = C["g"], C["rho0"], C["dtfast"]
     var_rho, sal_scalar = C["var_rho"], C["sal_scalar"]
@@ -289,7 +353,7 @@ def _substep(E, P, scget, C):
     first = jnp.full(ext_shape, scget(0)) != 0.0
     # center-rows mask at its own shape: strided-slicing an i1 vector
     # crashes Mosaic's ApplyVectorLayout
-    firstc = jnp.full((BJ,) + ext_shape[1:], scget(0)) != 0.0
+    firstc = jnp.full(C["center_shape"], scget(0)) != 0.0
     cffA1, cffA2p, cffA2c = scget(1), scget(2), scget(3)
     a1, a2, a3 = scget(4), scget(5), scget(6)
 
@@ -298,11 +362,10 @@ def _substep(E, P, scget, C):
     pmn4_u = (E["pm"] + _im1(E["pm"])) * (E["pn"] + _im1(E["pn"]))
     pmn4_v = (E["pm"] + _jm1(E["pm"])) * (E["pn"] + _jm1(E["pn"]))
 
-    def ctr(x):
-        return jax.lax.slice_in_dim(x, BJ, 2 * BJ, axis=0)
+    ctr = C["ctr"]
 
     # ================= predictor (over the whole ext window) ==========
-    Drhs, DUon, DVom = _flux_state(E, zeta, ubar, vbar, Li)
+    Drhs, DUon, DVom = _flux_state(E, C, zeta, ubar, vbar)
 
     # fast-time averaging, predictor branch (step2d_LF_AM3.h:742-800)
     zero_c = jnp.zeros_like(P["Zt"])
@@ -328,17 +391,21 @@ def _substep(E, P, scget, C):
     zeta_p = _bc_rho(zeta_p, grow, Mj, Li)
     Dnew = zeta_p + E["h"]
 
-    rhs_u, rhs_v = _rhs2d(E, ubar, vbar, Drhs, DUon, DVom,
-                          gz, gz2, gzSA, zwrk, grow, Mj, Li, g,
-                          var_rho, C["uv_adv"], C["uv_cor"],
-                          C["curvgrid"], C["visc_on"])
+    rhs_u, rhs_v = _rhs2d(E, C, ubar, vbar, Drhs, DUon, DVom,
+                          gz, gz2, gzSA, zwrk)
 
     # 2D<-3D coupling conversion on the first fast step
     # (step2d_LF_AM3.h:2190-2425)
     rufrc_c = jnp.where(first, E["rufrc"] - rhs_u, E["rufrc"])
     rvfrc_c = jnp.where(first, E["rvfrc"] - rhs_v, E["rvfrc"])
-    forcing_u = a1 * rufrc_c - a2 * E["ru0"] + a3 * E["ru0p2"]
-    forcing_v = a1 * rvfrc_c - a2 * E["rv0"] + a3 * E["rv0p2"]
+    if "fu_hist" in E:
+        # resident engine: -a2*ru0 + a3*ru0p2 precombined outside the
+        # kernel (constant across substeps) to drop 2 VMEM fields
+        forcing_u = a1 * rufrc_c + E["fu_hist"]
+        forcing_v = a1 * rvfrc_c + E["fv_hist"]
+    else:
+        forcing_u = a1 * rufrc_c - a2 * E["ru0"] + a3 * E["ru0p2"]
+        forcing_v = a1 * rvfrc_c - a2 * E["rv0"] + a3 * E["rv0p2"]
     ru_m = rhs_u + jnp.where(first, forcing_u, rufrc_c)
     rv_m = rhs_v + jnp.where(first, forcing_v, rvfrc_c)
 
@@ -359,7 +426,7 @@ def _substep(E, P, scget, C):
     vbar_p = _bc_v(vbar_p, grow, Mj, Li)
 
     # ================= corrector ======================================
-    Drhs2, DUon2, DVom2 = _flux_state(E, zeta_p, ubar_p, vbar_p, Li)
+    Drhs2, DUon2, DVom2 = _flux_state(E, C, zeta_p, ubar_p, vbar_p)
     Pn["DU2"] = DU2 + cffA2c * ctr(DUon2)
     Pn["DV2"] = DV2 + cffA2c * ctr(DVom2)
 
@@ -379,10 +446,8 @@ def _substep(E, P, scget, C):
     zeta_c = _bc_rho(zeta_c, grow, Mj, Li)
     Dnew2 = zeta_c + E["h"]
 
-    rhs_u2, rhs_v2 = _rhs2d(E, ubar_p, vbar_p, Drhs2, DUon2, DVom2,
-                            gzc, gz2c, gzSAc, zwrk2, grow, Mj, Li, g,
-                            var_rho, C["uv_adv"], C["uv_cor"],
-                            C["curvgrid"], C["visc_on"])
+    rhs_u2, rhs_v2 = _rhs2d(E, C, ubar_p, vbar_p, Drhs2, DUon2, DVom2,
+                            gzc, gz2c, gzSAc, zwrk2)
     rhs_u2 = rhs_u2 + rufrc_c
     rhs_v2 = rhs_v2 + rvfrc_c
 
@@ -434,10 +499,12 @@ def _kernel(Li, Mj, BJ, KS, g, rho0, dtfast, gamma2, sal_scalar,
     ext_shape = E["zeta"].shape
     grow = (jax.lax.broadcasted_iota(jnp.int32, ext_shape, 0)
             + pl.program_id(0) * BJ - BJ)
-    C = dict(BJ=BJ, Mj=Mj, Li=Li, grow=grow, g=g, rho0=rho0,
+    C = dict(Mj=Mj, Li=Li, grow=grow, g=g, rho0=rho0,
              dtfast=dtfast, gamma2=gamma2, sal_scalar=sal_scalar,
              var_rho=var_rho, uv_adv=uv_adv, uv_cor=uv_cor,
-             curvgrid=curvgrid, visc_on=visc_on)
+             curvgrid=curvgrid, visc_on=visc_on,
+             center_shape=(BJ,) + ext_shape[1:],
+             ctr=lambda x: jax.lax.slice_in_dim(x, BJ, 2 * BJ, axis=0))
 
     for ks in range(KS):
         E, P = _substep(E, P,
@@ -616,12 +683,213 @@ def _interp():
     return os.environ.get("ROMS_TPU_PALLAS_STEP2D_INTERPRET", "") == "1"
 
 
-def use_pallas_step2d(cfg) -> bool:
-    """Kernel covers the EW-periodic channel class with closed N/S
-    walls and no auxiliary 2D physics; everything else -> jnp."""
-    from .kernel_gate import pallas_enabled
-    if not pallas_enabled():
-        return False
+# ---------------------------------------------------------------------------
+# VMEM-resident whole-grid engine
+# ---------------------------------------------------------------------------
+#
+# The ext-window engine above pays 3x-redundant compute per j-block and
+# re-reads 39 field triples from HBM every KS substeps — measured SLOWER
+# than the jnp lax.scan at every BENCHMARK size.  This engine removes
+# both costs: the full 2-D grid is ONE block (a BENCHMARK3 field is
+# only ~2.3 MB padded), the 16-field carry lives in the output VMEM
+# blocks for the WHOLE fast loop, and a lax.fori_loop inside the kernel
+# runs all nfast substeps back-to-back.  HBM traffic collapses to one
+# read of the carry + statics and one write of the carry — everything
+# between is VPU work on VMEM.  No halo windows, no redundant rows:
+# row shifts wrap the whole grid and the in-kernel BCs overwrite the
+# contaminated ring, exactly like the jnp engine's roll discipline.
+
+_RES_E = ("zeta", "zeta_prev", "ubar", "ubar_prev", "vbar", "vbar_prev",
+          "rzeta_prev", "rubar_prev", "rvbar_prev", "rufrc", "rvfrc")
+_RES_CARRY = _RES_E + _POINTWISE      # 16 in-kernel carry fields
+
+
+def _res_grid_names(uv_cor, curvgrid, visc_on):
+    """Config-dependent grid-field subset (VMEM is the scarce
+    resource).  All metric combinations (on_u, om_v, dndx/dmde, the
+    nine viscosity metrics, pmask) are re-derived in-kernel from
+    pm/pn/rmask at their use sites (C["derive"]) — scoped temporaries
+    instead of loop-lifetime resident blocks."""
+    names = ["h", "pm", "pn", "rmask", "umask", "vmask"]
+    if uv_cor:
+        names.append("fomn")
+    if visc_on:
+        names += ["visc2_r", "visc2_p"]
+    return tuple(names)
+
+
+_RES_H = 8          # seam halo rows (>= the 6-row/substep shift chain)
+_RES_NTMP = 62      # measured Mosaic live-temp peak in substep bodies
+
+
+def _res_blocks(Mj, NB):
+    """Static eta-block geometry: (center_start, center_end,
+    window_start, window_end) per block."""
+    BJ = -(-Mj // NB)
+    out = []
+    for b in range(NB):
+        cs, ce = b * BJ, min(Mj, (b + 1) * BJ)
+        out.append((cs, ce, max(0, cs - _RES_H), min(Mj, ce + _RES_H)))
+    return out
+
+
+def _kernel_res(nfast, Mj, Li, nstat, NB, g, rho0, dtfast, gamma2,
+                sal_scalar, var_rho, uv_adv, uv_cor, curvgrid, visc_on,
+                stat_names, *refs):
+    nd = len(_RES_CARRY)
+    nE = len(_RES_E)
+    ins = refs[:nd]
+    stat = refs[nd:nd + nstat]
+    sc = refs[nd + nstat]
+    outs = refs[nd + nstat + 1: nd + nstat + 1 + nd]
+    stash = refs[-2] if NB > 1 else None
+    sem = refs[-1]
+
+    # Carry initialization: DMA HBM inputs into the VMEM output blocks,
+    # which then double as the loop state (avoids 16 input VMEM blocks).
+    for i in range(nd):
+        pltpu.make_async_copy(ins[i], outs[i], sem.at[i]).start()
+    for i in range(nd):
+        pltpu.make_async_copy(ins[i], outs[i], sem.at[i]).wait()
+
+    blocks = _res_blocks(Mj, NB)
+
+    def body(i, _):
+        def scget(j):
+            return sc[i, j]
+
+        # Temporaries scale with the window, so large grids process the
+        # substep in NB eta-blocks.  Blocks run south->north; each
+        # block's south halo needs PRE-substep rows already overwritten
+        # by the previous block, so those seam rows are stashed first.
+        if NB > 1:
+            for b in range(1, NB):
+                cs = blocks[b][0]
+                for k in range(nE):
+                    stash[b - 1, k] = outs[k][cs - _RES_H:cs, :]
+
+        for b, (cs, ce, ws, we) in enumerate(blocks):
+            E = {}
+            for k, name in enumerate(_RES_E):
+                if b == 0:
+                    E[name] = outs[k][ws:we, :]
+                else:
+                    E[name] = jnp.concatenate(
+                        [stash[b - 1, k], outs[k][cs:we, :]], axis=0)
+            for k, name in enumerate(stat_names):
+                E[name] = stat[k][ws:we, :]
+            P = {name: outs[nE + k][cs:ce, :]
+                 for k, name in enumerate(_POINTWISE)}
+            grow = (jax.lax.broadcasted_iota(jnp.int32, (we - ws, Li), 0)
+                    + ws)
+            off, nc = cs - ws, ce - cs
+            C = dict(Mj=Mj, Li=Li, grow=grow, g=g, rho0=rho0,
+                     dtfast=dtfast, gamma2=gamma2,
+                     sal_scalar=sal_scalar, var_rho=var_rho,
+                     uv_adv=uv_adv, uv_cor=uv_cor, curvgrid=curvgrid,
+                     visc_on=visc_on, center_shape=(nc, Li),
+                     ctr=lambda x, o=off, n=nc:
+                         jax.lax.slice_in_dim(x, o, o + n, axis=0),
+                     derive=True)
+            En, Pn = _substep(E, P, scget, C)
+            for k, name in enumerate(_RES_E):
+                outs[k][cs:ce, :] = C["ctr"](En[name])
+            for k, name in enumerate(_POINTWISE):
+                outs[nE + k][cs:ce, :] = Pn[name]
+        return 0
+
+    jax.lax.fori_loop(0, nfast, body, 0)
+
+
+def fast_loop_pallas_res(cfg, grid, nfast, w1j, w2j, var_rho,
+                         zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
+                         ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic):
+    """Whole-fast-loop-resident engine: one kernel call runs all nfast
+    predictor+corrector substeps with the carry held in VMEM.  Same
+    return contract as fast_loop_pallas."""
+    interpret = _interp()
+    dtype = zeta0.dtype
+    Mj, Li = zeta0.shape
+    zeros = jnp.zeros_like(zeta0)
+    a1 = jnp.where(iic == 0, 1.0, jnp.where(iic == 1, 1.5, 23.0 / 12.0))
+    a2 = jnp.where(iic == 0, 0.0, jnp.where(iic == 1, 0.5, 16.0 / 12.0))
+    a3 = jnp.where(iic <= 1, 0.0, 5.0 / 12.0)
+
+    iifs = jnp.arange(1, nfast + 1, dtype=jnp.int32)
+    firstb = iifs == 1
+    cffA1 = jnp.where(firstb, 0.0, w1j[jnp.maximum(iifs - 2, 0)])
+    cffA2p = jnp.where(firstb,
+                       (-1.0 / 12.0) * w2j[iifs],
+                       (8.0 / 12.0) * w2j[iifs - 1]
+                       - (1.0 / 12.0) * w2j[iifs])
+    cffA2c = jnp.where(firstb, w2j[iifs - 1],
+                       (5.0 / 12.0) * w2j[iifs - 1])
+    ones = jnp.ones_like(cffA1)
+    sc_all = jnp.stack([firstb.astype(dtype), cffA1, cffA2p, cffA2c,
+                        a1 * ones, a2 * ones, a3 * ones],
+                       axis=1).astype(dtype)
+
+    # -a2*ru0 + a3*ru0p2 is substep-invariant: combine outside
+    fu_hist = (-a2 * ru0_prev + a3 * ru0_prev2).astype(dtype)
+    fv_hist = (-a2 * rv0_prev + a3 * rv0_prev2).astype(dtype)
+
+    uv_cor = bool(cfg.uv_cor)
+    curv = bool(cfg.curvgrid and cfg.uv_adv)
+    visc_on = bool(cfg.mixing.visc2 > 0.0)
+    gnames = _res_grid_names(uv_cor, curv, visc_on)
+    stat_names = ("fu_hist", "fv_hist", "rhoS", "rhoA") + gnames
+
+    dyn0 = dict(zeta=zeta0, zeta_prev=zeta0, ubar=ubar0,
+                ubar_prev=ubar0, vbar=vbar0, vbar_prev=vbar0,
+                rzeta_prev=zeros, rubar_prev=zeros, rvbar_prev=zeros,
+                rufrc=rufrc, rvfrc=rvfrc, Zt=zeros, DU1=zeros,
+                DV1=zeros, DU2=zeros, DV2=zeros)
+    statf = dict(fu_hist=fu_hist, fv_hist=fv_hist,
+                 rhoS=rhoS.astype(dtype), rhoA=rhoA.astype(dtype))
+    for n in gnames:
+        statf[n] = getattr(grid, n).astype(dtype)
+
+    NB = _pick_nb(Mj, Li, jnp.dtype(dtype).itemsize, len(stat_names))
+    NB = max(NB, 1)
+    nb_env = os.environ.get("ROMS_TPU_FASTLOOP_RES_NB", "")
+    if nb_env:
+        NB = int(nb_env)
+
+    args = ([dyn0[n] for n in _RES_CARRY]
+            + [statf[n] for n in stat_names] + [sc_all])
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = ([anyspec] * len(_RES_CARRY)
+                + [vspec] * len(stat_names)
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)])
+    scratch = []
+    if NB > 1:
+        scratch.append(pltpu.VMEM((NB - 1, len(_RES_E), _RES_H, Li),
+                                  dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((len(_RES_CARRY),)))
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel_res, nfast, Mj, Li, len(stat_names), NB,
+            float(cfg.g), float(cfg.rho0),
+            float(cfg.dt / cfg.ndtfast), float(cfg.gamma2),
+            float(cfg.sal_scalar or 0.0), bool(var_rho),
+            bool(cfg.uv_adv), uv_cor, curv, visc_on, stat_names),
+        out_shape=tuple(jax.ShapeDtypeStruct((Mj, Li), dtype)
+                        for _ in _RES_CARRY),
+        in_specs=in_specs,
+        out_specs=tuple(vspec for _ in _RES_CARRY),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(*args)
+    return dict(zip(_RES_CARRY, outs))
+
+
+def _class_ok(cfg) -> bool:
+    """EW-periodic channel with closed N/S walls, no aux 2D physics —
+    the config class both Pallas fast-loop engines cover."""
     from ..config import CLOSED, PERIODIC
     bc = cfg.bc
     if not bc.ew_periodic or bc.ns_periodic or bc.volcons:
@@ -632,6 +900,60 @@ def use_pallas_step2d(cfg) -> bool:
         if lbc.south != CLOSED or lbc.north != CLOSED:
             return False
     if cfg.wetdry:
+        return False
+    return True
+
+
+def _pick_nb(Mj, Li, itemsize, nstat):
+    """Smallest eta-block count whose VMEM estimate fits: 16 resident
+    carry blocks + statics at full size, ~_RES_NTMP live temporaries
+    at window size (measured from the Mosaic OOM report: 206.68 MB
+    demanded whole-grid at BENCHMARK3 = 67 MB refs + ~140 MB temps).
+    Returns 0 if no NB fits."""
+    def pad(x, m):
+        return -(-x // m) * m
+    full = pad(Mj, 8) * pad(Li, 128) * itemsize
+    budget = 118 * 1024 * 1024
+    for NB in (1, 2, 3, 4, 6, 8, 12, 16):
+        BJ = -(-Mj // NB)
+        W = min(Mj, BJ + 2 * _RES_H)
+        tmp = pad(W, 8) * pad(Li, 128) * itemsize
+        stash = 0 if NB == 1 else ((NB - 1) * len(_RES_E)
+                                   * pad(_RES_H, 8) * pad(Li, 128)
+                                   * itemsize)
+        if (16 + nstat) * full + _RES_NTMP * tmp + stash <= budget:
+            return NB
+    return 0
+
+
+def use_pallas_fastloop_res(cfg, shape) -> bool:
+    """Resident engine gate: config class + VMEM-fit estimate."""
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
+    if not _class_ok(cfg):
+        return False
+    flag = os.environ.get("ROMS_TPU_FASTLOOP_RES", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    if not (jax.default_backend() == "tpu" and jax.device_count() == 1):
+        return False
+    Mj, Li = shape
+    nstat = 4 + len(_res_grid_names(
+        bool(cfg.uv_cor), bool(cfg.curvgrid and cfg.uv_adv),
+        bool(cfg.mixing.visc2 > 0.0)))
+    return _pick_nb(Mj, Li, jnp.dtype(cfg.dtype).itemsize, nstat) > 0
+
+
+def use_pallas_step2d(cfg) -> bool:
+    """Kernel covers the EW-periodic channel class with closed N/S
+    walls and no auxiliary 2D physics; everything else -> jnp."""
+    from .kernel_gate import pallas_enabled
+    if not pallas_enabled():
+        return False
+    if not _class_ok(cfg):
         return False
     flag = os.environ.get("ROMS_TPU_PALLAS_STEP2D", "")
     if flag == "0":

@@ -15,8 +15,9 @@ from roms_tpu.core import stepping
 from roms_tpu.functionals import benchmark
 
 
-def _run(monkeypatch, flag, nsteps, Lm=32, Mm=21, N=6):
+def _run(monkeypatch, flag, nsteps, Lm=32, Mm=21, N=6, resident="0"):
     monkeypatch.setenv("ROMS_TPU_PALLAS_STEP2D", flag)
+    monkeypatch.setenv("ROMS_TPU_FASTLOOP_RES", resident)
     monkeypatch.setenv("ROMS_TPU_PALLAS_STEP2D_INTERPRET", "1")
     cfg = benchmark.make_config(Lm=Lm, Mm=Mm, N=N, dtype="float64")
     grid = benchmark.make_grid(cfg)
@@ -35,6 +36,32 @@ class TestPallasStep2d:
         exercises ragged j-blocks)."""
         a = _run(monkeypatch, "0", nsteps=4)
         b = _run(monkeypatch, "1", nsteps=4)
+        for f in ("zeta", "ubar", "vbar", "u", "v", "t"):
+            x = np.asarray(getattr(a, f))
+            y = np.asarray(getattr(b, f))
+            assert np.isfinite(y).all(), f
+            scale = np.abs(x).max() + 1e-30
+            assert np.abs(y - x).max() / scale < 1e-11, f
+
+    def test_resident_trajectory_parity(self, monkeypatch):
+        """The VMEM-resident whole-grid engine (all substeps in one
+        kernel, carry held in the output blocks) matches the jnp
+        engine over multi-step BENCHMARK trajectories."""
+        a = _run(monkeypatch, "0", nsteps=4)
+        b = _run(monkeypatch, "0", nsteps=4, resident="1")
+        for f in ("zeta", "ubar", "vbar", "u", "v", "t"):
+            x = np.asarray(getattr(a, f))
+            y = np.asarray(getattr(b, f))
+            assert np.isfinite(y).all(), f
+            scale = np.abs(x).max() + 1e-30
+            assert np.abs(y - x).max() / scale < 1e-11, f
+
+    def test_resident_blocked_parity(self, monkeypatch):
+        """Forcing the in-kernel eta-block substep path (NB=3, seam
+        stash of pre-substep halo rows) changes nothing vs NB=1."""
+        monkeypatch.setenv("ROMS_TPU_FASTLOOP_RES_NB", "3")
+        a = _run(monkeypatch, "0", nsteps=3)
+        b = _run(monkeypatch, "0", nsteps=3, resident="1")
         for f in ("zeta", "ubar", "vbar", "u", "v", "t"):
             x = np.asarray(getattr(a, f))
             y = np.asarray(getattr(b, f))
