@@ -165,6 +165,8 @@ class MixingConfig:
     solar_source: bool = False
     # Bottom boundary layer KPP (LMD_BKPP), used with vmix == 'lmd'
     bkpp: bool = False
+    # Double-diffusive interior mixing (LMD_DDMIX, lmd_vmix.F:363-429)
+    ddmix: bool = False
     # GLS parameters (roms_*.in GLS_*), used when vmix == 'gls'
     gls_p: float = 3.0
     gls_m: float = 1.5
@@ -276,6 +278,10 @@ class ModelConfig:
     uv_cor: bool = True
     uv_adv: bool = True
     curvgrid: bool = False
+    # BODYFORCE: deposit wind stress over levels levsfrc..N as a body
+    # force instead of a surface flux (rhs3d.F BODYFORCE; LEVSFRC)
+    bodyforce: bool = False
+    levsfrc: int = 1
 
     # Solver precision of state arrays ('float32' or 'float64').
     dtype: str = "float32"

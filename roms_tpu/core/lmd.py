@@ -52,6 +52,18 @@ _R1 = jnp.array([0.58, 0.62, 0.67, 0.77, 0.78, 0.57, 0.57, 0.57, 0.55])
 _EPS = 1.0e-10
 _SMALL = 1.0e-20
 
+# double-diffusion constants (mod_scalars.F lmd_* defaults)
+LMD_RRHO0 = 1.9
+LMD_NUF = 0.001
+LMD_FDD = 0.7
+LMD_NU = 1.5e-6
+LMD_TDD1 = 0.909
+LMD_TDD2 = 4.6
+LMD_TDD3 = 0.54
+LMD_SDD1 = 0.15
+LMD_SDD2 = 1.85
+LMD_SDD3 = 0.85
+
 
 def swdk_frac(depth, jwtype: int = 1):
     """Fraction of shortwave remaining at positive depth below surface
@@ -158,6 +170,50 @@ def lmd_vmix_interior(cfg: ModelConfig, u, v, bvf, Hz):
     Akt1 = jnp.concatenate([zt, Akt_i, zt], axis=0)
     Akt = jnp.stack([Akt1] * cfg.NAT)
     return Akv, Akt
+
+
+def lmd_ddmix(cfg: ModelConfig, t, alfaobeta, Akt):
+    """Double-diffusive interior mixing (LMD_DDMIX,
+    lmd_vmix.F:363-429): salt-fingering and diffusive-convection
+    diffusivity increments added to temperature and salinity Akt.
+
+    alfaobeta: alpha/beta ratio at interior W interfaces (N-1, Mj, Li)
+    — from rho_eos.eos_alpha_beta(all_levels=True) averaged or
+    evaluated at interfaces.
+    """
+    T, S = t[0], t[1]
+    dT = T[1:] - T[:-1]
+    dS_raw = S[1:] - S[:-1]
+    sgn = jnp.where(dS_raw >= 0.0, 1.0, -1.0)      # SIGN(1,0)=+1
+    dS = sgn * jnp.maximum(jnp.abs(dS_raw), 1.0e-14)
+    Rrho = alfaobeta * dT / dS
+
+    # salt fingering: Rrho in (1, Rrho0], dS > 0 (:380-393)
+    finger = (Rrho > 1.0) & (dS > 0.0)
+    Rf = jnp.minimum(Rrho, LMD_RRHO0)
+    nu1 = 1.0 - ((Rf - 1.0) / (LMD_RRHO0 - 1.0)) ** 2
+    nu_dds_f = LMD_NUF * nu1 * nu1 * nu1
+    nu_ddt_f = LMD_FDD * nu_dds_f
+
+    # diffusive convection: 0 < Rrho < 1, dS < 0 (Marmorino &
+    # Caldwell 1976; :397-415).  Clamp the unselected branch so
+    # 1/Rrho stays finite under AD.
+    convec = (Rrho > 0.0) & (Rrho < 1.0) & (dS < 0.0)
+    Rc = jnp.where(convec, Rrho, 0.7)
+    nu_ddt_c = LMD_NU * LMD_TDD1 * jnp.exp(
+        LMD_TDD2 * jnp.exp(-LMD_TDD3 * ((1.0 / Rc) - 1.0)))
+    nu_dds_c = jnp.where(Rc < 0.5, nu_ddt_c * LMD_SDD1 * Rc,
+                         nu_ddt_c * (LMD_SDD2 * Rc - LMD_SDD3))
+
+    nu_ddt = jnp.where(finger, nu_ddt_f,
+                       jnp.where(convec, nu_ddt_c, 0.0))
+    nu_dds = jnp.where(finger, nu_dds_f,
+                       jnp.where(convec, nu_dds_c, 0.0))
+    z = jnp.zeros_like(nu_ddt[:1])
+    Akt = Akt.at[0].add(jnp.concatenate([z, nu_ddt, z], axis=0))
+    if cfg.NAT > 1:
+        Akt = Akt.at[1].add(jnp.concatenate([z, nu_dds, z], axis=0))
+    return Akt
 
 
 def lmd_skpp(cfg: ModelConfig, grid: Grid, t, u, v, pden, bvf, Hz,

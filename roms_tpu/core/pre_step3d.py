@@ -145,13 +145,33 @@ def _seeds(cfg, grid, u, v, t, ru_prev, rv_prev, ru_prev2, rv_prev2,
     ca = jnp.where(iic == 0, 0.0,
                    jnp.where(iic == 1, -0.5, -16.0 / 12.0))
     cb = jnp.where(iic <= 1, 0.0, 5.0 / 12.0)
-    FCu = jnp.concatenate([dt * bustr[None], jnp.zeros_like(Hz[:-1]),
-                           dt * forcing.sustr[None]], axis=0)
-    FCv = jnp.concatenate([dt * bvstr[None], jnp.zeros_like(Hz[:-1]),
-                           dt * forcing.svstr[None]], axis=0)
+    if cfg.bodyforce:
+        # BODYFORCE (rhs3d.F body-force branch, LEVSFRC): the wind
+        # stress is deposited over levels levsfrc..N weighted by layer
+        # thickness — same vertical integral as the surface-flux path
+        # (so integrate_rufrc's 2D coupling is unchanged), FE in time
+        # like this engine's surface-stress treatment.
+        lev0 = max(0, int(cfg.levsfrc) - 1)
+        mask = jnp.arange(Hz.shape[0])[:, None, None] >= lev0
+        wu = jnp.where(mask, Hz_u, 0.0)
+        wv = jnp.where(mask, Hz_v, 0.0)
+        wu = wu / jnp.sum(wu, axis=0, keepdims=True)
+        wv = wv / jnp.sum(wv, axis=0, keepdims=True)
+        su = dt * forcing.sustr[None] * wu
+        sv = dt * forcing.svstr[None] * wv
+        FCu = jnp.concatenate([dt * bustr[None],
+                               jnp.zeros_like(Hz)], axis=0)
+        FCv = jnp.concatenate([dt * bvstr[None],
+                               jnp.zeros_like(Hz)], axis=0)
+    else:
+        su = sv = 0.0
+        FCu = jnp.concatenate([dt * bustr[None], jnp.zeros_like(Hz[:-1]),
+                               dt * forcing.sustr[None]], axis=0)
+        FCv = jnp.concatenate([dt * bvstr[None], jnp.zeros_like(Hz[:-1]),
+                               dt * forcing.svstr[None]], axis=0)
     u_part = u * Hz_u + DC0u * (ca * ru_prev + cb * ru_prev2) + \
-        (FCu[1:] - FCu[:-1])
+        (FCu[1:] - FCu[:-1]) + su
     v_part = v * Hz_v + DC0v * (ca * rv_prev + cb * rv_prev2) + \
-        (FCv[1:] - FCv[:-1])
+        (FCv[1:] - FCv[:-1]) + sv
 
     return t_part, u_part, v_part

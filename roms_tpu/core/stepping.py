@@ -234,7 +234,8 @@ class Model:
             # LMD-KPP (main3d.F:525-529): interior Ri mixing + surface
             # boundary layer, diagnostic from the time-n state.
             from ..ops import pallas_kpp
-            if not cfg.mixing.bkpp and pallas_kpp.use_pallas_kpp():
+            if (not cfg.mixing.bkpp and not cfg.mixing.ddmix
+                    and pallas_kpp.use_pallas_kpp()):
                 # fused single-pass Pallas kernel (~40x less HBM
                 # traffic than the whole-array path; see
                 # ops/pallas_kpp.py)
@@ -247,6 +248,14 @@ class Model:
             else:
                 Akv, Akt = lmd_mod.lmd_vmix_interior(cfg, state.u,
                                                      state.v, bvf, Hz)
+                if cfg.mixing.ddmix:
+                    # LMD_DDMIX: alpha/beta at interior W interfaces
+                    # (rho_eos.F alfaobeta; T,S averaged to z_w)
+                    from .rho_eos import eos_alpha_beta
+                    t_i = 0.5 * (state.t[:, 1:] + state.t[:, :-1])
+                    _, _, aob = eos_alpha_beta(cfg, t_i, z_w[1:-1],
+                                               all_levels=True)
+                    Akt = lmd_mod.lmd_ddmix(cfg, state.t, aob, Akt)
                 Akv, Akt, ghats, hsbl = lmd_mod.lmd_skpp(
                     cfg, grid, state.t, state.u, state.v, pden, bvf, Hz,
                     z_r, z_w, forcing, Akv, Akt)
