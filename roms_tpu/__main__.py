@@ -97,6 +97,12 @@ def _app_module(name: str):
                     idealized.sed_toy_initial,
                     lambda cfg, grid: idealized.zero_forcing(cfg),
                     None),
+        "BL_TEST": (idealized.bl_test_config, idealized.bl_test_grid,
+                    idealized.bl_test_initial,
+                    idealized.bl_test_forcing_fn, None),
+        "FLT_TEST": (idealized.flt_test_config, idealized.flt_test_grid,
+                     idealized.flt_test_initial,
+                     idealized.flt_test_forcing_fn, None),
     }
     for key in table:
         if key in name:                    # e.g. "BENCHMARK3"

@@ -330,7 +330,7 @@ def make_bulk_forcing(cfg: ModelConfig, atm_fn, cool_skin=False,
     def forcing(time, sst, sss, rho_surf):
         atm = atm_fn(time)
         from ..ops import pallas_kpp
-        if pallas_kpp.use_pallas_kpp():
+        if pallas_kpp.use_pallas_kpp(cfg):
             # single fused elementwise kernel (ops/pallas_bulk.py)
             import os as _os
             from ..ops.pallas_bulk import bulk_flux_pallas

@@ -251,7 +251,7 @@ def _use_pallas(cfg: ModelConfig) -> bool:
     if cfg.bc.ns_periodic:
         return False
     from ..ops import pallas_hmix
-    return pallas_hmix.use_pallas_hmix()
+    return pallas_hmix.use_pallas_hmix(cfg)
 
 
 def _pallas_interpret() -> bool:

@@ -201,7 +201,7 @@ def _use_pallas_rhs3d(cfg: ModelConfig) -> bool:
     if cfg.bc.ns_periodic or cfg.uv_hadv != "up3":
         return False
     from ..ops import pallas_rhs3d
-    return pallas_rhs3d.use_pallas_rhs3d()
+    return pallas_rhs3d.use_pallas_rhs3d(cfg)
 
 
 def integrate_rufrc(cfg: ModelConfig, grid: Grid, ru, rv, forcing,

@@ -154,7 +154,7 @@ class Model:
             if cfg.bc.ns_periodic:
                 Huon, Hvom = st.periodic_y(Huon), st.periodic_y(Hvom)
         from ..ops import pallas_rho
-        if pallas_rho.use_pallas_rho():
+        if pallas_rho.use_pallas_rho(cfg):
             # fused column EOS kernel (ops/pallas_rho.py)
             import os as _os
             rho, pden, rhoA, rhoS, bvf = pallas_rho.rho_eos_pallas(
@@ -235,7 +235,7 @@ class Model:
             # boundary layer, diagnostic from the time-n state.
             from ..ops import pallas_kpp
             if (not cfg.mixing.bkpp and not cfg.mixing.ddmix
-                    and pallas_kpp.use_pallas_kpp()):
+                    and pallas_kpp.use_pallas_kpp(cfg)):
                 # fused single-pass Pallas kernel (~40x less HBM
                 # traffic than the whole-array path; see
                 # ops/pallas_kpp.py)

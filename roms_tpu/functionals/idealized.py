@@ -820,3 +820,185 @@ def sed_toy_initial(cfg: ModelConfig, grid: Grid) -> State:
     sed0 = jnp.zeros_like(T)
     u = jnp.ones((cfg.N, Mj, Li), cfg.dtype)       # 1 m/s along-flume
     return initial_state(cfg, grid, u=u, t=jnp.stack([T, S, sed0]))
+
+
+# ---------------------------------------------------------------------------
+# BL_TEST — boundary-layers test: NS-periodic cross-shore slice with a
+# stretched offshore x-grid, full LMD-KPP (+DDMIX) under COARE bulk
+# fluxes with an analytic atmosphere (bl_test.h; ana_grid.h:249-254,
+# 520-523, 937-944; ana_initial.h:570-581; ana_winds.h:127-138;
+# ana_tair.h:92-97; ana_pair.h:93-98; ana_humid.h:99-104;
+# roms_bl_test.in:94-96,232-233,420-422,459-460)
+# ---------------------------------------------------------------------------
+
+def bl_test_config(Lm: int = 39, Mm: int = 4, N: int = 30,
+                   dt: float = 150.0, ndtfast: int = 30,
+                   dtype: str = "float64") -> ModelConfig:
+    from ..config import PERIODIC, RADIATION, GRADIENT, CLOSED
+    ns_per = dict(south=PERIODIC, north=PERIODIC)
+    mom = LBC(west=CLOSED, east=RADIATION, **ns_per)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=4,
+                                 theta_s=5.0, theta_b=1.5, Tcline=20.0),
+        eos=EOSConfig(linear=False, T0=17.25, S0=31.0),
+        mixing=MixingConfig(vmix="lmd", bkpp=True, ddmix=True,
+                            solar_source=True,
+                            akv_bak=1.0e-5, akt_bak=(1.0e-6, 1.0e-6),
+                            splines_vdiff=True, splines_vvisc=True),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig(
+            zeta=LBC(west=CLOSED, east=GRADIENT, **ns_per),
+            ubar=mom, vbar=mom, u=mom, v=mom, t=mom, tke=mom),
+        rho0=1025.0, gamma2=1.0, dtype=dtype,
+    )
+
+
+def bl_test_grid(cfg: ModelConfig) -> Grid:
+    """Offshore-stretched x-grid: dx(i) = 0.5*(4000/(Lm+1))*i + 675 m
+    (ana_grid.h:520-523), Esize=5 km, f=9.25e-4; depth
+    h(x) = 14 + 25*(1-exp(-pi x 1e-5)) - 8 exp(-((x+500)/15000)^2)
+    (ana_grid.h:937-944)."""
+    Mj, Li = cfg.shape2d
+    i = np.arange(Li, dtype=np.float64)
+    j = np.arange(Mj, dtype=np.float64)
+    dx = 0.5 * (4000.0 / (cfg.Lm + 1)) * i + 675.0
+    dy = 5.0e3 / cfg.Mm
+    xr = (dx * (i - 0.5))[None, :] + np.zeros((Mj, 1))
+    yr = (dy * (j - 0.5))[:, None] + np.zeros((1, Li))
+    pm = np.broadcast_to(1.0 / dx, (Mj, Li)).copy()
+    pn = np.full((Mj, Li), 1.0 / dy)
+    f = np.full((Mj, Li), 9.25e-4)
+    val1 = (xr + 500.0) / 15000.0
+    h = (14.0 + 25.0 * (1.0 - np.exp(-np.pi * xr * 1.0e-5))
+         - 8.0 * np.exp(-val1 * val1))
+    return build_grid(cfg, h=h, pm=pm, pn=pn, f=f, xr=xr, yr=yr)
+
+
+def bl_test_initial(cfg: ModelConfig, grid: Grid) -> State:
+    """T = T0 + 6.25 tanh(1.1 z + 11), S = S0 - 0.75 tanh(1.1 z + 11)
+    (ana_initial.h:570-581)."""
+    from ..grid.depth import set_depth
+    zeta = jnp.zeros(cfg.shape2d, cfg.dtype)
+    z_r, _, _ = set_depth(grid, zeta)
+    val1 = jnp.tanh(1.1 * z_r + 11.0)
+    T = cfg.eos.T0 + 6.25 * val1
+    S = cfg.eos.S0 - 0.75 * val1
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def bl_test_atm_fn(cfg: ModelConfig, grid: Grid):
+    """Analytic atmosphere: 10 m/s northward wind (ana_winds.h:127-138),
+    Tair=23.567 C, Pair=1013.48 mb, RH=0.776, clear sky, Zillman
+    shortwave with 6% albedo on the (non-spherical) grid at lat=0."""
+    import math
+    from .. import constants
+    from ..core.bulk_flux import AtmState
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    Vwind = jnp.full((Mj, Li), 10.0, dtype)
+    Tair = jnp.full((Mj, Li), 23.567, dtype)
+    Pair = jnp.full((Mj, Li), 1013.48, dtype)
+    Hair = jnp.full((Mj, Li), 0.776, dtype)
+    Rsolar = 1353.0 / (cfg.rho0 * constants.Cp)
+    alb_w = 0.06
+
+    def atm(time):
+        tdays = time * constants.sec2day
+        yday = jnp.mod(tdays, 365.2425)
+        hour = 24.0 * jnp.mod(tdays, 1.0)
+        Dangle = (23.44 * jnp.cos((172.0 - yday) * 2.0 * math.pi
+                                  / 365.2425)) * constants.deg2rad
+        Hangle = (12.0 - hour) * math.pi / 12.0
+        zenith = jnp.cos(Dangle) * jnp.cos(Hangle)   # latr = lonr = 0
+        cffT = (0.7859 + 0.03477 * 23.567) / (1.0 + 0.00412 * 23.567)
+        vap_p = (10.0 ** cffT) * 0.776
+        srflx = jnp.where(
+            zenith > 0.0,
+            Rsolar * zenith * zenith
+            / ((zenith + 2.7) * vap_p * 1.0e-3 + 1.085 * zenith + 0.1),
+            0.0) * (1.0 - alb_w)
+        return AtmState(Uwind=zeros, Vwind=Vwind, Tair=Tair, Pair=Pair,
+                        Hair=Hair, cloud=zeros, rain=zeros,
+                        srflx=(srflx + zeros).astype(dtype))
+
+    return atm
+
+
+def bl_test_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """BULK_FLUXES + LONGWAVE through COARE (bl_test.h:50-59)."""
+    from ..core.bulk_flux import make_bulk_forcing
+    return make_bulk_forcing(cfg, bl_test_atm_fn(cfg, grid))
+
+
+# ---------------------------------------------------------------------------
+# FLT_TEST — float-tracking test: EW-periodic 14x12 channel with wall
+# rows, a 2x2 center island, constant eastward wind deposited as a body
+# force (flt_test.h; ana_grid.h:292-297; ana_mask.h:138-150;
+# ana_initial.h:664-672; ana_smflux.h:210-218;
+# roms_flt_test3d.in:94-96,232-233; floats_flt_test3d.in)
+# ---------------------------------------------------------------------------
+
+def flt_test_config(Lm: int = 14, Mm: int = 12, N: int = 4,
+                    dt: float = 512.0, ndtfast: int = 9,
+                    dtype: str = "float64") -> ModelConfig:
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=1, NAT=1, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=4,
+                                 theta_s=0.0, theta_b=0.0, Tcline=1e16),
+        eos=EOSConfig(linear=True, T0=20.0, Tcoef=1.7e-4, Scoef=0.0),
+        mixing=MixingConfig(akv_bak=1.0e-5, akt_bak=(1.0e-6,),
+                            splines_vdiff=True, splines_vvisc=True),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig.uniform(LBC.ew_periodic()),
+        bodyforce=True, levsfrc=1,
+        rho0=1025.0, gamma2=1.0, dtype=dtype,
+    )
+
+
+def flt_test_mask(Lm: int, Mm: int) -> np.ndarray:
+    """Wall rows at interior j=1 and j=Mm plus a 2x2 island at the
+    domain center (ana_mask.h:138-150)."""
+    rmask = np.ones((Mm + 2, Lm + 2))
+    rmask[1, :] = 0.0
+    rmask[Mm, :] = 0.0
+    ic, jc = (Lm + 1) // 2, (Mm + 1) // 2
+    rmask[jc:jc + 2, ic:ic + 2] = 0.0
+    return rmask
+
+
+def flt_test_grid(cfg: ModelConfig) -> Grid:
+    Mj, Li = cfg.shape2d
+    dx = dy = 1.0e3
+    i = np.arange(Li, dtype=np.float64)
+    j = np.arange(Mj, dtype=np.float64)
+    xr = (dx * (i - 0.5))[None, :] + np.zeros((Mj, 1))
+    yr = (dy * (j - 0.5))[:, None] + np.zeros((1, Li))
+    return build_grid(cfg, h=np.full((Mj, Li), 10.0),
+                      pm=np.full((Mj, Li), 1.0 / dx),
+                      pn=np.full((Mj, Li), 1.0 / dy),
+                      f=np.zeros((Mj, Li)), xr=xr, yr=yr,
+                      rmask=flt_test_mask(cfg.Lm, cfg.Mm))
+
+
+def flt_test_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    T = jnp.full((1, cfg.N, Mj, Li), cfg.eos.T0, cfg.dtype)
+    return initial_state(cfg, grid, t=T)
+
+
+def flt_test_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """Constant eastward kinematic stress 1e-3 m2/s2
+    (ana_smflux.h:210-218), deposited as a body force (BODYFORCE)."""
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    zerosT = jnp.zeros((cfg.NT, Mj, Li), dtype)
+    sustr = jnp.full((Mj, Li), 1.0e-3, dtype)
+
+    def forcing(time):
+        return Forcing(sustr=sustr, svstr=zeros, stflx=zerosT,
+                       btflx=zerosT, srflx=zeros)
+
+    return forcing

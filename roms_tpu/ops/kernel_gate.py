@@ -17,7 +17,20 @@ from __future__ import annotations
 import contextlib
 import threading
 
+import numpy as np
+
 _state = threading.local()
+
+
+def dtype_supported(dtype) -> bool:
+    """Mosaic has no 64-bit lowering (NotImplementedError: 64-bit types
+    are not supported), so float64 configs must trace the jnp path.
+    Explicit ROMS_TPU_PALLAS_*=1 overrides bypass this (interpret-mode
+    f64 parity tests rely on that)."""
+    try:
+        return np.dtype(dtype).itemsize < 8
+    except TypeError:
+        return True
 
 
 def pallas_enabled() -> bool:

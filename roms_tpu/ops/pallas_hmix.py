@@ -258,7 +258,7 @@ def rot_div_geo_pallas(cfg, grid, q, d2, Hz, z_r,
                                Hz, z_r, interpret=interpret)[0]
 
 
-def use_pallas_hmix() -> bool:
+def use_pallas_hmix(cfg=None) -> bool:
     """On for single-chip TPU (see ops.pallas_kpp.use_pallas_kpp);
     pallas_call is GSPMD-opaque, so multi-device stays on jnp."""
     from .kernel_gate import pallas_enabled
@@ -269,4 +269,7 @@ def use_pallas_hmix() -> bool:
         return False
     if flag == "1":
         return True
+    from .kernel_gate import dtype_supported
+    if cfg is not None and not dtype_supported(cfg.dtype):
+        return False
     return jax.default_backend() == "tpu" and jax.device_count() == 1

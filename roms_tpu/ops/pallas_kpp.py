@@ -368,7 +368,7 @@ def lmd_kpp_fused(cfg, grid, t, u, v, pden, bvf, Hz, z_r, z_w, forcing,
     return Akv, Akt, ghats, hsbl
 
 
-def use_pallas_kpp() -> bool:
+def use_pallas_kpp(cfg=None) -> bool:
     """Trace-time switch: on for single-chip TPU unless overridden.
 
     pallas_call is opaque to GSPMD, so under a multi-device mesh the
@@ -382,4 +382,7 @@ def use_pallas_kpp() -> bool:
         return False
     if flag == "1":
         return True
+    from .kernel_gate import dtype_supported
+    if cfg is not None and not dtype_supported(cfg.dtype):
+        return False
     return jax.default_backend() == "tpu" and jax.device_count() == 1

@@ -110,7 +110,7 @@ def rho_eos_pallas(cfg, t, z_r, Hz, z_w, interpret: bool = False):
     )(t, z_r, Hz, z_w)
 
 
-def use_pallas_rho() -> bool:
+def use_pallas_rho(cfg=None) -> bool:
     """On for single-chip TPU (see ops.pallas_kpp.use_pallas_kpp)."""
     from .kernel_gate import pallas_enabled
     if not pallas_enabled():
@@ -120,4 +120,7 @@ def use_pallas_rho() -> bool:
         return False
     if flag == "1":
         return True
+    from .kernel_gate import dtype_supported
+    if cfg is not None and not dtype_supported(cfg.dtype):
+        return False
     return jax.default_backend() == "tpu" and jax.device_count() == 1

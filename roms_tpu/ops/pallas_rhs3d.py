@@ -438,7 +438,7 @@ def rhs3d_momentum_pallas(cfg, grid, u, v, Hz, Huon, Hvom, W, ru, rv,
             jnp.concatenate(outs_v, axis=0))
 
 
-def use_pallas_rhs3d() -> bool:
+def use_pallas_rhs3d(cfg=None) -> bool:
     from .kernel_gate import pallas_enabled
     if not pallas_enabled():
         return False
@@ -447,4 +447,7 @@ def use_pallas_rhs3d() -> bool:
         return False
     if flag == "1":
         return True
+    from .kernel_gate import dtype_supported
+    if cfg is not None and not dtype_supported(cfg.dtype):
+        return False
     return jax.default_backend() == "tpu" and jax.device_count() == 1

@@ -938,6 +938,9 @@ def use_pallas_fastloop_res(cfg, shape) -> bool:
         return False
     if flag == "1":
         return True
+    from .kernel_gate import dtype_supported
+    if not dtype_supported(cfg.dtype):
+        return False
     if not (jax.default_backend() == "tpu" and jax.device_count() == 1):
         return False
     Mj, Li = shape

@@ -321,4 +321,7 @@ def use_pallas_tadv(cfg, mode: str = "") -> bool:
         return True
     if flag:
         return False
+    from .kernel_gate import dtype_supported
+    if not dtype_supported(cfg.dtype):
+        return False
     return jax.default_backend() == "tpu" and jax.device_count() == 1

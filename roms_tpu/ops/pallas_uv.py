@@ -263,4 +263,7 @@ def use_pallas_uv(cfg) -> bool:
         return False
     if flag == "1":
         return True
+    from .kernel_gate import dtype_supported
+    if not dtype_supported(cfg.dtype):
+        return False
     return jax.default_backend() == "tpu" and jax.device_count() == 1

@@ -86,6 +86,9 @@ def use_pallas_vdiff(cfg) -> bool:
         return False
     if flag == "1":
         return True
+    from .kernel_gate import dtype_supported
+    if not dtype_supported(cfg.dtype):
+        return False
     return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 

@@ -30,8 +30,11 @@ def tridiag_solve(lower, diag, upper, rhs):
     XLA scan and bit-exact); every other case takes the scan path.
     """
     import os
+    from .kernel_gate import dtype_supported, pallas_enabled
     use_pallas = (jax.default_backend() == "tpu"
                   and jax.device_count() == 1
+                  and pallas_enabled()
+                  and dtype_supported(rhs.dtype)
                   and not os.environ.get("ROMS_TPU_NO_PALLAS_TRIDIAG"))
     if rhs.ndim > 3 and use_pallas and \
             os.environ.get("ROMS_TPU_PALLAS_TRIDIAG_4D") == "1":

@@ -93,7 +93,7 @@ def region_phases(model, state) -> Dict[str, Tuple]:
         (Huon, Hvom, state))
     if cfg.mixing.vmix == "lmd" and not cfg.mixing.bkpp:
         from ..ops import pallas_kpp
-        if pallas_kpp.use_pallas_kpp():
+        if pallas_kpp.use_pallas_kpp(cfg):
             phases["lmd_kpp(pallas)"] = (jax.jit(
                 lambda s, pden, bvf, f: pallas_kpp.lmd_kpp_fused(
                     cfg, grid, s.t, s.u, s.v, pden, bvf, s.Hz, s.z_r,

@@ -4,6 +4,7 @@ ana_smflux.h / ana_m2obc.h / ana_psource.h setups).
 
 Each app pins one defining physical behavior at reduced resolution."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -168,3 +169,55 @@ def test_sed_toy_erosion():
     assert susp > 1e-6            # bed eroded into suspension
     bed = float(np.asarray(s.sed.bed_mass[0])[1:-1, 1:-1].mean())
     assert bed < 10.0
+
+
+def test_bl_test_kpp_boundary_layers():
+    """BL_TEST (bl_test.h): COARE bulk fluxes with the analytic
+    atmosphere drive a northward surface current through full LMD-KPP
+    (+bkpp +DDMIX); the east radiation boundary stays stable and the
+    tanh stratification bounds hold."""
+    cfg = ia.bl_test_config(Lm=19, Mm=4, N=16)
+    g = ia.bl_test_grid(cfg)
+    m = Model(cfg, g, ia.bl_test_forcing_fn(cfg, g))
+    s0 = ia.bl_test_initial(cfg, g)
+    s = m.run(s0, 30)
+    assert _finite(s)
+    v = np.asarray(s.v)
+    # 10 m/s northward wind: surface v exceeds deeper v in magnitude
+    assert v[-1, :, 5:-2].max() > 0.005
+    assert v[-1].max() > np.abs(v[0]).max()
+    T = np.asarray(s.t[0])
+    assert T.min() > cfg.eos.T0 - 6.26 - 0.5
+    assert T.max() < cfg.eos.T0 + 6.26 + 0.5
+
+
+def test_flt_test_island_wake_and_floats():
+    """FLT_TEST (flt_test.h): body-force wind over an EW-periodic
+    channel with a center island; masked cells stay at rest and floats
+    seeded upstream advect eastward around the island."""
+    from roms_tpu.core.floats import Floats, step_floats
+    cfg = ia.flt_test_config()
+    g = ia.flt_test_grid(cfg)
+    m = Model(cfg, g, ia.flt_test_forcing_fn(cfg, g))
+    s = m.run(ia.flt_test_initial(cfg, g), 40)
+    assert _finite(s)
+    u = np.asarray(s.u)
+    umask = np.asarray(g.umask)
+    assert np.abs(u * (1.0 - umask)[None]).max() < 1e-12  # walls at rest
+    # interior eastward flow develops away from the wall rows
+    assert (u[:, 3:-3, :] * umask[None, 3:-3, :]).max() > 0.05
+    # floats: seed upstream of the island at mid depth (mid-channel
+    # latitudes; the wall-adjacent lanes hold a westward wake
+    # recirculation that wraps through the periodic boundary)
+    flt = Floats(x=jnp.asarray([4.0, 4.0]),
+                 y=jnp.asarray([6.5, 9.0]),
+                 s=jnp.asarray([-0.5, -0.5]),
+                 bounded=jnp.asarray([True, True]))
+    W = jnp.zeros_like(s.z_w)
+    for _ in range(20):
+        flt = step_floats(cfg, g, flt, s.u, s.v, W, s.Hz, g.sc_r)
+    assert bool(np.all(np.asarray(flt.bounded)))
+    # the open-lane float advects clearly eastward; the float aimed at
+    # the island stagnates and diverts laterally around it
+    assert float(flt.x[1]) > 6.0
+    assert abs(float(flt.y[0]) - 6.5) > 0.3

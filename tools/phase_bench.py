@@ -114,7 +114,7 @@ def main():
         def kpp(state, bvf, forcing):
             # measure the SAME path stepping.py dispatches (fused
             # Pallas kernel on a single TPU; jnp otherwise)
-            if not cfg.mixing.bkpp and pallas_kpp.use_pallas_kpp():
+            if not cfg.mixing.bkpp and pallas_kpp.use_pallas_kpp(cfg):
                 return pallas_kpp.lmd_kpp_fused(
                     cfg, grid, state.t, state.u, state.v, pden, bvf,
                     state.Hz, state.z_r, state.z_w, forcing)
@@ -139,7 +139,7 @@ def main():
 
     def eos(s):
         # same dispatch as stepping.py (fused kernel on single TPU)
-        if pallas_rho.use_pallas_rho():
+        if pallas_rho.use_pallas_rho(cfg):
             return pallas_rho.rho_eos_pallas(cfg, s.t, s.z_r, s.Hz,
                                              s.z_w)
         return rho_eos(cfg, s.t, s.z_r, s.Hz, s.z_w)
