@@ -107,11 +107,17 @@ def _run_size(jax, size, steps, warmup, dtype, variant):
         s = step(s, grid)
     jax.block_until_ready(s)
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        s = step(s, grid)
-    jax.block_until_ready(s)
-    wall = time.perf_counter() - t0
+    # Best of 3 timing blocks: the tunneled chip shows up to ~50%
+    # session-to-session timing noise (a 65.4 ms/step BM3 reading with
+    # a bitwise-identical trajectory next to same-day 43.3 ms runs);
+    # the MINIMUM block is the honest steady-state number.
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            s = step(s, grid)
+        jax.block_until_ready(s)
+        wall = min(wall, time.perf_counter() - t0)
 
     # Force a real device->host readback: a wedged backend can make
     # block_until_ready return instantly on bogus buffers (observed as
