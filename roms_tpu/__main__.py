@@ -103,6 +103,10 @@ def _app_module(name: str):
         "FLT_TEST": (idealized.flt_test_config, idealized.flt_test_grid,
                      idealized.flt_test_initial,
                      idealized.flt_test_forcing_fn, None),
+        "SHOREFACE": (idealized.shoreface_config, idealized.shoreface_grid,
+                      idealized.shoreface_initial,
+                      lambda cfg, grid: idealized.zero_forcing(cfg),
+                      None, idealized.shoreface_extras),
     }
     for key in table:
         if key in name:                    # e.g. "BENCHMARK3"

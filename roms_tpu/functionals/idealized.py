@@ -1002,3 +1002,105 @@ def flt_test_forcing_fn(cfg: ModelConfig, grid: Grid):
                        btflx=zerosT, srflx=zeros)
 
     return forcing
+
+
+# ---------------------------------------------------------------------------
+# SHOREFACE — planar-beach surf zone: obliquely/normally incident waves
+# shoal and break over a plane slope, the WEC vortex force + Lagrangian
+# Stokes transport drive onshore mass flux with a compensating undertow,
+# quadratic drag + GLS mixing, wetting/drying at the shoreline and one
+# suspended/bedload sand class (shoreface.h CPP set: WEC_VF, WET_DRY,
+# GLS_MIXING, UV_QDRAG, SEDIMENT SUSPLOAD+BEDLOAD_MPM; ana_grid.h:374-379,
+# 1046-1051 — 1180 m x 140 m, h = 11.75 - 0.0125 x; ana_sediment.h:373-386;
+# ana_fsobc.h:130-139 zeta_west = 0; roms_shoreface.in:  Lm=59 Mm=7 N=20
+# DT=5 NDTFAST=20 RDRG2=0.0015 DCRIT=0.10, LBC Cha/Fla west, closed east,
+# NS periodic; sediment_shoreface.in: SAND_SD50=1 mm WSED=1 mm/s
+# ERATE=1e-5 TAU_CE=0.07).
+#
+# The reference drives SHOREFACE waves from an InWave/SWAN forcing file;
+# here the wave field is the analytic equivalent: monochromatic T = 8 s
+# waves propagating shoreward (+x), Eckart-dispersion wavelength, with
+# the offshore height depth-limited by the McCowan breaking criterion
+# H <= 0.78 d so breaking begins where the slope shallows.
+# ---------------------------------------------------------------------------
+
+def shoreface_config(Lm: int = 59, Mm: int = 7, N: int = 20,
+                     dt: float = 5.0, ndtfast: int = 20,
+                     dtype: str = "float64") -> ModelConfig:
+    from ..config import (CHAPMAN_IMPLICIT, CLOSED, FLATHER, GRADIENT,
+                          PERIODIC)
+    zeta = LBC(west=CHAPMAN_IMPLICIT, east=CLOSED,
+               south=PERIODIC, north=PERIODIC)
+    uv2 = LBC(west=FLATHER, east=CLOSED, south=PERIODIC, north=PERIODIC)
+    g3 = LBC(west=GRADIENT, east=CLOSED, south=PERIODIC, north=PERIODIC)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=3, NAT=2, dt=dt, ndtfast=ndtfast,
+        # Vtransform=2 with hc=0: z = zeta + (zeta+h)*Cs(k) stays regular
+        # through the h->0 shoreline crossing (Vtransform=1 divides by h)
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=1,
+                                 theta_s=0.0, theta_b=0.0, Tcline=0.0),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=14.0, S0=35.0,
+                      Tcoef=1.7e-4, Scoef=7.6e-4),
+        mixing=MixingConfig(vmix="gls"),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=0.0015),
+        bc=BoundaryConfig(zeta=zeta, ubar=uv2, vbar=uv2,
+                          u=g3, v=g3, t=g3, tke=g3),
+        rho0=1025.0, gamma2=1.0, uv_cor=False,
+        wetdry=True, Dcrit=0.10, dtype=dtype,
+    )
+
+
+def shoreface_grid(cfg: ModelConfig) -> Grid:
+    def h2d(xr, yr):
+        return 11.75 - 0.0125 * xr
+
+    return _plane_grid(cfg, 1180.0, 140.0, 11.75, f0=0.0, h2d=h2d)
+
+
+def shoreface_waves(cfg: ModelConfig, grid: Grid,
+                    H0: float = 1.0, T: float = 8.0):
+    """wave_fn(t) -> (Hwave, Dwave, Lwave): steady shoreward swell,
+    depth-limited by H = min(H0, 0.78 d) (McCowan), wavelength from the
+    Eckart (1952) explicit dispersion L = L0 sqrt(tanh(k0 d))."""
+    g = cfg.g
+    d = jnp.maximum(jnp.asarray(grid.h, cfg.dtype), cfg.Dcrit)
+    L0 = g * T * T / (2.0 * jnp.pi)
+    Lw = L0 * jnp.sqrt(jnp.tanh(2.0 * jnp.pi * d / L0))
+    Hw = jnp.minimum(H0, 0.78 * d)
+    Dw = jnp.zeros_like(d)                     # toward +x (the beach)
+
+    def wave_fn(time):
+        return (Hw, Dw, Lw)
+
+    return wave_fn
+
+
+def shoreface_sedconfig():
+    from ..core.sediment import SedConfig
+    return SedConfig(nsed=1, offset=0, Wsed=(1.0e-3,), Erate=(1.0e-5,),
+                     tau_ce=(0.07,), Srho=(2650.0,), d50=(1.0e-3,))
+
+
+def shoreface_initial(cfg: ModelConfig, grid: Grid) -> State:
+    from ..core.sediment import initial_sed
+    Mj, Li = cfg.shape2d
+    T = jnp.full((cfg.N, Mj, Li), 14.0, cfg.dtype)
+    S = jnp.full_like(T, 35.0)
+    sand = jnp.zeros_like(T)
+    # ana_sediment.h:373-386: 5 m-thick sandy bed, porosity 0.5
+    sed0 = initial_sed(cfg, shoreface_sedconfig(),
+                       bed_mass0=2650.0 * 0.5 * 5.0)
+    # WET_DRY cold start (ini_fields.F wet/dry clamp): a thin Dcrit film
+    # over the dry beach so total depth is positive everywhere
+    zeta0 = jnp.maximum(jnp.zeros_like(grid.h),
+                        cfg.Dcrit - jnp.asarray(grid.h, cfg.dtype))
+    return initial_state(cfg, grid, zeta=zeta0,
+                         t=jnp.stack([T, S, sand]), sed=sed0)
+
+
+def shoreface_extras(cfg: ModelConfig, grid: Grid):
+    from ..core.sediment import make_sed_hook
+    from ..core.wec import make_wec_fn
+    return {"wec_fn": make_wec_fn(cfg, grid, shoreface_waves(cfg, grid),
+                                  stokes_coupling=True),
+            "sed_fn": make_sed_hook(cfg, shoreface_sedconfig(), grid)}

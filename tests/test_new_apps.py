@@ -221,3 +221,39 @@ def test_flt_test_island_wake_and_floats():
     # the island stagnates and diverts laterally around it
     assert float(flt.x[1]) > 6.0
     assert abs(float(flt.y[0]) - 6.5) > 0.3
+
+
+def test_shoreface_surf_zone():
+    """SHOREFACE (shoreface.h): shoreward waves break over the planar
+    beach; the WEC vortex force + Lagrangian Stokes transport set up a
+    shoreward surface setup with an offshore return flow (undertow),
+    the shoreline row stays dry (wet/dry), and the wave-driven
+    bottom stress suspends sand from the erodible bed."""
+    cfg = ia.shoreface_config(N=10)
+    g = ia.shoreface_grid(cfg)
+    extras = ia.shoreface_extras(cfg, g)
+    m = Model(cfg, g, ia.zero_forcing(cfg), **extras)
+    s0 = ia.shoreface_initial(cfg, g)
+    s = m.run(s0, 120)                    # 10 min of surf
+    assert _finite(s)
+    zeta = np.asarray(s.zeta)
+    h = np.asarray(g.h)
+    # wave setup: mean surface higher in the surf zone (shallow, east)
+    # than offshore (west) along the wet columns
+    wet = (h + zeta) > cfg.Dcrit
+    j = cfg.Mm // 2 + 1
+    wet_i = np.where(wet[j])[0]
+    assert zeta[j, wet_i[-3]] > zeta[j, wet_i[2]]
+    # undertow: depth-integrated Eulerian return flow offshore
+    # (negative u) compensating the onshore Stokes transport
+    u = np.asarray(s.u)
+    assert u[:, j, wet_i[-8]:wet_i[-3]].min() < -1e-3
+    # the beach crest (h < 0) stays dry: no flow there
+    dry_i = np.where(h[j] < -0.5)[0]
+    if dry_i.size:
+        assert np.abs(u[:, j, dry_i]).max() < 1e-8
+    # sand suspended in the surf zone, bed loses mass there
+    sand = np.asarray(s.t[2])
+    assert sand[:, j, wet_i[-6]:wet_i[-1]].max() > 1e-8
+    bed = np.asarray(s.sed.bed_mass[0])
+    assert bed[j, wet_i[-5]:wet_i[-1]].min() < 2650.0 * 0.5 * 5.0
