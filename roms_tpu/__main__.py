@@ -202,6 +202,35 @@ def main(argv=None):
     else:
         grid = mk_grid(cfg)
 
+    if cfg.nudg.luv_sponge or any(cfg.nudg.ltracer_sponge):
+        # LuvSponge/LtracerSponge: amplified mixing near open edges.
+        # Factors come from the grid file (visc_factor/diff_factor,
+        # get_grid.F:376-420) when present, else a default edge ramp
+        # (ana_sponge pattern).
+        import numpy as _np
+        from .core.climatology import apply_sponge, sponge_profile
+        vfac = dfac = None
+        if grd:
+            from scipy.io import netcdf_file as _ncf
+            _f = _ncf(grd[0], "r", mmap=False)
+            if "visc_factor" in _f.variables:
+                vfac = _np.asarray(_f.variables["visc_factor"][:])
+            if "diff_factor" in _f.variables:
+                dfac = _np.asarray(_f.variables["diff_factor"][:])
+            _f.close()
+        if vfac is None and dfac is None:
+            vfac = dfac = sponge_profile(
+                cfg, width=max(4, min(cfg.Lm, cfg.Mm) // 10),
+                factor=4.0)
+        grid = apply_sponge(grid,
+                            vfac if vfac is not None else dfac,
+                            uv=cfg.nudg.luv_sponge,
+                            ts=any(cfg.nudg.ltracer_sponge),
+                            amp_ts=dfac)
+        print("sponge layers applied "
+              f"(uv={cfg.nudg.luv_sponge}, "
+              f"ts={any(cfg.nudg.ltracer_sponge)})")
+
     ini = deck_files("ININAME")
     if ini:
         from .io.state_nc import read_state_netcdf
@@ -223,7 +252,9 @@ def main(argv=None):
         from .core.tides import make_tidal_obc_fn
         from .io.tide_nc import load_tide_netcdf
         tides = load_tide_netcdf(tid[0], cfg)
-        obc_fn = make_tidal_obc_fn(tides, base_obc_fn=obc_fn)
+        obc_fn = make_tidal_obc_fn(
+            tides, base_obc_fn=obc_fn,
+            tide_start_days=float(params.get("TIDE_START", 0.0) or 0.0))
         print(f"tidal harmonics from: {tid[0]} "
               f"({tides.period.shape[0]} constituents)")
 
@@ -234,12 +265,20 @@ def main(argv=None):
                                 make_clm_fn)
         nud = deck_files("NUDNAME")
         nudgcoef = (load_nudgcoef_netcdf(nud[0], cfg) if nud else None)
-        tn = params.get("TNUDG", 0.0)
-        tnudg = [float(x) for x in (tn if isinstance(tn, list) else [tn])]
-        clm_fn = make_clm_fn(
-            cfg, load_clm_netcdf(clm, cfg), tnudg_days=tnudg,
-            m3nudg_days=float(params.get("M3NUDG", 0.0) or 0.0),
-            nudgcoef=nudgcoef)
+        if any(k.startswith("Lnudge") for k in params):
+            # reference gating: Lnudge*CLM switches select what nudges
+            # (read_phypar.F LnudgeTCLM/LnudgeM3CLM/LnudgeM2CLM)
+            clm_fn = make_clm_fn(cfg, load_clm_netcdf(clm, cfg),
+                                 nudgcoef=nudgcoef, nudg=cfg.nudg)
+        else:
+            # legacy decks without Lnudge lines: TNUDG>0 implies nudging
+            tn = params.get("TNUDG", 0.0)
+            tnudg = [float(x)
+                     for x in (tn if isinstance(tn, list) else [tn])]
+            clm_fn = make_clm_fn(
+                cfg, load_clm_netcdf(clm, cfg), tnudg_days=tnudg,
+                m3nudg_days=float(params.get("M3NUDG", 0.0) or 0.0),
+                nudgcoef=nudgcoef)
         print(f"climatology from: {', '.join(clm)}")
 
     frc = deck_files("FRCNAME")

@@ -46,6 +46,11 @@ class LBC:
     south: str = CLOSED
     east: str = CLOSED
     north: str = CLOSED
+    # Edges where radiation is combined with nudging toward external
+    # data (the deck's "RadNud" keyword; T_LBC%nudging in
+    # mod_param.F:357-373).  Taus come from NudgingConfig (FSobc/M2obc/
+    # M3obc/Tobc in/out, inp_par.F:726-753).
+    nudge: Tuple[str, ...] = ()
 
     @classmethod
     def same(cls, kind: str) -> "LBC":
@@ -198,6 +203,38 @@ class MixingConfig:
 
 
 @dataclass(frozen=True)
+class NudgingConfig:
+    """Nudging inverse time scales and switches (read_phypar.F TNUDG/
+    ZNUDG/M2NUDG/M3NUDG/OBCFAC + Lnudge*CLM + sponge logicals).
+
+    All rates are 1/s — the deck values in DAYS are converted by the
+    parser exactly as inp_par.F:697-717 does (0 days -> rate 0).  The
+    radiation-nudging boundary taus follow inp_par.F:726-753:
+    outflow tau = rate, inflow tau = obcfac * rate, active only on
+    edges listed in the corresponding LBC.nudge.
+    """
+
+    znudg: float = 0.0                   # free surface (FSobc)
+    m2nudg: float = 0.0                  # 2D momentum (M2obc)
+    m3nudg: float = 0.0                  # 3D momentum (M3obc)
+    tnudg: Tuple[float, ...] = ()        # per-tracer (Tobc)
+    obcfac: float = 0.0                  # inflow/outflow asymmetry
+    # climatology nudging switches (read_phypar.F Lnudge*CLM)
+    lnudge_m2clm: bool = False
+    lnudge_m3clm: bool = False
+    lnudge_tclm: Tuple[bool, ...] = ()
+    # sponge-layer switches (LuvSponge / LtracerSponge)
+    luv_sponge: bool = False
+    ltracer_sponge: Tuple[bool, ...] = ()
+
+    def tobc(self, itrc: int) -> Tuple[float, float]:
+        """(tau_in, tau_out) for tracer itrc radiation nudging."""
+        rate = self.tnudg[itrc] if itrc < len(self.tnudg) else (
+            self.tnudg[-1] if self.tnudg else 0.0)
+        return self.obcfac * rate, rate
+
+
+@dataclass(frozen=True)
 class BottomDragConfig:
     """UV_LDRAG/UV_QDRAG/UV_LOGDRAG selection (set_vbc.F)."""
 
@@ -230,6 +267,7 @@ class ModelConfig:
     mixing: MixingConfig = field(default_factory=MixingConfig)
     drag: BottomDragConfig = field(default_factory=BottomDragConfig)
     bc: BoundaryConfig = field(default_factory=BoundaryConfig)
+    nudg: NudgingConfig = field(default_factory=NudgingConfig)
 
     rho0: float = 1025.0
     g: float = 9.81           # gravity; nondimensional apps override (SOLITON)

@@ -49,6 +49,32 @@ def nudge_momentum_rhs(cfg: ModelConfig, grid: Grid, clm, u, v, Hz,
     return ru, rv
 
 
+def nudge_momentum2d_rhs(cfg: ModelConfig, grid: Grid, clm, zeta,
+                         ubar, vbar, rufrc, rvfrc):
+    """2D momentum climatology nudging (step2d_LF_AM3.h:2182-2201):
+
+        rhs_ubar += 0.25*(M2cof_im1+M2cof)*om_u*on_u
+                    * (D_im1+D) * (ubarclm - ubar)
+
+    folded into the slow forcing rufrc/rvfrc that the fast loop adds
+    every substep — equivalent for the day-scale rates involved, and
+    keeps the nudging out of the barotropic hot loop."""
+    if not clm or "ubarclm" not in clm:
+        return rufrc, rvfrc
+    coef = clm.get("M2nudgcof", 0.0)
+    D = zeta + grid.h
+    if hasattr(coef, "ndim") and coef.ndim == 2:
+        cf_u = 0.25 * (coef + st.im1(coef))
+        cf_v = 0.25 * (coef + st.jm1(coef))
+    else:
+        cf_u = cf_v = 0.5 * coef
+    rufrc = rufrc + cf_u * grid.om_u * grid.on_u * (D + st.im1(D)) * \
+        (clm["ubarclm"] - ubar)
+    rvfrc = rvfrc + cf_v * grid.om_v * grid.on_v * (D + st.jm1(D)) * \
+        (clm["vbarclm"] - vbar)
+    return rufrc, rvfrc
+
+
 def sponge_profile(cfg: ModelConfig, width: int, factor: float,
                    edges=("west", "east", "south", "north")):
     """Edge-amplification factor field (ana_sponge pattern): 1 in the
@@ -68,11 +94,19 @@ def sponge_profile(cfg: ModelConfig, width: int, factor: float,
     return jnp.asarray(amp, cfg.dtype)
 
 
-def apply_sponge(grid: Grid, amp) -> Grid:
-    """Return a new Grid with sponge-scaled mixing coefficients."""
+def apply_sponge(grid: Grid, amp, uv: bool = True, ts: bool = True,
+                 amp_ts=None) -> Grid:
+    """Return a new Grid with sponge-scaled mixing coefficients.
+
+    uv/ts select what the sponge touches (deck LuvSponge /
+    LtracerSponge, read_phypar.F); amp_ts optionally gives the tracer
+    factor its own field (grid-file diff_factor vs visc_factor)."""
     kw = {name: getattr(grid, name) for name in Grid.FIELDS}
     kw.update({name: getattr(grid, name) for name in Grid.AUX})
-    kw["visc2_r"] = kw["visc2_r"] * amp
-    kw["visc2_p"] = kw["visc2_p"] * amp
-    kw["diff2"] = kw["diff2"] * amp[None]
+    if uv:
+        kw["visc2_r"] = kw["visc2_r"] * amp
+        kw["visc2_p"] = kw["visc2_p"] * amp
+    if ts:
+        a = amp if amp_ts is None else amp_ts
+        kw["diff2"] = kw["diff2"] * a[None]
     return Grid(**kw)

@@ -74,7 +74,8 @@ def _radiation_line(new, old, tau_in=0.0, tau_out=0.0, data=None,
     gg_m = jnp.concatenate([zl, gg], axis=-1)
     gg_p = jnp.concatenate([gg, zl], axis=-1)
 
-    dZdt = jnp.where(dZdt * dZdx < 0.0, 0.0, dZdt)
+    inflow = dZdt * dZdx < 0.0       # inflow BEFORE zeroing (zetabc.F:139)
+    dZdt = jnp.where(inflow, 0.0, dZdt)
     dZde = jnp.where(dZdt * (gb_m + gb_p) > 0.0, gb_m, gb_p)
     cff = jnp.maximum(dZdx * dZdx + dZde * dZde, _EPS)
     Cx = dZdt * dZdx
@@ -86,7 +87,7 @@ def _radiation_line(new, old, tau_in=0.0, tau_out=0.0, data=None,
              - jnp.maximum(Ce, 0.0) * gg_m
              - jnp.minimum(Ce, 0.0) * gg_p) / (cff + Cx)
     if data is not None and (tau_in or tau_out):
-        tau = jnp.where(dZdt * dZdx < 0.0, tau_in, tau_out) * dt
+        tau = jnp.where(inflow, tau_in, tau_out) * dt
         ghost = ghost + tau * (data - old[..., :, -1])
     return ghost
 
@@ -107,7 +108,14 @@ def zetabc(cfg: ModelConfig, grid, z_new, z_old, dt2d, obc=None):
         if kind == CLAMPED and side in data:
             ghost = jnp.broadcast_to(data[side], zn[..., :, -1].shape)
         elif kind == RADIATION:
-            ghost = _radiation_line(zn, zo, data=data.get(side), dt=dt2d)
+            tin = tout = 0.0
+            if side in cfg.bc.zeta.nudge:
+                # FSobc_in/out radiation nudging (zetabc.F:139-146,
+                # inp_par.F:729-731)
+                tout = cfg.nudg.znudg
+                tin = cfg.nudg.obcfac * cfg.nudg.znudg
+            ghost = _radiation_line(zn, zo, tau_in=tin, tau_out=tout,
+                                    data=data.get(side), dt=dt2d)
         else:
             h_o = _orient(grid.h, side)
             pm_o = _orient(grid.pm if side in ("west", "east")
@@ -225,7 +233,8 @@ def u2dbc_shchepetkin(cfg: ModelConfig, grid, ubar_new, vbar_new,
 
 
 def radiation_3d(cfg: ModelConfig, lbc: LBC, f_new, f_old, dt=None,
-                 data=None, stagger: str = "r"):
+                 data=None, stagger: str = "r", tau_in: float = 0.0,
+                 tau_out: float = 0.0):
     """Oblique radiation for 2-D/3-D fields (t3dbc_im.F / u3dbc_im.F /
     v3dbc_im.F pattern), applied after the closed/gradient pass.
 
@@ -233,18 +242,25 @@ def radiation_3d(cfg: ModelConfig, lbc: LBC, f_new, f_old, dt=None,
     western boundary point is column 1 (the normal-flow wall point),
     matching the reference's IstrU-1 indexing; likewise row 1 for a
     V-field at the south.
+
+    tau_in/tau_out [1/s]: radiation-nudging rates toward `data` on
+    edges listed in lbc.nudge (M3obc_in/out, Tobc_in/out semantics of
+    u3dbc_im.F / t3dbc_im.F nudging branches).
     """
     data = data or {}
     for side in ("west", "south", "east", "north"):
         if getattr(lbc, side) != RADIATION:
             continue
+        nud = side in lbc.nudge
         drop = (stagger == "u" and side == "west") or \
                (stagger == "v" and side == "south")
         fn = _orient(f_new, side)
         fo = _orient(f_old, side)
         if drop:
             fn, fo = fn[..., :-1], fo[..., :-1]
-        ghost = _radiation_line(fn, fo, data=data.get(side), dt=dt)
+        ghost = _radiation_line(fn, fo, data=data.get(side), dt=dt,
+                                tau_in=tau_in if nud else 0.0,
+                                tau_out=tau_out if nud else 0.0)
         if drop:
             # boundary value lives at original index 1 of the edge axis
             if side == "west":

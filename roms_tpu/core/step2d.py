@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import constants
-from ..config import ModelConfig, PERIODIC
+from ..config import ModelConfig, PERIODIC, RADIATION
 from ..grid.grid import Grid
 from ..ops import stencil as st
 from . import boundary, obc as obc_mod, wetdry as wd
@@ -307,6 +307,19 @@ def _uv_bc(cfg, grid, u, v, z_old=None, ub_old=None, vb_old=None,
             or REDUCED in (cfg.bc.vbar.south, cfg.bc.vbar.north)):
         u, v = obc_mod.u2dbc_reduced(cfg, grid, u, v, ub_old, vb_old,
                                      z_old, dt2d, obc, red_stress)
+    if ub_old is not None and RADIATION in (
+            cfg.bc.ubar.west, cfg.bc.ubar.east, cfg.bc.ubar.south,
+            cfg.bc.ubar.north, cfg.bc.vbar.west, cfg.bc.vbar.east,
+            cfg.bc.vbar.south, cfg.bc.vbar.north):
+        # u2dbc_im.F/v2dbc_im.F radiation branches with M2obc_in/out
+        # nudging on LBC.nudge edges
+        m2in = cfg.nudg.obcfac * cfg.nudg.m2nudg
+        u = obc_mod.radiation_3d(cfg, cfg.bc.ubar, u, ub_old, dt=dt2d,
+                                 data=bd.get("ubar"), stagger="u",
+                                 tau_in=m2in, tau_out=cfg.nudg.m2nudg)
+        v = obc_mod.radiation_3d(cfg, cfg.bc.vbar, v, vb_old, dt=dt2d,
+                                 data=bd.get("vbar"), stagger="v",
+                                 tau_in=m2in, tau_out=cfg.nudg.m2nudg)
     if z_old is not None and (_has_open(cfg.bc.ubar)
                               or _has_open(cfg.bc.vbar)):
         u, v = obc_mod.u2dbc_flather(cfg, grid, u, v, z_old, ub_old,

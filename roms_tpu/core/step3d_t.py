@@ -149,9 +149,11 @@ def _finish_tracers(cfg, grid, sol, pre, dia, Hz, t_old, obc,
         tn = boundary.bc_rho(tn, cfg.bc.t, bdata=tdat_all.get(itrc))
         if t_old is not None:
             tdat = (obc or {}).get("t")
+            tin, tout = cfg.nudg.tobc(itrc)
             tn = obc_mod.radiation_3d(
                 cfg, cfg.bc.t, tn, t_old[itrc], dt=cfg.dt,
-                data=None if tdat is None else tdat.get(itrc))
+                data=None if tdat is None else tdat.get(itrc),
+                tau_in=tin, tau_out=tout)
         out.append(tn)
     if collect_diag:
         return jnp.stack(out), {k: jnp.stack(v) for k, v in dia.items()}

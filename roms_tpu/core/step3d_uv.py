@@ -110,10 +110,13 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
     vn = boundary.bc_v(vn, cfg.bc.v, cfg.gamma2,
                        bdata=(obc or {}).get("v"))
     if u_old is not None:
+        m3in = cfg.nudg.obcfac * cfg.nudg.m3nudg
         un = obc_mod.radiation_3d(cfg, cfg.bc.u, un, u_old, dt=cfg.dt,
-                                  data=(obc or {}).get("u"), stagger="u")
+                                  data=(obc or {}).get("u"), stagger="u",
+                                  tau_in=m3in, tau_out=cfg.nudg.m3nudg)
         vn = obc_mod.radiation_3d(cfg, cfg.bc.v, vn, v_old, dt=cfg.dt,
-                                  data=(obc or {}).get("v"), stagger="v")
+                                  data=(obc or {}).get("v"), stagger="v",
+                                  tau_in=m3in, tau_out=cfg.nudg.m3nudg)
     # Re-correct so BOUNDARY points also carry the exact barotropic mean
     # (interior is already exact; step3d_uv.F:1390-1470).
     un = correct_u(un)
@@ -162,10 +165,13 @@ def _step3d_uv_pallas(cfg, grid, u_part, v_part, ru, rv, Hz, Akv,
     vn = boundary.bc_v(vn, cfg.bc.v, cfg.gamma2,
                        bdata=(obc or {}).get("v"))
     if u_old is not None:
+        m3in = cfg.nudg.obcfac * cfg.nudg.m3nudg
         un = obc_mod.radiation_3d(cfg, cfg.bc.u, un, u_old, dt=cfg.dt,
-                                  data=(obc or {}).get("u"), stagger="u")
+                                  data=(obc or {}).get("u"), stagger="u",
+                                  tau_in=m3in, tau_out=cfg.nudg.m3nudg)
         vn = obc_mod.radiation_3d(cfg, cfg.bc.v, vn, v_old, dt=cfg.dt,
-                                  data=(obc or {}).get("v"), stagger="v")
+                                  data=(obc or {}).get("v"), stagger="v",
+                                  tau_in=m3in, tau_out=cfg.nudg.m3nudg)
     un, vn, ubar, vbar, Huon, Hvom = pallas_uv.uv_finish_pallas(
         cfg, grid, un, vn, Hz, Huon_old, Hvom_old,
         avg.DU_avg1, avg.DV_avg1, avg.DU_avg2, avg.DV_avg2,

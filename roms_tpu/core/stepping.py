@@ -380,6 +380,9 @@ class Model:
                                             state.v, Hz, ru, rv)
         rufrc, rvfrc = rhs3d.integrate_rufrc(cfg, grid, ru, rv, forcing,
                                              bustr, bvstr)
+        rufrc, rvfrc = clm_mod.nudge_momentum2d_rhs(
+            cfg, grid, clm, state.zeta, state.ubar, state.vbar,
+            rufrc, rvfrc)
         if cfg.mixing.mix_geo_uv:
             u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_geo(
                 cfg, grid, state.u, state.v, u_part, v_part, Hz, z_r,

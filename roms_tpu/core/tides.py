@@ -41,15 +41,21 @@ PERIODS_H = {"M2": 12.4206012, "S2": 12.0, "N2": 12.65834751,
              "P1": 24.06588766, "Q1": 26.868350}
 
 
-def make_tidal_obc_fn(tides: TidalForcing, base_obc_fn=None):
+def make_tidal_obc_fn(tides: TidalForcing, base_obc_fn=None,
+                      tide_start_days: float = 0.0):
     """Build an obc_fn(time) that superposes tidal harmonics on any base
-    boundary data."""
+    boundary data.
+
+    tide_start_days: deck TIDE_START — the harmonic phases reference
+    time-origin offset in days (set_tides.F:261:
+    omega*(time - tide_start*day2sec))."""
+    t0 = tide_start_days * 86400.0
 
     def synth(edges: Dict[str, TidalEdge], time):
         out = {}
         omega = 2.0 * jnp.pi / tides.period
         for side, te in edges.items():
-            phase = omega[:, None] * time - te.phase
+            phase = omega[:, None] * (time - t0) - te.phase
             out[side] = jnp.sum(te.amp * jnp.cos(phase), axis=0)
         return out
 

@@ -102,23 +102,44 @@ def load_nudgcoef_netcdf(path: str, cfg: ModelConfig) -> Dict:
 def make_clm_fn(cfg: ModelConfig, fields: Dict[str, TimeSeriesField],
                 tnudg_days: Optional[Sequence[float]] = None,
                 m3nudg_days: float = 0.0,
-                nudgcoef: Optional[Dict] = None):
+                nudgcoef: Optional[Dict] = None,
+                nudg=None):
     """Build clm_fn(time) for Model from loaded climatology fields.
 
     tnudg_days: per-tracer uniform nudging time scales (deck TNUDG,
     days; read_phypar.F semantics: coefficient = 1/(days*86400)).
     nudgcoef overrides the uniform values with spatially-varying fields
     from load_nudgcoef_netcdf.
+
+    nudg: a config.NudgingConfig — when given it supplies the rates
+    (already 1/s) AND the Lnudge*CLM gates: tracers with
+    lnudge_tclm[i] False get coefficient 0, momentum climatology is
+    processed only when lnudge_m3clm/lnudge_m2clm (read_phypar.F
+    LnudgeTCLM/LnudgeM3CLM/LnudgeM2CLM semantics).
     """
     dtype = jnp.dtype(cfg.dtype)
     tracers = _tracer_names(cfg)
     have_t = [nm for nm in tracers if nm in fields]
     have_m3 = "u" in fields and "v" in fields
-    if not have_t and not have_m3:
+    have_m2 = "ubar" in fields and "vbar" in fields
+    if nudg is not None:
+        if not any(nudg.lnudge_tclm):
+            have_t = []
+        have_m3 = have_m3 and nudg.lnudge_m3clm
+        have_m2 = have_m2 and nudg.lnudge_m2clm
+    else:
+        have_m2 = False
+    if not have_t and not have_m3 and not have_m2:
         return None
 
     if nudgcoef and "Tnudgcof" in nudgcoef:
         Tcof = nudgcoef["Tnudgcof"]
+    elif nudg is not None and nudg.tnudg:
+        rates = list(nudg.tnudg) + [nudg.tnudg[-1]] * cfg.NT
+        gates = list(nudg.lnudge_tclm) + [False] * cfg.NT
+        inv = [r if gates[i] else 0.0
+               for i, r in enumerate(rates[:cfg.NT])]
+        Tcof = jnp.asarray(inv, dtype)[:, None, None, None]
     elif tnudg_days:
         days = list(tnudg_days) + [tnudg_days[-1]] * cfg.NT
         inv = [1.0 / (d * _SEC_PER_DAY) if d > 0 else 0.0
@@ -130,10 +151,18 @@ def make_clm_fn(cfg: ModelConfig, fields: Dict[str, TimeSeriesField],
 
     if nudgcoef and "M3nudgcof" in nudgcoef:
         M3cof = nudgcoef["M3nudgcof"]
+    elif nudg is not None:
+        M3cof = jnp.asarray(nudg.m3nudg, dtype)
     else:
         M3cof = jnp.asarray(
             1.0 / (m3nudg_days * _SEC_PER_DAY) if m3nudg_days > 0
             else 0.0, dtype)
+
+    if nudgcoef and "M2nudgcof" in nudgcoef:
+        M2cof = nudgcoef["M2nudgcof"]
+    else:
+        M2cof = jnp.asarray(nudg.m2nudg if nudg is not None else 0.0,
+                            dtype)
 
     zeros3 = jnp.zeros((cfg.N,) + cfg.shape2d, dtype)
 
@@ -151,6 +180,10 @@ def make_clm_fn(cfg: ModelConfig, fields: Dict[str, TimeSeriesField],
             clm["uclm"] = fields["u"].at(time).astype(dtype)
             clm["vclm"] = fields["v"].at(time).astype(dtype)
             clm["M3nudgcof"] = M3cof
+        if have_m2:
+            clm["ubarclm"] = fields["ubar"].at(time).astype(dtype)
+            clm["vbarclm"] = fields["vbar"].at(time).astype(dtype)
+            clm["M2nudgcof"] = M2cof
         return clm
 
     return clm_fn

@@ -125,8 +125,13 @@ def _lbc(params: Dict, key: str) -> C.LBC:
     kinds = [_LBC_KINDS.get(str(s).lower()[:3], C.CLOSED) for s in spec[:4]]
     while len(kinds) < 4:
         kinds.append(C.CLOSED)
+    # "RadNud" = radiation + nudging toward boundary data (LBC%nudging)
+    edges = ("west", "south", "east", "north")
+    nudge = tuple(e for e, s in zip(edges, spec[:4])
+                  if str(s).lower().startswith("radnud"))
     west, south, east, north = kinds
-    return C.LBC(west=west, south=south, east=east, north=north)
+    return C.LBC(west=west, south=south, east=east, north=north,
+                 nudge=nudge)
 
 
 _HADV_MAP = {
@@ -177,6 +182,10 @@ _CONSUMED = {
     "GLS_SIGP", "GLS_Kmin", "GLS_Pmin", "ZOS", "Zos", "RDRG", "RDRG2",
     "Zob", "RHO0", "GAMMA2", "LBC", "Hadvection", "Vadvection",
     "DCRIT", "VolCons", "NTIMES",
+    # nudging / sponge keywords (inp_par.F:697-753, get_nudgcoef.F)
+    "TNUDG", "ZNUDG", "M2NUDG", "M3NUDG", "OBCFAC",
+    "LuvSponge", "LtracerSponge",
+    "LnudgeM2CLM", "LnudgeM3CLM", "LnudgeTCLM",
 }
 _ACCEPTED = {
     # run control / restart cadence / output cadence
@@ -201,13 +210,13 @@ _ACCEPTED = {
     "FOInameA", "FOInameB", "FCTnameA", "FCTnameB",
     # output field switches
     "Hout", "Qout", "Aout", "Dout",
-    # physics accepted but configured elsewhere / inert for now
+    # physics accepted but configured elsewhere (bulk heights feed
+    # core.bulk_flux via app factories; WTYPE via lmd_swfrac Jwtype)
     "BVF_BAK", "AKT_LIMIT", "AKV_LIMIT", "TKENU2", "TKENU4",
     "CHARNOK_ALPHA", "CRGBAN_CW", "ZOS_HSIG_ALPHA", "SZ_ALPHA",
     "BLK_ZQ", "BLK_ZT", "BLK_ZW", "WTYPE", "LEVSFRC", "LEVBFRC",
-    "WEC_ALPHA", "OBCFAC", "TNUDG", "ZNUDG", "M2NUDG", "M3NUDG",
-    "LuvSrc", "LwSrc", "LtracerSrc", "LuvSponge", "LtracerSponge",
-    "LnudgeM2CLM", "LnudgeM3CLM", "LnudgeTCLM", "LsshCLM", "Lm2CLM",
+    "WEC_ALPHA",
+    "LuvSrc", "LwSrc", "LtracerSrc", "LsshCLM", "Lm2CLM",
     "Lm3CLM", "LtracerCLM", "TIDE_START", "Lnodal",
     # 4D-Var / GST / adjoint decks
     "Nouter", "Ninner", "Nintervals", "Nsaddle", "NEV", "NCV", "NGST",
@@ -309,9 +318,36 @@ def to_config(params: Dict, strict: bool = False,
         tke=_lbc(params, "LBC(isMtke)"),
         volcons=volcons)
 
+    def _days_to_rate(v):
+        """inp_par.F:697-717: deck values in DAYS -> 1/s (0 stays 0)."""
+        d = float(v)
+        return 1.0 / (d * 86400.0) if d > 0.0 else 0.0
+
+    def _ltup(key):
+        v = g(key)
+        if v is None:
+            return ()
+        return tuple(bool(x) for x in (v if isinstance(v, list)
+                                       else [v]))
+
+    tn = g("TNUDG", 0.0)
+    nudg = C.NudgingConfig(
+        znudg=_days_to_rate(_first(g("ZNUDG"), 0.0)),
+        m2nudg=_days_to_rate(_first(g("M2NUDG"), 0.0)),
+        m3nudg=_days_to_rate(_first(g("M3NUDG"), 0.0)),
+        tnudg=tuple(_days_to_rate(x) for x in
+                    (tn if isinstance(tn, list) else [tn])),
+        obcfac=float(_first(g("OBCFAC"), 0.0)),
+        lnudge_m2clm=bool(_first(g("LnudgeM2CLM"), False)),
+        lnudge_m3clm=bool(_first(g("LnudgeM3CLM"), False)),
+        lnudge_tclm=_ltup("LnudgeTCLM"),
+        luv_sponge=bool(_first(g("LuvSponge"), False)),
+        ltracer_sponge=_ltup("LtracerSponge"))
+
     cfg = C.ModelConfig(
         Lm=int(g("Lm", 41)), Mm=int(g("Mm", 80)),
         NT=max(nat, len(mixing.tnu2)), NAT=nat,
+        nudg=nudg,
         dt=float(_first(g("DT"), 300.0)),
         ndtfast=int(_first(g("NDTFAST"), 30)),
         vert=vert, eos=eos, mixing=mixing, drag=drag, bc=bc,
