@@ -305,7 +305,7 @@ def main(argv=None):
         vmix_fn=mk_vmix(cfg) if mk_vmix else None,
         obc_fn=extras.pop("obc_fn", None), clm_fn=clm_fn, **extras)
     om = OutputManager(cfg, grid, params, outdir=args.outdir,
-                       initial_state=state)
+                       initial_state=state, model=model)
     if om.unsupported:
         print("unsupported output ids (skipped):",
               ", ".join(sorted(set(om.unsupported))))
@@ -315,8 +315,12 @@ def main(argv=None):
           f"(ndtfast={cfg.ndtfast}) on {cfg.Lm}x{cfg.Mm}x{cfg.N}")
     t0 = time.perf_counter()
     for _ in range(ntimes):
-        state = model.step(state)
-        om.step(state)
+        if om.wants_diag:
+            state, dia = model.step_diag(state)
+            om.step(state, diag=dia)
+        else:
+            state = model.step(state)
+            om.step(state)
     import numpy as np
     import jax
     jax.block_until_ready(state.zeta)

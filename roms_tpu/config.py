@@ -321,6 +321,11 @@ class ModelConfig:
     bodyforce: bool = False
     levsfrc: int = 1
 
+    # I/O names of the tracers beyond temp/salt (mod_ncparam idTvar
+    # naming; e.g. Fennel sets ("NO3","NH4","chlorophyll",...)).
+    # Unnamed extra tracers fall back to "tracerNN".
+    tracer_names: Optional[Tuple[str, ...]] = None
+
     # Solver precision of state arrays ('float32' or 'float64').
     dtype: str = "float32"
 

@@ -498,6 +498,72 @@ class Model:
     def step(self, state: State) -> State:
         return self._step_jit(state, self.grid)
 
+    def diagnose(self, state: State) -> dict:
+        """Write-time diagnostic fields (wrt_his.F derived quantities):
+        the surface forcing actually applied this step, bottom stress
+        (plain drag or BBL), and for LMD-KPP runs the diagnostic mixing
+        coefficients and boundary-layer depths that the reference
+        writes as AKv/AKt/AKs/Hsbl/Hbbl.  One jitted evaluation of the
+        step's prep phase — numerics identical to step_impl."""
+        if not hasattr(self, "_diag_fields_jit"):
+            cfg = self.cfg
+
+            def compute(state, grid):
+                z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
+                rho, pden, _, _, bvf = rho_eos(cfg, state.t, z_r, Hz,
+                                               z_w)
+                if self._forcing_takes_state:
+                    sss = state.t[1][-1] if cfg.NT > 1 else \
+                        jnp.zeros_like(rho[-1])
+                    forcing = self.forcing_fn(state.time, state.t[0][-1],
+                                              sss, rho[-1])
+                else:
+                    forcing = self.forcing_fn(state.time)
+                out = {"sustr": forcing.sustr, "svstr": forcing.svstr,
+                       "shflux": forcing.stflx[0],
+                       "swrad": forcing.srflx}
+                if cfg.NT > 1:
+                    out["ssflux"] = forcing.stflx[1]
+                if self.bbl_fn is not None:
+                    bblout = self.bbl_fn(state.time, state.bbl, state.u,
+                                         state.v, rho[0], z_r, z_w)
+                    bustr, bvstr = bblout.bustr, bblout.bvstr
+                else:
+                    bustr, bvstr = set_vbc.bottom_drag(
+                        cfg, grid, state.u, state.v, Hz, z_r, z_w)
+                out["bustr"] = bustr
+                out["bvstr"] = bvstr
+                if cfg.mixing.vmix == "lmd":
+                    Akv, Akt = lmd_mod.lmd_vmix_interior(
+                        cfg, state.u, state.v, bvf, Hz)
+                    Akv, Akt, ghats, hsbl = lmd_mod.lmd_skpp(
+                        cfg, grid, state.t, state.u, state.v, pden, bvf,
+                        Hz, z_r, z_w, forcing, Akv, Akt)
+                    if cfg.mixing.bkpp:
+                        ksbl = jnp.maximum(jnp.sum(
+                            (z_w[:-1] < hsbl[None]).astype(jnp.int32),
+                            axis=0), 1)
+                        Akv, Akt, hbbl = lmd_mod.lmd_bkpp(
+                            cfg, grid, state.t, state.u, state.v, pden,
+                            bvf, Hz, z_r, z_w, forcing, bustr, bvstr,
+                            Akv, Akt, ksbl_guard=ksbl)
+                        out["hbbl"] = hbbl
+                    out["AKv"] = Akv
+                    out["AKt"] = Akt[0]
+                    if cfg.NT > 1:
+                        out["AKs"] = Akt[1]
+                    out["hsbl"] = hsbl
+                elif cfg.mixing.vmix not in ("gls", "my25"):
+                    Akv, Akt = self.vmix_fn(state, grid, z_w)
+                    out["AKv"] = Akv
+                    out["AKt"] = Akt[0]
+                    if cfg.NT > 1:
+                        out["AKs"] = Akt[1]
+                return out
+
+            self._diag_fields_jit = jax.jit(compute)
+        return self._diag_fields_jit(state, self.grid)
+
     def step_with_forcing(self, state: State, override: dict):
         """One step with selected forcing fields replaced by the
         entries of `override` (keys: sustr/svstr/srflx/stflx0/stflx1),
@@ -522,9 +588,10 @@ class Model:
         """One step returning (new_state, DIAGNOSTICS_TS budget dict of
         Hz-weighted per-step increments): rate = forc + hadv + vadv +
         vdif + nudg, closing to roundoff in the interior."""
-        fn = jax.jit(lambda s, g: self.step_impl(s, g,
-                                                 collect_diag=True))
-        return fn(state, self.grid)
+        if not hasattr(self, "_step_diag_jit"):
+            self._step_diag_jit = jax.jit(
+                lambda s, g: self.step_impl(s, g, collect_diag=True))
+        return self._step_diag_jit(state, self.grid)
 
     def run(self, state: State, nsteps: int) -> State:
         """Advance nsteps inside a single jitted scan."""

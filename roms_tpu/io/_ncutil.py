@@ -30,8 +30,11 @@ def attr_str(var, name):
 
 def tracer_names(cfg):
     names = ["temp", "salt"]
+    extra = list(getattr(cfg, "tracer_names", None) or ())
     for i in range(2, cfg.NT):
-        names.append(f"tracer{i + 1:02d}")
+        j = i - 2
+        names.append(extra[j] if j < len(extra)
+                     else f"tracer{i + 1:02d}")
     return names[: cfg.NT]
 
 

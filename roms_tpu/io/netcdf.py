@@ -17,24 +17,73 @@ import numpy as np
 from scipy.io import netcdf_file
 
 from ..config import ModelConfig
-from .varinfo import REGISTRY, dims_for
+from ._ncutil import tracer_names
+from .varinfo import REGISTRY, dims_for, varinfo_for
+
+_ICE_ATTRS = {"ice_a": "ai", "ice_h": "hi", "ice_u": "ui",
+              "ice_v": "vi", "ice_t": "ti", "ice_hsn": "hsn"}
+_BED_ATTRS = {"bed_thickness": "thick", "bed_age": "age",
+              "bed_porosity": "poro"}
+_DIAGNOSED = ("sustr", "svstr", "shflux", "ssflux", "swrad", "bustr",
+              "bvstr", "hsbl", "hbbl")
+
+
+def supported_keys(cfg: ModelConfig, model=None) -> set:
+    """Every registry key the writers can extract for this
+    configuration — replaces the old fixed whitelist (wrt_his.F field
+    dispatch).  `model` unlocks the write-time diagnostics (forcing,
+    bottom stress, KPP depths) via Model.diagnose."""
+    keys = {"zeta", "ubar", "vbar", "u", "v", "rho", "w", "omega",
+            "u_sur", "v_sur"}
+    tn = tracer_names(cfg)
+    keys |= set(tn)
+    keys |= {f"{n}_sur" for n in tn}
+    if cfg.mixing.vmix in ("gls", "my25"):
+        keys |= {"tke", "gls", "AKv", "AKt", "AKk", "Lscale"}
+        if cfg.NT > 1:
+            keys.add("AKs")
+    if model is not None:
+        keys |= {"sustr", "svstr", "shflux", "swrad", "bustr", "bvstr"}
+        if cfg.NT > 1:
+            keys.add("ssflux")
+        if cfg.mixing.vmix == "lmd":
+            keys |= {"AKv", "AKt", "hsbl"}
+            if cfg.NT > 1:
+                keys.add("AKs")
+            if cfg.mixing.bkpp:
+                keys.add("hbbl")
+        elif cfg.mixing.vmix not in ("gls", "my25"):
+            keys |= {"AKv", "AKt"}
+            if cfg.NT > 1:
+                keys.add("AKs")
+        if getattr(model, "ice_fn", None) is not None:
+            keys |= set(_ICE_ATTRS)
+        if getattr(model, "sed_fn", None) is not None:
+            keys |= set(_BED_ATTRS)
+        if getattr(model, "wec_fn", None) is not None and \
+                hasattr(model.wec_fn, "stokes"):
+            keys |= {"ubar_stokes", "vbar_stokes"}
+    return keys
 
 
 class HistoryWriter:
     """Append-per-record NetCDF writer (HIS/QCK streams).
 
-    fields: list of registry keys to write each record.  Tracer entries
-    'temp'/'salt' map to state.t[0]/t[1]; turbulence fields come from
-    state.mix when present.
+    fields: list of registry keys to write each record.  Tracer keys
+    map through the cfg tracer-name table to state.t slices; turbulence
+    fields come from state.mix; forcing/stress/KPP diagnostics come
+    from `model.diagnose` when a Model is provided.
     """
 
     def __init__(self, path: str, cfg: ModelConfig, grid,
                  fields=("zeta", "ubar", "vbar", "u", "v", "temp",
-                         "salt"), checksum: str = None):
+                         "salt"), checksum: str = None, model=None,
+                 nbed: int = 0):
         self.cfg = cfg
         self.grid = grid
         self.fields = fields
         self.checksum = checksum      # 'bitsum' | 'adler32' | 'crc32'
+        self.model = model
         self.nrec = 0
         self._derived_jit = None
         Mj, Li = cfg.shape2d
@@ -56,6 +105,8 @@ class HistoryWriter:
         f.createDimension("eta_v", Mj)
         f.createDimension("s_rho", N)
         f.createDimension("s_w", N + 1)
+        if any(varinfo_for(k, cfg).location == "b3" for k in fields):
+            f.createDimension("Nbed", nbed or 1)
 
         vt = f.createVariable("ocean_time", "d", ("ocean_time",))
         vt.units = "seconds since initialization"
@@ -80,7 +131,7 @@ class HistoryWriter:
         self._vars = {}
         self._hash_vars = {}
         for key in self.fields:
-            info = REGISTRY[key]
+            info = varinfo_for(key, cfg)
             dims = ("ocean_time",) + dims_for(info.location, N)
             v = f.createVariable(info.name, "f", dims)
             v.long_name = info.long_name
@@ -119,6 +170,13 @@ class HistoryWriter:
             self._derived_jit = jax.jit(compute)
         return self._derived_jit(state)
 
+    def _diagnosed(self, state):
+        """model.diagnose output, one evaluation per state."""
+        if getattr(self, "_diag_for", None) is not state:
+            self._diag_vals = self.model.diagnose(state)
+            self._diag_for = state
+        return self._diag_vals
+
     def _extract(self, state, key):
         if key in ("rho", "w", "omega"):
             # one derived-pipeline execution per state, not per key
@@ -127,19 +185,41 @@ class HistoryWriter:
                 self._derived_for = state
             return self._derived_vals[key]
         if key.endswith("_sur"):
-            base = key[:-4]
-            f3 = {"temp": state.t[0], "salt": state.t[1],
-                  "u": state.u, "v": state.v}[base]
-            return f3[-1]
-        if key == "temp":
-            return state.t[0]
-        if key == "salt":
-            return state.t[1]
-        if key in ("tke", "gls", "AKv"):
-            attr = {"tke": "tke", "gls": "gls", "AKv": "Akv"}[key]
-            return getattr(state.mix, attr)
-        if key == "AKt":
-            return state.mix.Akt[0]
+            return self._extract(state, key[:-4])[-1]
+        tn = tracer_names(self.cfg)
+        if key in tn:
+            return state.t[tn.index(key)]
+        mix = state.mix
+        if mix is not None:
+            if key in ("tke", "gls", "Lscale"):
+                return getattr(mix, key)
+            if key == "AKk":
+                return mix.Akk
+            if key == "AKv":
+                return mix.Akv
+            if key == "AKt":
+                return mix.Akt[0]
+            if key == "AKs":
+                return mix.Akt[1]
+        if self.model is not None and (
+                key in _DIAGNOSED or key in ("AKv", "AKt", "AKs")):
+            return self._diagnosed(state)[key]
+        if key in _ICE_ATTRS and state.ice is not None:
+            return getattr(state.ice, _ICE_ATTRS[key])
+        if key in _BED_ATTRS and state.sed is not None:
+            return getattr(state.sed, _BED_ATTRS[key])
+        if key in ("ubar_stokes", "vbar_stokes"):
+            # Stokes transports -> depth-averaged drift (mod_ocean
+            # ubar_stokes semantics)
+            from ..ops import stencil as st
+            DU_st, DV_st, _, _ = self.model.wec_fn.stokes(
+                state.time, state.Hz, state.z_r, state.z_w)
+            D = state.zeta + self.grid.h
+            if key == "ubar_stokes":
+                D_u = 0.5 * (D + st.im1(D))
+                return DU_st / (D_u * self.grid.on_u)
+            D_v = 0.5 * (D + st.jm1(D))
+            return DV_st / (D_v * self.grid.om_v)
         return getattr(state, key)
 
     def write(self, state, time=None):
@@ -208,8 +288,10 @@ class DiagWriter:
         vt.units = "seconds since initialization"
         self._time = vt
         self._vars = {}
+        tn = tracer_names(cfg)
         dims = ("ocean_time", "s_rho", "eta_rho", "xi_rho")
-        for it, trc in enumerate(tracers):
+        for trc in tracers:
+            it = tn.index(trc) if trc in tn else tracers.index(trc)
             for term in self.TERMS:
                 v = f.createVariable(f"{trc}_{term}", "f", dims)
                 v.long_name = f"{trc} {term} term, Hz-weighted " \

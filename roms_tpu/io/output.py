@@ -26,24 +26,38 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..config import ModelConfig
-from .netcdf import AverageAccumulator, HistoryWriter
+from ._ncutil import tracer_names
+from .netcdf import AverageAccumulator, HistoryWriter, supported_keys
 from .rst_netcdf import RestartWriter
 from .varinfo import REGISTRY
 
-# extraction keys HistoryWriter._extract supports
-_EXTRACTABLE = ("zeta", "ubar", "vbar", "u", "v", "temp", "salt",
-                "tke", "gls", "AKv", "AKt", "rho", "w", "omega",
-                "temp_sur", "salt_sur", "u_sur", "v_sur")
+# quick-stream surface-slice ids (wrt_quick.F idSur* switches)
+_SURFACE_CODES = {"idSurT": "temp_sur", "idSurS": "salt_sur",
+                  "idSurU": "u_sur", "idSurV": "v_sur",
+                  "idUsur": "u_sur", "idVsur": "v_sur"}
 
 
-def _fields_from_switches(params: Dict, prefix: str):
+def _fields_from_switches(params: Dict, prefix: str, cfg=None,
+                          supported=None):
     """Hout(idFsur)=True ... -> tuple of registry keys, skipping ids we
-    cannot extract (returned separately)."""
+    cannot extract (returned separately).
+
+    The id->key map is driven by the registry index codes plus the
+    cfg tracer-name table for the per-tracer idTvar list (mod_ncparam
+    semantics: Hout(idTvar) carries one flag per tracer in deck
+    order, bio/sediment tracers included)."""
     by_code: Dict[str, list] = {}
     for key, info in REGISTRY.items():
-        if info.index_code:
+        if info.index_code and info.index_code != "idTvar":
             by_code.setdefault(info.index_code, []).append(key)
+    if cfg is not None:
+        by_code["idTvar"] = list(tracer_names(cfg))
+    else:
+        by_code["idTvar"] = ["temp", "salt"]
+    for code, key in _SURFACE_CODES.items():
+        by_code.setdefault(code, [key])
     fields, unsupported = [], []
+    ok = supported if supported is not None else set()
     pat = re.compile(rf"^{prefix}\((\w+)\)$")
     any_switch = False
     for key, val in params.items():
@@ -66,10 +80,10 @@ def _fields_from_switches(params: Dict, prefix: str):
             if on:
                 unsupported.append(code)
         for k, on in zip(keys, flags):
-            if on and k in _EXTRACTABLE:
+            if on and k in ok:
                 fields.append(k)
             elif on:
-                unsupported.append(code)
+                unsupported.append(f"{code}:{k}")
     return tuple(fields), unsupported, any_switch
 
 
@@ -85,11 +99,14 @@ class OutputManager:
     def __init__(self, cfg: ModelConfig, grid, params: Optional[Dict]
                  = None, outdir: str = ".", checksum: str | None = None,
                  nhis: int = 0, nqck: int = 0, navg: int = 0,
-                 nrst: int = 0, his_fields=None, initial_state=None):
+                 nrst: int = 0, ndia: int = 0, his_fields=None,
+                 initial_state=None, model=None):
         params = params or {}
         self.cfg = cfg
         self.grid = grid
+        self.model = model
         self.unsupported: list = []
+        self._supported = supported_keys(cfg, model)
 
         def cad(key, arg):
             return int(params.get(key, arg) or 0)
@@ -98,6 +115,7 @@ class OutputManager:
         self.nqck = cad("NQCK", nqck)
         self.navg = cad("NAVG", navg)
         self.nrst = cad("NRST", nrst)
+        self.ndia = cad("NDIA", ndia)
 
         def path(key, default):
             return os.path.join(outdir, params.get(key, default))
@@ -106,31 +124,68 @@ class OutputManager:
             # a deck WITH switches rules, even if it disables every
             # field (time-only stream); the fallback applies only when
             # the deck carries no switches for this stream at all
-            f, unsup, any_switch = _fields_from_switches(params, prefix)
+            f, unsup, any_switch = _fields_from_switches(
+                params, prefix, cfg, self._supported)
             self.unsupported += unsup
             return f if any_switch else fallback
+
+        nbed = 0
+        if initial_state is not None and initial_state.sed is not None:
+            nbed = int(initial_state.sed.thick.shape[0])
 
         default_fields = tuple(his_fields or
                                ("zeta", "ubar", "vbar", "u", "v",
                                 "temp", "salt"))
         self.his = self.qck = self.avg_writer = self.rst = None
+        self.dia = None
         self.avg = None
         if self.nhis:
             self.his = HistoryWriter(
                 path("HISNAME", "roms_his.nc"), cfg, grid,
-                fields=pick("Hout", default_fields), checksum=checksum)
+                fields=pick("Hout", default_fields), checksum=checksum,
+                model=model, nbed=nbed)
         if self.nqck:
             self.qck = HistoryWriter(
                 path("QCKNAME", "roms_qck.nc"), cfg, grid,
                 fields=pick("Qout", ("zeta", "temp_sur", "u_sur",
-                                     "v_sur")), checksum=checksum)
+                                     "v_sur")), checksum=checksum,
+                model=model, nbed=nbed)
         if self.navg:
             afields = pick("Aout", default_fields)
             self.avg_writer = HistoryWriter(
                 path("AVGNAME", "roms_avg.nc"), cfg, grid,
-                fields=afields, checksum=checksum)
+                fields=afields, checksum=checksum, model=model,
+                nbed=nbed)
             self.avg = AverageAccumulator(cfg, afields)
             self._avg_t0 = None
+        if self.ndia:
+            # DIA stream (def_diags.F/wrt_diags.F): per-term tracer
+            # budgets fed by Model.step_diag — the driver must call
+            # step(state, diag=...) (wants_diag property).  Dout term
+            # codes: iTrate/iThadv/iTvadv/iTvdif map onto the budget
+            # the model collects; the xi/eta/s splits (iTxadv etc.)
+            # are combined here and recorded as unsupported.
+            from .netcdf import DiagWriter
+            term_map = {"iTrate": "rate", "iThadv": "hadv",
+                        "iTvadv": "vadv", "iTvdif": "vdif"}
+            tn = tracer_names(cfg)
+            dtr: list = []
+            pat = re.compile(r"^Dout\((\w+)\)$")
+            for key, val in params.items():
+                m = pat.match(key)
+                if not m:
+                    continue
+                code = m.group(1)
+                flags = val if isinstance(val, list) else [val]
+                if code in term_map:
+                    for i, on in enumerate(flags):
+                        if on and i < len(tn) and tn[i] not in dtr:
+                            dtr.append(tn[i])
+                elif any(f is True for f in flags):
+                    self.unsupported.append(code)
+            self.dia = DiagWriter(
+                path("DIANAME", "roms_dia.nc"), cfg, grid,
+                tracers=tuple(dtr) or tuple(tn[:cfg.NAT]))
         if self.nrst:
             cycle = 2 if params.get("LcycleRST", True) else 0
             self.rst = RestartWriter(
@@ -149,13 +204,12 @@ class OutputManager:
             deck = parse_stations_in(spos)
             ij = [(int(round(y)), int(round(x)))
                   for g, flag, x, y in deck["pos"] if flag == 0]
+            # StationRecorder gathers prognostic fields only
+            ok = {"zeta", "ubar", "vbar", "u", "v", "temp", "salt"}
             sta_fields, unsup, any_sw = _fields_from_switches(
                 {f"Sout({k})": v for k, v in deck["sout"].items()},
-                "Sout")
+                "Sout", cfg, ok)
             self.unsupported += unsup
-            # StationRecorder gathers prognostic fields only
-            ok = ("zeta", "ubar", "vbar", "u", "v", "temp", "salt")
-            sta_fields = tuple(f for f in sta_fields if f in ok)
             if ij:
                 self.sta = StationWriter(
                     path("STANAME", "roms_sta.nc"), cfg, ij,
@@ -193,9 +247,18 @@ class OutputManager:
             from ..core.diag import blowup_string
             print("Blowing-up:", blowup_string(d), file=sys.stderr)
 
-    def step(self, state) -> None:
+    @property
+    def wants_diag(self) -> bool:
+        """True when the driver should advance with Model.step_diag
+        and pass the budget dict into step(state, diag=...)."""
+        return self.dia is not None
+
+    def step(self, state, diag=None) -> None:
         """Dispatch all due streams for a just-completed step."""
         iic = int(np.asarray(state.iic))
+        if self.dia is not None and diag is not None \
+                and iic % self.ndia == 0:
+            self.dia.write(diag, state.time)
         t = float(np.asarray(state.time))
         if self.ninfo and iic % self.ninfo == 0:
             self._info(state)
@@ -227,6 +290,6 @@ class OutputManager:
 
     def close(self) -> None:
         for w in (self.his, self.qck, self.avg_writer, self.rst,
-                  self.sta):
+                  self.sta, self.dia):
             if w is not None:
                 w.close()

@@ -224,7 +224,45 @@ for _trc in ("temp", "salt"):
         REGISTRY[f"{_trc}_{_term}"] = _v(
             f"{_trc}_{_term}", f"{_trc} {_desc}", _units, "r3")
 
+# DIAGNOSTICS_UV budget terms (set_diags.F / DIA stream, u/v budgets)
+for _mom, _loc in (("u", "u3"), ("v", "v3")):
+    for _term, _desc in (("rate", "time rate of change"),
+                         ("hadv", "horizontal advection"),
+                         ("vadv", "vertical advection"),
+                         ("cor", "Coriolis"),
+                         ("prsgrd", "pressure gradient"),
+                         ("hvisc", "horizontal viscosity"),
+                         ("vvisc", "vertical viscosity")):
+        REGISTRY[f"{_mom}_{_term}"] = _v(
+            f"{_mom}_{_term}", f"{_mom}-momentum {_desc}",
+            "meter second-2", _loc)
+
 TRACER_NAMES = ("temp", "salt")
+
+
+def varinfo_for(key: str, cfg=None) -> VarInfo:
+    """Registry entry for `key`, synthesizing one for application-named
+    fields the static table cannot enumerate (bio/sediment tracer names
+    from cfg.tracer_names, their _sur slices, bed layers, bedload).
+    The synthesized location code drives the writer's dimension layout
+    exactly like a varinfo.yaml entry would."""
+    if key in REGISTRY:
+        return REGISTRY[key]
+    if key.endswith("_sur"):
+        base = varinfo_for(key[:-4], cfg)
+        loc = {"r3": "r2", "u3": "u2", "v3": "v2"}.get(base.location,
+                                                       "r2")
+        return _v(key, f"surface {base.long_name}", base.units, loc)
+    if key.startswith("bed_"):
+        return _v(key, key.replace("_", " "), "", "b3")
+    if key.startswith("bedldu"):
+        return _v(key, "bed load flux in XI-direction",
+                  "kilogram meter-1 second-1", "u2")
+    if key.startswith("bedldv"):
+        return _v(key, "bed load flux in ETA-direction",
+                  "kilogram meter-1 second-1", "v2")
+    # application tracer (EcoSim pigments, sediment classes, inert dyes)
+    return _v(key, key, "", "r3", index_code="idTvar")
 
 
 def dims_for(location: str, N: int):
