@@ -268,8 +268,13 @@ def make_bbl_fn(cfg: ModelConfig, bblc: BBLConfig, grid: Grid,
                 wave_fn):
     """Wrap mb_bbl as a bottom-stress hook: wave_fn(time) must return
     (Hwave, Dwave, Pwave) fields."""
-    def fn(time, bstate, u, v, rho1, z_r, z_w):
-        Hw, Dw, Pw = wave_fn(time)
+    def fn(time, bstate, u, v, rho1, z_r, z_w, waves=None):
+        if waves is not None:
+            # coupled-import wave fields (mct_roms_swan.h exchange)
+            Hw, Dw, Pw = (waves["Hwave"], waves["Dwave"],
+                          waves["Pwave"])
+        else:
+            Hw, Dw, Pw = wave_fn(time)
         return mb_bbl(cfg, bblc, grid, bstate, u, v, rho1, z_r, z_w,
                       Hw, Dw, Pw)
     return fn
@@ -409,8 +414,13 @@ def ssw_bbl(cfg: ModelConfig, bblc: BBLConfig, grid: Grid, bstate,
 def make_ssw_bbl_fn(cfg: ModelConfig, bblc: BBLConfig, grid: Grid,
                     wave_fn):
     """SSW variant of make_bbl_fn."""
-    def fn(time, bstate, u, v, rho1, z_r, z_w):
-        Hw, Dw, Pw = wave_fn(time)
+    def fn(time, bstate, u, v, rho1, z_r, z_w, waves=None):
+        if waves is not None:
+            # coupled-import wave fields (mct_roms_swan.h exchange)
+            Hw, Dw, Pw = (waves["Hwave"], waves["Dwave"],
+                          waves["Pwave"])
+        else:
+            Hw, Dw, Pw = wave_fn(time)
         return ssw_bbl(cfg, bblc, grid, bstate, u, v, rho1, z_r, z_w,
                        Hw, Dw, Pw)
     return fn
@@ -755,8 +765,13 @@ def sg_bbl(cfg: ModelConfig, bblc: BBLConfig, grid: Grid, bstate,
 def make_sg_bbl_fn(cfg: ModelConfig, bblc: BBLConfig, grid: Grid,
                    wave_fn):
     """Wrap sg_bbl as a bottom-stress hook (bbl.F SG_BBL dispatch)."""
-    def fn(time, bstate, u, v, rho1, z_r, z_w):
-        Hw, Dw, Pw = wave_fn(time)
+    def fn(time, bstate, u, v, rho1, z_r, z_w, waves=None):
+        if waves is not None:
+            # coupled-import wave fields (mct_roms_swan.h exchange)
+            Hw, Dw, Pw = (waves["Hwave"], waves["Dwave"],
+                          waves["Pwave"])
+        else:
+            Hw, Dw, Pw = wave_fn(time)
         return sg_bbl(cfg, bblc, grid, bstate, u, v, rho1, z_r, z_w,
                       Hw, Dw, Pw)
     return fn

@@ -68,8 +68,20 @@ class CoupledOcean:
                     "srflx": imports.swrad,
                     "stflx0": imports.shflux,
                     "stflx1": imports.ssflux}
+        waves = None
+        if imports.Hwave is not None:
+            # forward the wave-component import fields into the
+            # BBL/WEC hooks (mct_roms_swan.h field exchange; the hooks
+            # receive them as a jit argument each window)
+            waves = {"Hwave": imports.Hwave, "Dwave": imports.Dwave,
+                     "Lwave": imports.Lwave, "Pwave": imports.Pwave}
+            none_keys = [k for k, v in waves.items() if v is None]
+            for k in none_keys:
+                waves[k] = jnp.zeros_like(imports.Hwave) + (
+                    1.0 if k in ("Lwave", "Pwave") else 0.0)
         for _ in range(nsteps):
-            state = self.model.step_with_forcing(state, override)
+            state = self.model.step_with_forcing(state, override,
+                                                 waves=waves)
         exports = ExportState(
             sst=state.t[0][-1],
             sss=state.t[1][-1] if self.model.cfg.NT > 1 else None,

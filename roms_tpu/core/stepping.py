@@ -109,6 +109,16 @@ class Model:
         self.ice_fn = ice_fn
         self.wec_fn = wec_fn
         self.pair_fn = pair_fn
+        # hooks grown a `waves=` kwarg accept coupled-import wave
+        # fields (core/coupling.py ImportState Hwave/Dwave/Lwave/Pwave)
+        def _takes_waves(fn):
+            try:
+                return fn is not None and \
+                    "waves" in inspect.signature(fn).parameters
+            except (TypeError, ValueError):
+                return False
+        self._bbl_takes_waves = _takes_waves(bbl_fn)
+        self._wec_takes_waves = _takes_waves(wec_fn)
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         if cfg.step2d == "fb":
             from .step2d_fb import make_fast_loop_fb
@@ -124,7 +134,8 @@ class Model:
 
     def step_impl(self, state: State, grid: Optional[Grid] = None,
                   collect_diag: bool = False, obc_data=None,
-                  forcing_override=None, forcing_adjust=None):
+                  forcing_override=None, forcing_adjust=None,
+                  wave_override=None):
         cfg = self.cfg
         grid = self.grid if grid is None else grid
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
@@ -218,8 +229,11 @@ class Model:
         if self.bbl_fn is not None:
             # wave-current BBL closure replaces the plain drag law
             # (bbl.F dispatch; mb_bbl.h)
+            bbl_kw = {"waves": wave_override} \
+                if (self._bbl_takes_waves and wave_override is not None) \
+                else {}
             bblout = self.bbl_fn(state.time, state.bbl, state.u,
-                                 state.v, rho[0], z_r, z_w)
+                                 state.v, rho[0], z_r, z_w, **bbl_kw)
             bustr, bvstr = bblout.bustr, bblout.bvstr
             bbl_new = bblout.state
         else:
@@ -367,15 +381,21 @@ class Model:
         if self.wec_fn is not None and hasattr(self.wec_fn, "stokes"):
             # full Lagrangian WEC coupling: Stokes transports enter the
             # barotropic continuity and the 3D mass fluxes
+            wec_kw = {"waves": wave_override} \
+                if (self._wec_takes_waves and wave_override is not None) \
+                else {}
             DU_st, DV_st, Huon_st, Hvom_st = self.wec_fn.stokes(
-                state.time, Hz, z_r, z_w)
+                state.time, Hz, z_r, z_w, **wec_kw)
             stokes2d = (DU_st, DV_st)
             Huon = Huon + Huon_st
             Hvom = Hvom + Hvom_st
         if self.wec_fn is not None:
             # wave-effect-on-currents vortex force (rhs3d.F:534-562)
+            wec_kw = {"waves": wave_override} \
+                if (self._wec_takes_waves and wave_override is not None) \
+                else {}
             ru, rv = self.wec_fn(state.time, state.u, state.v, Hz,
-                                 z_r, z_w, ru, rv)
+                                 z_r, z_w, ru, rv, **wec_kw)
         ru, rv = clm_mod.nudge_momentum_rhs(cfg, grid, clm, state.u,
                                             state.v, Hz, ru, rv)
         rufrc, rvfrc = rhs3d.integrate_rufrc(cfg, grid, ru, rv, forcing,
@@ -564,11 +584,20 @@ class Model:
             self._diag_fields_jit = jax.jit(compute)
         return self._diag_fields_jit(state, self.grid)
 
-    def step_with_forcing(self, state: State, override: dict):
+    def step_with_forcing(self, state: State, override: dict,
+                          waves: Optional[dict] = None):
         """One step with selected forcing fields replaced by the
-        entries of `override` (keys: sustr/svstr/srflx/stflx0/stflx1),
-        passed as a jit argument (coupling windows, core/coupling.py).
-        """
+        entries of `override` (keys: sustr/svstr/srflx/stflx0/stflx1)
+        and, optionally, imported wave fields (keys Hwave/Dwave/Lwave/
+        Pwave) feeding the BBL/WEC hooks — all passed as jit arguments
+        (coupling windows, core/coupling.py)."""
+        if waves is not None:
+            if not hasattr(self, "_step_forc_wave_jit"):
+                self._step_forc_wave_jit = jax.jit(
+                    lambda s, g, o, w: self.step_impl(
+                        s, g, forcing_override=o, wave_override=w))
+            return self._step_forc_wave_jit(state, self.grid, override,
+                                            waves)
         if not hasattr(self, "_step_forc_jit"):
             self._step_forc_jit = jax.jit(
                 lambda s, g, o: self.step_impl(s, g,

@@ -107,14 +107,20 @@ def make_wec_fn(cfg: ModelConfig, grid: Grid, wave_fn,
     Hvom_st) so the Model folds the Stokes transport into the
     barotropic continuity and the 3D mass fluxes (full Lagrangian
     coupling)."""
-    def fn(time, u, v, Hz, z_r, z_w, ru, rv):
-        Hw, Dw, Lw = wave_fn(time)
+    def _waves(time, waves):
+        if waves is not None:
+            # coupled-import wave fields (mct_roms_swan.h exchange)
+            return waves["Hwave"], waves["Dwave"], waves["Lwave"]
+        return wave_fn(time)
+
+    def fn(time, u, v, Hz, z_r, z_w, ru, rv, waves=None):
+        Hw, Dw, Lw = _waves(time, waves)
         u_st, v_st = stokes_drift(cfg, grid, Hw, Dw, Lw, z_r, z_w)
         return vf_rhs(cfg, grid, u, v, u_st, v_st, Hz, ru, rv)
 
     if stokes_coupling:
-        def stokes(time, Hz, z_r, z_w):
-            Hw, Dw, Lw = wave_fn(time)
+        def stokes(time, Hz, z_r, z_w, waves=None):
+            Hw, Dw, Lw = _waves(time, waves)
             u_st, v_st = stokes_drift(cfg, grid, Hw, Dw, Lw, z_r, z_w)
             return stokes_transport(cfg, grid, u_st, v_st, Hz)
         fn.stokes = stokes

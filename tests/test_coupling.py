@@ -76,3 +76,78 @@ def test_two_component_coupled_run():
     # exports carry the full contract
     for f in ("sst", "ssh", "usur", "ubar"):
         assert np.asarray(getattr(exports, f)).shape == shp
+
+
+def test_wave_imports_drive_bbl_and_wec():
+    """Imported Hwave/Dwave/Lwave/Pwave must reach the BBL bottom
+    stress and the WEC vortex force through the coupling seam
+    (mct_roms_swan.h field exchange; the VERDICT round-3 finding was
+    that the seam declared but dropped these fields)."""
+    from roms_tpu.core.bbl import BBLConfig, initial_bbl, \
+        make_ssw_bbl_fn
+    from roms_tpu.core.wec import make_wec_fn
+
+    cfg = upwelling.make_config(dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    shp = cfg.shape2d
+
+    def calm_waves(time):
+        # the ocean's own (uncoupled) wave state: tiny waves
+        return (jnp.full(shp, 0.01), jnp.zeros(shp),
+                jnp.full(shp, 8.0))
+
+    def calm_waves_bbl(time):
+        return (jnp.full(shp, 0.01), jnp.zeros(shp),
+                jnp.full(shp, 8.0))
+
+    def build():
+        return Model(
+            cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+            vmix_fn=upwelling.make_vmix_fn(cfg),
+            bbl_fn=make_ssw_bbl_fn(cfg, BBLConfig(), grid,
+                                   calm_waves_bbl),
+            wec_fn=make_wec_fn(cfg, grid, calm_waves))
+
+    s0 = upwelling.make_initial(cfg, grid)
+    # give the flow some bottom velocity so stress is nonzero
+    s0 = s0._replace(u=s0.u + 0.05, bbl=initial_bbl(cfg))
+
+    ocean = CoupledOcean(build())
+    imp_calm = ImportState(Hwave=jnp.full(shp, 0.01),
+                           Dwave=jnp.zeros(shp),
+                           Lwave=jnp.full(shp, 40.0),
+                           Pwave=jnp.full(shp, 8.0))
+    s_calm, _ = ocean.run_window(s0, imp_calm, 3)
+
+    ocean2 = CoupledOcean(build())
+    imp_storm = ImportState(Hwave=jnp.full(shp, 2.5),
+                            Dwave=jnp.zeros(shp),
+                            Lwave=jnp.full(shp, 40.0),
+                            Pwave=jnp.full(shp, 8.0))
+    s_storm, _ = ocean2.run_window(s0, imp_storm, 3)
+
+    du = np.abs(np.asarray(s_storm.u) - np.asarray(s_calm.u)).max()
+    assert du > 1e-8, "imported wave fields had no effect"
+
+    # and the coupled run with storm waves equals an uncoupled run
+    # whose wave_fn returns the same storm fields (same code path)
+    def storm_waves(time):
+        return (jnp.full(shp, 2.5), jnp.zeros(shp),
+                jnp.full(shp, 40.0))
+
+    def storm_waves_bbl(time):
+        return (jnp.full(shp, 2.5), jnp.zeros(shp),
+                jnp.full(shp, 8.0))
+
+    m_ref = Model(
+        cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+        vmix_fn=upwelling.make_vmix_fn(cfg),
+        bbl_fn=make_ssw_bbl_fn(cfg, BBLConfig(), grid,
+                               storm_waves_bbl),
+        wec_fn=make_wec_fn(cfg, grid, storm_waves))
+    # imported forcing is None -> model forcing; only waves differ
+    s_ref = s0
+    for _ in range(3):
+        s_ref = m_ref.step(s_ref)
+    np.testing.assert_allclose(np.asarray(s_storm.u),
+                               np.asarray(s_ref.u), rtol=0, atol=1e-12)
