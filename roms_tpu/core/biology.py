@@ -174,6 +174,93 @@ def o2_saturation(temp, salt):
     return _L2MOL * jnp.exp(AA)
 
 
+def pco2_water_rz(temp, salt, TIC, TAlk, n_brack: int = 30):
+    """Equilibrium surface-water pCO2 (ppmv) — pCO2_water_RZ
+    (fennel.h:1581-1911, Zeebe & Wolf-Gladrow 2001): carbonate +
+    borate + water alkalinity, [H+] from the fifth-order polynomial
+    solved by fixed-count bracket/bisection (pH in [5, 10]) — jit- and
+    vmap-friendly (no data-dependent exits).
+
+    temp [C], salt [PSS], TIC [mmol/m3], TAlk [meq/m3]."""
+    Tk = temp + 273.15
+    centiTk = 0.01 * Tk
+    invTk = 1.0 / Tk
+    logTk = jnp.log(Tk)
+    sqrtS = jnp.sqrt(jnp.maximum(salt, 0.0))
+    scl = salt / 1.80655
+    alk = TAlk * 1.0e-6
+    dic = TIC * 1.0e-6
+    # Weiss & Price (1980) non-ideality correction ff = k0*(1 - pH2O)
+    ff = jnp.exp(-162.8301 + 218.2968 / centiTk
+                 + jnp.log(centiTk) * 90.9241
+                 - centiTk * centiTk * 1.47696
+                 + salt * (0.025695 - centiTk *
+                           (0.025225 - centiTk * 0.0049867)))
+    # Millero (1995)/Mehrbach K1,K2; Dickson (1990) Kb; Millero Kw
+    K1 = 10.0 ** (62.008 - invTk * 3670.7 - logTk * 9.7944
+                  + salt * (0.0118 - salt * 0.000116))
+    K2 = 10.0 ** (-4.777 - invTk * 1394.7
+                  + salt * (0.0184 - salt * 0.000118))
+    Kb = jnp.exp(-invTk * (8966.90 + sqrtS * (2890.53 + sqrtS *
+                 (77.942 - sqrtS * (1.728 - sqrtS * 0.0996))))
+                 - logTk * (24.4344 + sqrtS * (25.085 + sqrtS
+                                               * 0.2474))
+                 + Tk * (sqrtS * 0.053105) + 148.0248
+                 + sqrtS * (137.1942 + sqrtS * 1.62142))
+    Kw = jnp.exp(148.9652 - invTk * 13847.26 - logTk * 23.6521
+                 - sqrtS * (5.977 - invTk * 118.67 - logTk * 1.0495)
+                 - salt * 0.01615)
+    borate = 0.000232 * scl / 10.811
+
+    K12 = K1 * K2
+    p5 = -1.0
+    p4 = -alk - Kb - K1
+    p3 = dic * K1 - alk * (Kb + K1) + Kb * borate + Kw - Kb * K1 - K12
+    p2 = dic * (Kb * K1 + 2.0 * K12) - alk * (Kb * K1 + K12) \
+        + Kb * borate * K1 + (Kw * Kb + Kw * K1 - Kb * K12)
+    p1 = 2.0 * dic * Kb * K12 - alk * Kb * K12 + Kb * borate * K12 \
+        + Kw * Kb * K1 + Kw * K12
+    p0 = Kw * Kb * K12
+
+    # Evaluate the quintic in the scaled variable Y = X * 1e7 with
+    # coefficients prescaled by a common 1e31 so every term is O(1):
+    # p_k magnitudes run 1e-37..1e-3 and pairwise products of raw
+    # residuals (~1e-47) underflow in float32 — which is what the TPU
+    # executes.  Only the SIGN of the residual matters for bisection,
+    # so the uniform scale is free.
+    q5 = p5 * 1.0e-4
+    q4 = p4 * 1.0e3
+    q3 = p3 * 1.0e10
+    q2 = p2 * 1.0e17
+    q1 = p1 * 1.0e24
+    q0 = p0 * 1.0e31
+
+    def poly(X):
+        Y = X * 1.0e7
+        return ((((q5 * Y + q4) * Y + q3) * Y + q2) * Y + q1) * Y + q0
+
+    X_lo = jnp.full_like(Tk, 10.0 ** -10.0)
+    X_hi = jnp.full_like(Tk, 10.0 ** -5.0)
+    f_hi = poly(X_hi)
+    for _ in range(n_brack):
+        X_mid = 0.5 * (X_lo + X_hi)
+        f_mid = poly(X_mid)
+        # sign comparison, not product: the product underflows in f32
+        same_side = (f_hi >= 0.0) == (f_mid >= 0.0)
+        X_hi = jnp.where(same_side, X_mid, X_hi)
+        f_hi = jnp.where(same_side, f_mid, f_hi)
+        X_lo = jnp.where(same_side, X_lo, X_mid)
+    H = 0.5 * (X_lo + X_hi)
+    CO2star = dic * H * H / (H * H + K1 * H + K12)
+    return CO2star * 1.0e6 / ff
+
+
+# Weiss (1974) CO2 solubility + Wanninkhof (1992) Schmidt number
+# coefficients (fennel.h:400-412)
+_SC_CO2 = (2073.1, 125.62, 3.6276, 0.043219, 0.0)
+_CO2_SOL = (-60.2409, 93.4517, 23.3585, 0.023517, -0.023656, 0.0047036)
+
+
 @dataclass(frozen=True)
 class FennelConfig:
     """bio_Fennel.in defaults."""
@@ -210,6 +297,17 @@ class FennelConfig:
     # OXYGEN extension (fennel.h ifdef OXYGEN): adds an O2 tracer with
     # photosynthesis/respiration stoichiometry and air-sea exchange
     oxygen: bool = False
+    # CARBON extension (fennel.h ifdef CARBON): adds LDeC, SDeC, TIC,
+    # TAlk tracers, carbonate-system pCO2 solve and air-sea CO2 flux.
+    carbon: bool = False
+    # TALK_NONCONSERV: prognostic alkalinity with NO3-uptake /
+    # remineralization source terms; False makes TAlk diagnostic
+    # 587.05 + 50.56*S (Brewer et al. 1986, fennel.h:1185-1191)
+    talk_nonconserv: bool = True
+    ZooCN: float = 6.625       # mol C / mol N (bio_Fennel.in:143)
+    SDeRRC: float = 0.03       # 1/day carbon detritus remin
+    LDeRRC: float = 0.01
+    pCO2air: float = 370.0     # ppmv (bio_Fennel.in:207)
 
 
 def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
@@ -220,14 +318,25 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
     eps = 1.0e-20
     dtdays = cfg.dt * constants.sec2day / max(bio.BioIter, 1)
     temp = t[0]
-    nbio = 8 if bio.oxygen else 7
+    salt = t[1] if cfg.NT > 1 else jnp.zeros_like(temp)
+    # tracer layout after NAT (fennel_mod.h:497-526): 7 nitrogen-cycle
+    # slots, then CARBON adds (LDeC, SDeC, TIC, TAlk), then OXYGEN
+    nbio = 7 + (4 if bio.carbon else 0) + (1 if bio.oxygen else 0)
 
     f0 = [jnp.maximum(t[nb + i], bio.MinVal) for i in range(nbio)]
-    if bio.oxygen:
+    LDeC = SDeC = TIC = TAlk = Oxy = None
+    if bio.carbon and bio.oxygen:
+        NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN, LDeC, SDeC, TIC, TAlk, \
+            Oxy = f0
+    elif bio.carbon:
+        NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN, LDeC, SDeC, TIC, TAlk = f0
+    elif bio.oxygen:
         NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN, Oxy = f0
     else:
         NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN = f0
-        Oxy = None
+    if bio.carbon:
+        # clamp TIC to physical range (fennel.h:601-607)
+        TIC = jnp.clip(TIC, 400.0, 3000.0)
     PARsur = bio.PARfrac * srflx * cfg.rho0 * constants.Cp
 
     for _ in range(max(bio.BioIter, 1)):
@@ -261,6 +370,12 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         if bio.oxygen:
             # photosynthetic O2 production (fennel.h:795-796)
             Oxy = Oxy + newP * _ROXNO3 + regP * _ROXNH4
+        if bio.carbon:
+            # TIC uptake during growth; NO3 uptake raises alkalinity,
+            # NH4 uptake lowers it (fennel.h CARBON/TALK_NONCONSERV)
+            TIC = TIC - bio.PhyCN * (newP + regP)
+            if bio.talk_nonconserv:
+                TAlk = TAlk + newP - regP
         Chl = Chl + jnp.where(
             day,
             (dtdays * t_PPmax * t_PPmax * LTOT * LTOT * bio.Chl2C_m
@@ -294,6 +409,11 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         Chl = Chl - dtdays * bio.PhyMR * \
             jnp.maximum(Chl - bio.ChlMin, 0.0)
         SDeN = SDeN + pmort
+        if bio.carbon:
+            # carbon detritus from egestion/mortality + the C:N excess
+            # of assimilated food (fennel.h CARBON block at grazing)
+            SDeC = SDeC + bio.PhyCN * (egest + pmort) + \
+                (bio.PhyCN - bio.ZooCN) * assim
 
         # ---- zooplankton excretion / mortality / metabolism ----
         fac1z = dtdays * bio.ZooER * Phy * Phy / (bio.K_Phy + Phy * Phy)
@@ -310,6 +430,12 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         if bio.oxygen:
             # zooplankton metabolism + excretion (fennel.h:968)
             Oxy = Oxy - _ROXNH4 * (zmet + zexc)
+        if bio.carbon:
+            # (fennel.h CARBON at zooplankton block)
+            SDeC = SDeC + bio.ZooCN * zmort
+            TIC = TIC + bio.ZooCN * (zmet + zexc)
+            if bio.talk_nonconserv:
+                TAlk = TAlk + zmet + zexc
 
         # ---- coagulation to large detritus ----
         cffc = dtdays * bio.CoagR * (SDeN + Phy)
@@ -318,6 +444,10 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         Chl = Chl * cff2c
         SDeN = SDeN * cff2c
         LDeN = LDeN + Phy * cffc + SDeN * cffc
+        if bio.carbon:
+            # coagulated N-detritus carries PhyCN carbon (fennel.h)
+            SDeC = SDeC - bio.PhyCN * SDeN * cffc
+            LDeC = LDeC + bio.PhyCN * (Phy + SDeN) * cffc
 
         # ---- remineralization ----
         cffs = dtdays * bio.SDeRRN
@@ -331,6 +461,19 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         if bio.oxygen:
             # remineralization respiration (fennel.h:1031)
             Oxy = Oxy - _ROXNH4 * (remS + remL)
+        if bio.carbon:
+            if bio.talk_nonconserv:
+                TAlk = TAlk + remS + remL
+            # carbon detritus remineralizes at its own rates into TIC
+            cffsc = dtdays * bio.SDeRRC
+            SDeC = SDeC / (1.0 + cffsc)
+            cfflc = dtdays * bio.LDeRRC
+            LDeC = LDeC / (1.0 + cfflc)
+            TIC = TIC + SDeC * cffsc + LDeC * cfflc
+            if not bio.talk_nonconserv:
+                # diagnostic alkalinity (Brewer et al. 1986,
+                # fennel.h:1185-1191)
+                TAlk = 587.05 + 50.56 * salt
 
         # ---- sinking (upwind, CFL-limited) ----
         def sink(q, w_mday):
@@ -346,6 +489,9 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         Chl = sink(Chl, bio.wPhy)
         SDeN = sink(SDeN, bio.wSDet)
         LDeN = sink(LDeN, bio.wLDet)
+        if bio.carbon:
+            SDeC = sink(SDeC, bio.wSDet)
+            LDeC = sink(LDeC, bio.wLDet)
 
         if bio.oxygen:
             # surface O2 gas exchange, Wanninkhof 92 transfer velocity
@@ -365,8 +511,31 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
             Oxy = Oxy.at[-1].add(flux / Hz[-1])
             Oxy = jnp.maximum(Oxy, 0.0)
 
+        if bio.carbon:
+            # surface CO2 gas exchange (fennel.h:1194-1280): pCO2 from
+            # the carbonate solve, Wanninkhof 92 transfer velocity,
+            # Weiss 74 solubility, constant-pCO2air branch
+            Tsur = temp[-1]
+            Ssur = salt[-1]
+            pco2 = pco2_water_rz(Tsur, Ssur, TIC[-1], TAlk[-1])
+            A, B, Cc, D, E = _SC_CO2
+            Sc = A - Tsur * (B - Tsur * (Cc - Tsur * (D - Tsur * E)))
+            if uwind is not None:
+                u10squ = uwind ** 2 + vwind ** 2
+            else:
+                u10squ = jnp.zeros_like(Tsur)
+            kwc = dtdays * 0.31 * 24.0 / 100.0 * u10squ * \
+                jnp.sqrt(660.0 / jnp.maximum(Sc, 1.0))
+            A1, A2, A3, B1, B2, B3 = _CO2_SOL
+            TempK = 0.01 * (Tsur + 273.15)
+            co2_sol = jnp.exp(A1 + A2 / TempK + A3 * jnp.log(TempK)
+                              + Ssur * (B1 + TempK * (B2 + B3 * TempK)))
+            co2_flux = kwc * co2_sol * (bio.pCO2air - pco2)
+            TIC = TIC.at[-1].add(co2_flux / Hz[-1])
+
     inc = jnp.zeros_like(t)
     fields = (NO3, NH4, Chl, Phy, Zoo, LDeN, SDeN) + \
+        ((LDeC, SDeC, TIC, TAlk) if bio.carbon else ()) + \
         ((Oxy,) if bio.oxygen else ())
     for i, (new, old) in enumerate(zip(fields, f0)):
         inc = inc.at[nb + i].set(new - old)
@@ -378,7 +547,7 @@ def make_fennel_hook(cfg: ModelConfig, bio: FennelConfig, grid: Grid,
     """wind_fn(forcing) -> (u10, v10) for the OXYGEN gas exchange; the
     default derives u10^2 from the wind stress (fennel.h:1113-1117)."""
     def hook(t, Hz, z_w, forcing):
-        if bio.oxygen:
+        if bio.oxygen or bio.carbon:
             if wind_fn is not None:
                 uw, vw = wind_fn(forcing)
             else:

@@ -393,3 +393,114 @@ def test_ecosim_reduced():
     # chlorophyll stays within the physical C:Chl window
     c2chl = T[9][-1] * 12.0 / np.maximum(T[11][-1], 1e-9)
     assert (c2chl[2:-2, 2:-2] < 1.5 * eco.C2CHL_max).all()
+
+
+class TestFennelCarbon:
+    """CARBON extension (fennel.h CARBON blocks + pCO2_water_RZ)."""
+
+    def _setup(self, **bio_kw):
+        import jax.numpy as jnp
+        from roms_tpu.core.biology import FennelConfig, make_fennel_hook
+        # NAT=2 + 7 nitrogen + 4 carbon = 13 tracers
+        cfg = upwelling.make_config(Lm=10, Mm=10, N=8,
+                                    dtype="float64").replace(NT=13)
+        grid = upwelling.make_grid(cfg)
+        st = upwelling.make_initial(cfg, grid)
+        z = st.z_r
+        NO3 = 17.0 / (1 + jnp.exp((z + 100.0) / 6.5)) + 1.0
+        small = jnp.full_like(NO3, 0.05)
+        TIC = jnp.full_like(NO3, 2100.0)
+        TAlk = jnp.full_like(NO3, 2350.0)
+        t13 = jnp.stack([st.t[0], st.t[1], NO3, 0.1 * small,
+                         small * 0.5, small, small * 0.5,
+                         small * 0.2, small * 0.2,
+                         small, small, TIC, TAlk])
+        st = initial_state(cfg, grid, t=t13)
+        bio = FennelConfig(carbon=True, **bio_kw)
+        return cfg, grid, st, bio, make_fennel_hook
+
+    def test_pco2_check_value(self):
+        """pCO2_water check inputs (fennel.h:1953-1957: T=24, S=36.6,
+        TIC=2040, TAlk=2390 -> 350.75 ppmv with the full OCMIP
+        chemistry; the RZ carbonate+borate+water solve must agree to
+        a few percent) and the solved [H+] must zero the quintic."""
+        import jax.numpy as jnp
+        from roms_tpu.core.biology import pco2_water_rz
+        p = float(pco2_water_rz(jnp.asarray(24.0), jnp.asarray(36.6),
+                                jnp.asarray(2040.0),
+                                jnp.asarray(2390.0)))
+        # reference check values: 350.74945 (bisection) / 350.73560
+        # (Newton) with full OCMIP chemistry; the RZ solve lands on
+        # 350.744 in f64 (and 350.736 in f32)
+        assert abs(p - 350.74) < 0.5, p
+        # monotonicity: more TIC -> higher pCO2; more TAlk -> lower
+        p_hi = float(pco2_water_rz(jnp.asarray(24.0),
+                                   jnp.asarray(36.6),
+                                   jnp.asarray(2100.0),
+                                   jnp.asarray(2390.0)))
+        p_lo = float(pco2_water_rz(jnp.asarray(24.0),
+                                   jnp.asarray(36.6),
+                                   jnp.asarray(2040.0),
+                                   jnp.asarray(2450.0)))
+        assert p_hi > p and p_lo < p
+
+    def test_carbon_conservation_no_airsea(self):
+        """Without sinking and gas exchange, total carbon
+        TIC + SDeC + LDeC + PhyCN*(Phy+Zoo-ish web) is conserved:
+        check d(TIC+SDeC+LDeC) = -PhyCN*d(Phy) - ZooCN*d(Zoo)."""
+        import dataclasses
+        import jax.numpy as jnp
+        from roms_tpu.core.biology import fennel
+        cfg, grid, st, bio, _ = self._setup()
+        bio = dataclasses.replace(bio, wPhy=0.0, wSDet=0.0, wLDet=0.0)
+        srflx = jnp.full(cfg.shape2d, 2.0e-4)
+        # no wind arguments -> kw=0 -> no air-sea flux
+        inc = fennel(cfg, bio, grid, st.t, st.Hz, st.z_w, srflx)
+        # indices: 2 NO3, 3 NH4, 4 Chl, 5 Phy, 6 Zoo, 7 LDeN, 8 SDeN,
+        #          9 LDeC, 10 SDeC, 11 TIC, 12 TAlk
+        dC = np.asarray(inc[9] + inc[10] + inc[11]
+                        + bio.PhyCN * inc[5] + bio.ZooCN * inc[6])
+        scale = 2100.0
+        assert np.abs(dC).max() < 1e-9 * scale
+
+    def test_carbon_coupled_run_finite_and_drawdown(self):
+        """Coupled bloom with carbon on: TIC drawn down at the surface
+        by production; all carbon fields finite and positive."""
+        import jax.numpy as jnp
+        cfg, grid, st, bio, make_hook = self._setup()
+        base = upwelling.make_forcing_fn(cfg, grid)
+
+        def forcing(time):
+            f = base(time)
+            return f._replace(srflx=jnp.full(cfg.shape2d, 2.0e-4))
+
+        model = Model(cfg, grid, forcing, upwelling.make_vmix_fn(cfg),
+                      bio_fn=make_hook(cfg, bio, grid))
+        s = model.run(st, 20)
+        a = np.asarray
+        assert np.isfinite(a(s.t)).all()
+        assert a(s.t[11][-1]).mean() < 2100.0       # TIC drawdown
+        assert a(s.t[9:13]).min() > 0.0
+
+    def test_airsea_co2_flux_direction(self):
+        """Supersaturated water (high TIC -> pCO2 > pCO2air) must
+        outgas: surface TIC decreases when wind is on."""
+        import dataclasses
+        import jax.numpy as jnp
+        from roms_tpu.core.biology import fennel
+        cfg, grid, st, bio, _ = self._setup()
+        bio = dataclasses.replace(bio, wPhy=0.0, wSDet=0.0, wLDet=0.0,
+                                  pCO2air=370.0)
+        t = st.t.at[11].set(2400.0)     # very high TIC -> outgassing
+        srflx = jnp.zeros(cfg.shape2d)  # night: no production
+        uw = jnp.full(cfg.shape2d, 10.0)
+        vw = jnp.zeros(cfg.shape2d)
+        inc = fennel(cfg, bio, grid, t, st.Hz, st.z_w, srflx,
+                     uwind=uw, vwind=vw)
+        dTIC_sur = np.asarray(inc[11][-1]).mean()
+        assert dTIC_sur < 0.0
+        # and undersaturated water ingasses
+        t2 = st.t.at[11].set(1800.0)
+        inc2 = fennel(cfg, bio, grid, t2, st.Hz, st.z_w, srflx,
+                      uwind=uw, vwind=vw)
+        assert np.asarray(inc2[11][-1]).mean() > 0.0
