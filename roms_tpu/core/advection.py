@@ -103,7 +103,7 @@ def hadv_flux(cfg: ModelConfig, grid: Grid, q, Huon, Hvom, scheme: str):
         if nsp:
             curve = st.periodic_y(curve)
         else:
-            curve = curve.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
+            curve = st.zero_north(st.zero_south(curve))
         sixth = 1.0 / 6.0
         FX = Huon * 0.5 * (q + st.im1(q)) - sixth * (
             st.im1(curvx) * jnp.maximum(Huon, 0.0)
@@ -138,10 +138,10 @@ def hadv_flux(cfg: ModelConfig, grid: Grid, q, Huon, Hvom, scheme: str):
         ge = st.periodic_y(ge)
     else:
         if scheme == CENTERED4:
-            ge = ge.at[..., 0, :].set(dqe[..., 1, :])
-            ge = ge.at[..., -1, :].set(dqe[..., -1, :])
+            ge = st.clamp_south(ge, row=1, src=dqe)
+            ge = st.clamp_north(ge, row=-1, src=dqe)
         else:
-            ge = ge.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
+            ge = st.zero_north(st.zero_south(ge))
 
     third = 1.0 / 3.0
     FX = Huon * 0.5 * (q + st.im1(q) - third * (gx - st.im1(gx)))
@@ -237,8 +237,8 @@ def hadv_flux_hsimt(cfg: ModelConfig, grid: Grid, q, Huon, Hvom, Hz):
                 grad = grad.at[..., 0].set(0.0)
                 Ka = Ka.at[..., 0].set(0.0)
             else:
-                grad = grad.at[..., 0, :].set(0.0)
-                Ka = Ka.at[..., 0, :].set(0.0)
+                grad = st.zero_south(grad)
+                Ka = st.zero_south(Ka)
         gm1, gp1 = im1f(grad), ip1f(grad)
         Km1, Kp1 = im1f(Ka), ip1f(Ka)
         if not periodic:
@@ -246,8 +246,8 @@ def hadv_flux_hsimt(cfg: ModelConfig, grid: Grid, q, Huon, Hvom, Hz):
                 gp1 = gp1.at[..., -1].set(0.0)
                 Kp1 = Kp1.at[..., -1].set(0.0)
             else:
-                gp1 = gp1.at[..., -1, :].set(0.0)
-                Kp1 = Kp1.at[..., -1, :].set(0.0)
+                gp1 = st.zero_north(gp1)
+                Kp1 = st.zero_north(Kp1)
         sw_pos = _hsimt_face(im1f(qv), grad, gm1, Ka, Km1, +1.0)
         sw_neg = _hsimt_face(qv, grad, gp1, Ka, Kp1, -1.0)
         sw = jnp.where(Hq >= 0.0, sw_pos, sw_neg)

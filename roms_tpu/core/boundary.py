@@ -51,6 +51,10 @@ def bc_rho(f, lbc: LBC, bdata: Optional[dict] = None):
 
     closed == gradient for rho fields (zetabc.F:562-586 south closed/gradient
     are identical: ghost = interior neighbor)."""
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return blockctx.bc_rho_blocked(f, lbc, ctx, bdata)
     bd = bdata or {}
     if lbc.west in (CLOSED, GRADIENT):
         f = f.at[..., :, 0].set(f[..., :, 1])
@@ -85,6 +89,10 @@ def bc_u(f, lbc: LBC, gamma2: float = 1.0, bdata: Optional[dict] = None):
     zero (u2dbc_im.F western closed); gradient copies the neighbor.
     South/north are tangential: closed writes the ghost row with
     gamma2 * interior (u2dbc_im.F:974-994)."""
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return blockctx.bc_u_blocked(f, lbc, ctx, gamma2, bdata)
     bd = bdata or {}
     if lbc.west == CLOSED:
         f = f.at[..., :, 1].set(0.0)
@@ -125,6 +133,10 @@ def bc_u(f, lbc: LBC, gamma2: float = 1.0, bdata: Optional[dict] = None):
 
 def bc_v(f, lbc: LBC, gamma2: float = 1.0, bdata: Optional[dict] = None):
     """BCs for a V-point field (vbar, v) — mirror of bc_u."""
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return blockctx.bc_v_blocked(f, lbc, ctx, gamma2, bdata)
     bd = bdata or {}
     if lbc.south == CLOSED:
         f = f.at[..., 1, :].set(0.0)

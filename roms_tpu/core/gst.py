@@ -244,6 +244,51 @@ def stochastic_optimals(traj_fns, x0, nvec: int = 4, niter: int = 12,
     return evals, [_unflat(v, x0) for v in vecs]
 
 
+def so_semi(traj_fns, x0, semi_mask, nvec: int = 4, niter: int = 12,
+            seed: int = 0, times=None, decay: float = 0.0):
+    """SO_SEMI driver (Drivers/so_semi_roms.h + propagator_so_semi.h,
+    Moore et al. 2004): stochastic optimals with respect to the
+    SEMINORM of a chosen functional — eigenvectors of
+
+        S = sum_ij  c_ij  M_i^T G M_j
+
+    where G projects onto the functional's support (the reference's
+    Lstate/Fstate + KstrS:KendS space-time window become the pytree
+    mask `semi_mask`, 1 inside the functional, 0 outside), and c_ij is
+    the forcing temporal correlation: identity for SO_SEMI_WHITE, or
+    exp(-|t_i - t_j| / decay) for red noise (SO_decay, read_phypar.F
+    SO_decay*86400).
+
+    traj_fns: one perturbation->perturbation map per snapshot time.
+    Returns (eigenvalues, eigenvector pytrees)."""
+    ops = [make_propagators(fn, x0) for fn in traj_fns]
+    g = _flat(semi_mask)
+    n = _flat(x0).size
+    nt = len(traj_fns)
+    if times is not None and decay and decay > 0.0:
+        tt = np.asarray(times, np.float64)
+        c = np.exp(-np.abs(tt[:, None] - tt[None, :]) / decay)
+    else:
+        c = np.eye(nt)
+
+    def S(v):
+        # Gv_j = G M_j v once per snapshot, then the correlated
+        # adjoint sweep sum_i M_i^T (sum_j c_ij Gv_j)
+        gv = [g * M(v) for M, _ in ops]
+        acc = jnp.zeros_like(v)
+        for i, (_, MT) in enumerate(ops):
+            w = jnp.zeros_like(v)
+            for j in range(nt):
+                if c[i, j] != 0.0:
+                    w = w + c[i, j] * gv[j]
+            acc = acc + MT(g * w)
+        return acc
+
+    evals, vecs = _lanczos_sym(S, n, _flat(x0).dtype, nvec, niter,
+                               seed)
+    return evals, [_unflat(v, x0) for v in vecs]
+
+
 def so_trace(traj_fns, x0, nsamples: int = 16, seed: int = 0):
     """SO-trace driver (propagator_so_trace.h): randomized Hutchinson
     estimate of trace(S) = E[z^T S z], z ~ Rademacher."""

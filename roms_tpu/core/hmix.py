@@ -125,9 +125,10 @@ def _lap_bc(cfg: ModelConfig, lbc, Lap):
     if cfg.bc.ns_periodic:
         Lap = st.periodic_y(Lap)
     else:
-        sv = 0.0 if lbc.south == CLOSED else Lap[..., 1, :]
-        nv = 0.0 if lbc.north == CLOSED else Lap[..., -2, :]
-        Lap = Lap.at[..., 0, :].set(sv).at[..., -1, :].set(nv)
+        Lap = st.zero_south(Lap) if lbc.south == CLOSED \
+            else st.clamp_south(Lap, row=1)
+        Lap = st.zero_north(Lap) if lbc.north == CLOSED \
+            else st.clamp_north(Lap, row=-2)
     return Lap
 
 

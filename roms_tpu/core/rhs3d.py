@@ -96,8 +96,7 @@ def hadv_uv(cfg: ModelConfig, grid: Grid, u, v, Huon, Hvom):
         if nsp:
             uee = st.periodic_y(uee)
         else:
-            uee = uee.at[..., 0, :].set(uee[..., 1, :])
-            uee = uee.at[..., -1, :].set(uee[..., -2, :])
+            uee = st.clamp_north(st.clamp_south(uee, row=1), row=-2)
         Hvxx = st.lap_x(Hvom)
         Hvxx, = _ring_x(cfg, Hvxx)
         cff2 = Hvom + st.im1(Hvom)
@@ -123,10 +122,10 @@ def hadv_uv(cfg: ModelConfig, grid: Grid, u, v, Huon, Hvom):
         if nsp:
             vee, Hvee = st.periodic_y(vee), st.periodic_y(Hvee)
         else:
-            vee = vee.at[..., 1, :].set(vee[..., 2, :])
-            vee = vee.at[..., -1, :].set(vee[..., -2, :])
-            Hvee = Hvee.at[..., 1, :].set(Hvee[..., 2, :])
-            Hvee = Hvee.at[..., -1, :].set(Hvee[..., -2, :])
+            vee = st.clamp_north(st.clamp_south(vee, row=2, at=1),
+                                 row=-2)
+            Hvee = st.clamp_north(st.clamp_south(Hvee, row=2, at=1),
+                                  row=-2)
         VFe = _up3_upwind(v + st.jp1(v),
                           vee, st.jp1(vee),
                           Hvom + st.jp1(Hvom),

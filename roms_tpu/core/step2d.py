@@ -176,8 +176,7 @@ def _rhs2d_momentum(cfg: ModelConfig, grid: Grid, ubar, vbar,
         if nsp:
             gue = st.periodic_y(gue)
         else:
-            gue = gue.at[..., 0, :].set(gue[..., 1, :])
-            gue = gue.at[..., -1, :].set(gue[..., -2, :])
+            gue = st.clamp_north(st.clamp_south(gue, row=1), row=-2)
         DgDV = st.lap_x(DVom)
         if ewp:
             DgDV = st.periodic_x(DgDV)
@@ -203,10 +202,10 @@ def _rhs2d_momentum(cfg: ModelConfig, grid: Grid, ubar, vbar,
             gve = st.periodic_y(gve)
             Dgve = st.periodic_y(Dgve)
         else:
-            gve = gve.at[..., 1, :].set(gve[..., 2, :])
-            gve = gve.at[..., -1, :].set(gve[..., -2, :])
-            Dgve = Dgve.at[..., 1, :].set(Dgve[..., 2, :])
-            Dgve = Dgve.at[..., -1, :].set(Dgve[..., -2, :])
+            gve = st.clamp_north(st.clamp_south(gve, row=2, at=1),
+                                 row=-2)
+            Dgve = st.clamp_north(st.clamp_south(Dgve, row=2, at=1),
+                                  row=-2)
         VFe = 0.25 * (vbar + st.jp1(vbar) - sixth * (gve + st.jp1(gve))) * \
             (DVom + st.jp1(DVom) - sixth * (Dgve + st.jp1(Dgve)))
 

@@ -622,6 +622,17 @@ class Model:
                 lambda s, g: self.step_impl(s, g, collect_diag=True))
         return self._step_diag_jit(state, self.grid)
 
+    def sharded_stepper(self, mesh, nghost: int = 14,
+                        refresh_every: int = 2):
+        """The production multi-chip engine: the full baroclinic step
+        in one shard_map region with explicit staged halo refreshes
+        (parallel.sharded_step.ShardedStep; ~24 collective-permutes
+        per compiled step vs ~900 for the GSPMD whole-array path).
+        Supported class: EW-periodic / NS-walled channel domains."""
+        from ..parallel.sharded_step import ShardedStep
+        return ShardedStep(self, mesh, nghost=nghost,
+                           refresh_every=refresh_every)
+
     def run(self, state: State, nsteps: int) -> State:
         """Advance nsteps inside a single jitted scan."""
         def scan_run(s, g):

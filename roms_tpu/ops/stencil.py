@@ -90,12 +90,21 @@ def lap_y(a):
 # ---------------------------------------------------------------------------
 
 def periodic_x(a):
+    from ..parallel import blockctx
+    if blockctx.current() is not None:
+        # blocked xi torus: periodicity is inherent (ghost-free
+        # interior decomposition; halos wrap mod Lm)
+        return a
     a = a.at[..., 0].set(a[..., -2])
     a = a.at[..., -1].set(a[..., 1])
     return a
 
 
 def periodic_y(a):
+    from ..parallel import blockctx
+    if blockctx.current() is not None:
+        raise NotImplementedError(
+            "blocked eta decomposition supports walled N/S only")
     a = a.at[..., 0, :].set(a[..., -2, :])
     a = a.at[..., -1, :].set(a[..., 1, :])
     return a
@@ -108,16 +117,56 @@ def periodic_y(a):
 # ---------------------------------------------------------------------------
 
 def clamp_west(a, col=1):
+    from ..parallel import blockctx
+    if blockctx.current() is not None:
+        # xi is periodic in the blocked class; the global code never
+        # clamps a periodic axis
+        raise NotImplementedError("clamp_west under blocked xi torus")
     return a.at[..., 0].set(a[..., col])
 
 
 def clamp_east(a, col=-2):
+    from ..parallel import blockctx
+    if blockctx.current() is not None:
+        raise NotImplementedError("clamp_east under blocked xi torus")
     return a.at[..., -1].set(a[..., col])
 
 
-def clamp_south(a, row=1):
-    return a.at[..., 0, :].set(a[..., row, :])
+def clamp_south(a, row=1, at=0, src=None):
+    """a[at] = (src or a)[row] (one-sided clamp at the southern edge;
+    `at` and `row` are GLOBAL eta indices, e.g. at=1,row=2 for V-point
+    private arrays)."""
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return blockctx.clamp_south_blocked(a, ctx, row=row, at=at,
+                                            src=src)
+    return a.at[..., at, :].set((a if src is None else src)[..., row, :])
 
 
-def clamp_north(a, row=-2):
-    return a.at[..., -1, :].set(a[..., row, :])
+def clamp_north(a, row=-2, at=-1, src=None):
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return blockctx.clamp_north_blocked(a, ctx, row=row, at=at,
+                                            src=src)
+    return a.at[..., at, :].set((a if src is None else src)[..., row, :])
+
+
+def zero_south(a, at=0):
+    """a[at global row] = 0 at the southern wall (ctx-aware)."""
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return blockctx.zero_row_blocked(a, ctx, at if at >= 0
+                                         else ctx.Mm + 2 + at)
+    return a.at[..., at, :].set(0.0)
+
+
+def zero_north(a, at=-1):
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return blockctx.zero_row_blocked(a, ctx, at if at >= 0
+                                         else ctx.Mm + 2 + at)
+    return a.at[..., at, :].set(0.0)

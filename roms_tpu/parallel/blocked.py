@@ -1,0 +1,190 @@
+"""Device-side 2-D (eta, xi) block decomposition with halo rings.
+
+The production layout for the explicit-halo engine (VERDICT round-3
+item 2): state fields live PERMANENTLY as per-shard blocks with
+nghost-wide halo rings — blocking/unblocking happens on device via
+static gathers (one `jnp.take` per axis), not host numpy round-trips.
+
+Layout per field (..., Mj, Li) -> (..., neta*BJ, nxi*BI) with
+BJ = Mm/neta + 2*nghost, BI = Lm/nxi + 2*nghost:
+
+  - xi: ghost-free periodic torus over the Lm interior columns
+    (stencil.periodic_x ghost copies become inherent wraps; the global
+    ring is reconstructed on unblocking);
+  - eta: the Mm interior rows split over neta; halo rows BEYOND the
+    physical ghost rows (global 0 / Mm+1) clamp to those rows, so the
+    wall blocks' rings always hold boundary-condition data.
+
+`grow` gives each block row's global eta index (sharded along eta) —
+the key consumed by parallel.blockctx to apply boundary writes at
+physical walls only.  The halo refresh is the two-phase W/E-then-N/S
+ppermute exchange of mp_exchange.F:520-773 with no wrap links on the
+walled eta axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+class BlockLayout(NamedTuple):
+    neta: int
+    nxi: int
+    nghost: int
+    Mm: int
+    Lm: int
+
+    @property
+    def bj(self) -> int:
+        return self.Mm // self.neta
+
+    @property
+    def bi(self) -> int:
+        return self.Lm // self.nxi
+
+    @property
+    def BJ(self) -> int:
+        return self.bj + 2 * self.nghost
+
+    @property
+    def BI(self) -> int:
+        return self.bi + 2 * self.nghost
+
+
+def make_layout(cfg, mesh: Mesh, nghost: int) -> BlockLayout:
+    neta, nxi = mesh.shape["eta"], mesh.shape["xi"]
+    if cfg.Mm % neta or cfg.Lm % nxi:
+        raise ValueError(
+            f"grid {cfg.Mm}x{cfg.Lm} not divisible by mesh "
+            f"({neta},{nxi})")
+    return BlockLayout(neta, nxi, nghost, cfg.Mm, cfg.Lm)
+
+
+def _eta_index(lay: BlockLayout) -> np.ndarray:
+    """Global row index per blocked row (neta*BJ,), halos clamped to
+    the physical ghost rows."""
+    idx = []
+    for jb in range(lay.neta):
+        g = np.arange(jb * lay.bj + 1 - lay.nghost,
+                      (jb + 1) * lay.bj + 1 + lay.nghost)
+        idx.append(np.clip(g, 0, lay.Mm + 1))
+    return np.concatenate(idx)
+
+
+def _xi_index(lay: BlockLayout) -> np.ndarray:
+    """Global col index per blocked col (nxi*BI,), periodic mod Lm
+    over the interior columns 1..Lm."""
+    idx = []
+    for ib in range(lay.nxi):
+        g = np.arange(ib * lay.bi - lay.nghost,
+                      (ib + 1) * lay.bi + lay.nghost) % lay.Lm + 1
+        idx.append(g)
+    return np.concatenate(idx)
+
+
+def grow_array(lay: BlockLayout) -> jnp.ndarray:
+    """(neta*BJ,) int32 global row index of every blocked row —
+    shard along 'eta' so each device sees its own block's indices."""
+    return jnp.asarray(_eta_index(lay), jnp.int32)
+
+
+def to_blocks(f, lay: BlockLayout):
+    """(..., Mj, Li) -> blocked (..., neta*BJ, nxi*BI); pure gathers,
+    jit-safe, device-resident."""
+    f = jnp.take(f, jnp.asarray(_eta_index(lay)), axis=-2)
+    return jnp.take(f, jnp.asarray(_xi_index(lay)), axis=-1)
+
+
+def from_blocks(fb, lay: BlockLayout):
+    """Blocked -> global (..., Mj, Li): drop halos, reassemble, rebuild
+    the global xi periodic ghost ring."""
+    parts = []
+    for jb in range(lay.neta):
+        row0 = jb * lay.BJ + lay.nghost
+        cols = []
+        for ib in range(lay.nxi):
+            c0 = ib * lay.BI + lay.nghost
+            cols.append(lax.slice_in_dim(
+                lax.slice_in_dim(fb, row0, row0 + lay.bj, axis=-2),
+                c0, c0 + lay.bi, axis=-1))
+        parts.append(jnp.concatenate(cols, axis=-1))
+    interior = jnp.concatenate(parts, axis=-2)          # (Mm, Lm)
+    # physical ghost rows come from the wall blocks' rings
+    south = jnp.take(fb, jnp.asarray([lay.nghost - 1]), axis=-2)
+    north = jnp.take(
+        fb, jnp.asarray([(lay.neta - 1) * lay.BJ + lay.nghost
+                         + lay.bj]), axis=-2)
+
+    def xi_reassemble(row_blk):
+        cols = [lax.slice_in_dim(row_blk, ib * lay.BI + lay.nghost,
+                                 ib * lay.BI + lay.nghost + lay.bi,
+                                 axis=-1)
+                for ib in range(lay.nxi)]
+        return jnp.concatenate(cols, axis=-1)
+
+    full = jnp.concatenate(
+        [xi_reassemble(south), interior, xi_reassemble(north)],
+        axis=-2)                                        # (Mj, Lm)
+    west = lax.slice_in_dim(full, lay.Lm - 1, lay.Lm, axis=-1)
+    east = lax.slice_in_dim(full, 0, 1, axis=-1)
+    return jnp.concatenate([west, full, east], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase halo refresh (runs INSIDE shard_map on per-device blocks)
+# ---------------------------------------------------------------------------
+
+def _perms(n, wrap):
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    if wrap:
+        fwd.append((n - 1, 0))
+        bwd.append((0, n - 1))
+    return fwd, bwd
+
+
+def refresh_block(f, lay: BlockLayout, mesh_axes=("eta", "xi")):
+    """Refresh the halo ring of one per-device block (..., BJ, BI):
+    W/E exchange first, then N/S including the fresh ghost columns
+    (mp_exchange.F:520-773 two-phase corner discipline).  The eta axis
+    has NO wrap links — the wall blocks keep their outer rings (the
+    physical boundary rows maintained by blockctx)."""
+    g = lay.nghost
+    eta_ax, xi_ax = mesh_axes
+    if lay.nxi > 1 or True:
+        fwd, bwd = _perms(lay.nxi, wrap=True)
+        BI = f.shape[-1]
+        east = lax.slice_in_dim(f, BI - 2 * g, BI - g, axis=-1)
+        west = lax.slice_in_dim(f, g, 2 * g, axis=-1)
+        from_west = lax.ppermute(east, xi_ax, fwd)
+        from_east = lax.ppermute(west, xi_ax, bwd)
+        f = lax.dynamic_update_slice_in_dim(f, from_west, 0,
+                                            axis=f.ndim - 1)
+        f = lax.dynamic_update_slice_in_dim(f, from_east, BI - g,
+                                            axis=f.ndim - 1)
+    if lay.neta > 1:
+        fwd, bwd = _perms(lay.neta, wrap=False)
+        BJ = f.shape[-2]
+        north = lax.slice_in_dim(f, BJ - 2 * g, BJ - g, axis=-2)
+        south = lax.slice_in_dim(f, g, 2 * g, axis=-2)
+        from_south = lax.ppermute(north, eta_ax, fwd)
+        from_north = lax.ppermute(south, eta_ax, bwd)
+        jb = lax.axis_index(eta_ax)
+        # wall blocks received zeros on the unlinked side: keep the
+        # old ring there (it holds the BC-maintained boundary rows)
+        old_s = lax.slice_in_dim(f, 0, g, axis=-2)
+        old_n = lax.slice_in_dim(f, BJ - g, BJ, axis=-2)
+        from_south = jnp.where(jb == 0, old_s, from_south)
+        from_north = jnp.where(jb == lay.neta - 1, old_n, from_north)
+        f = lax.dynamic_update_slice_in_dim(f, from_south, 0,
+                                            axis=f.ndim - 2)
+        f = lax.dynamic_update_slice_in_dim(f, from_north, BJ - g,
+                                            axis=f.ndim - 2)
+    return f

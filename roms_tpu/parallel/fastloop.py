@@ -209,3 +209,152 @@ def make_sharded_fast_loop(cfg, grid, mesh: Mesh, nfast: int, w1, w2,
     fast_loop.block = lambda f: jnp.asarray(block_x(f, nxi, nghost))
     fast_loop.unblock = lambda a: jnp.asarray(unblock_x(a, nxi, nghost))
     return fast_loop
+
+
+def make_sharded_fast_loop2d(cfg, grid, mesh: Mesh, nfast: int, w1, w2,
+                             var_rho: bool = True, nghost: int = 8,
+                             refresh_every: int = 1):
+    """Generalized explicit-halo fast loop over a 2-D (eta, xi) mesh.
+
+    Production variant of make_sharded_fast_loop (VERDICT round-3 item
+    2): blocks are built ON DEVICE (parallel.blocked gathers, no host
+    numpy), the eta axis decomposes the N/S-walled direction with the
+    physical boundary rows maintained per-block through
+    parallel.blockctx masked BCs, and halos refresh with the two-phase
+    W/E-then-N/S ppermute discipline (mp_exchange.F:520-773).  Each
+    refresh moves ONE stacked 4-field slab per direction —
+    mp_exchange.F:290-333's aggregate-4-arrays optimization.
+
+    Supported class: EW-periodic, N/S closed/gradient walls (the
+    BENCHMARK/UPWELLING channel family); sources and stokes2d are
+    supported (blocked local adds), obc data is not.
+    """
+    from . import blockctx as bctx
+    from .blocked import (BlockLayout, grow_array, make_layout,
+                          refresh_block, to_blocks)
+
+    if not cfg.bc.ew_periodic or cfg.bc.ns_periodic:
+        raise ValueError("requires EW-periodic / NS-walled domain")
+    if getattr(cfg.bc, "volcons", ()):
+        raise ValueError("obc_volcons unsupported in the sharded loop")
+    lay = make_layout(cfg, mesh, nghost)
+    dtype = jnp.dtype(cfg.dtype)
+    w1j = jnp.asarray(w1, dtype)
+    w2j = jnp.asarray(w2, dtype)
+    predictor, corrector, aux_pass, init_carry = make_substep_kernels(
+        cfg, nfast, w1j, w2j, var_rho)
+
+    Mj, Li = cfg.shape2d
+
+    def _blk(x):
+        a = jnp.asarray(x)
+        if a.ndim >= 2 and a.shape[-2:] == (Mj, Li):
+            return to_blocks(a, lay)
+        return a
+
+    gridblk = jax.tree_util.tree_map(_blk, grid)
+    grow = grow_array(lay)
+
+    def _spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 2 \
+                and x.shape[-2:] == (lay.neta * lay.BJ,
+                                     lay.nxi * lay.BI):
+            return P(*([None] * (x.ndim - 2) + ["eta", "xi"]))
+        return P(*([None] * getattr(x, "ndim", 0)))
+
+    grid_specs = jax.tree_util.tree_map(_spec, gridblk)
+    s2 = P("eta", "xi")
+
+    def refresh(c):
+        """Aggregated two-phase exchange of the 4 stencil-read carry
+        fields in one stacked slab (4 ppermutes on a 2-D mesh)."""
+        stack = jnp.stack((c.zeta, c.zeta_prev, c.ubar, c.vbar))
+        stack = refresh_block(stack, lay)
+        return c._replace(zeta=stack[0], zeta_prev=stack[1],
+                          ubar=stack[2], vbar=stack[3])
+
+    def run(g, grow_blk, zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS,
+            rhoA, ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic,
+            sources, stokes2d):
+        ctx = bctx.BlockCtx(grow=grow_blk, Mm=cfg.Mm)
+        with bctx.block_ctx(ctx):
+            carry = init_carry(zeta0, ubar0, vbar0, rufrc, rvfrc,
+                               ru0_prev, rv0_prev)
+
+            def substep(c, iif):
+                (zeta_p, ubar_p, vbar_p, rz_m, ru_m, rv_m, rufrc_c,
+                 rvfrc_c, avg) = predictor(g, iif, c, rhoS, rhoA, iic,
+                                           ru0_prev2, rv0_prev2, None,
+                                           sources, stokes2d)
+                c = c._replace(avg=avg)
+                return corrector(g, iif, c, zeta_p, ubar_p, vbar_p,
+                                 rz_m, ru_m, rv_m, rufrc_c, rvfrc_c,
+                                 rhoS, rhoA, None, sources, stokes2d)
+
+            k = refresh_every
+            ngroup = nfast // k
+
+            def body(c, grp):
+                c = refresh(c)
+                for q in range(k):
+                    c = substep(c, grp * k + 1 + q)
+                return c, None
+
+            carry, _ = lax.scan(body, carry,
+                                jnp.arange(ngroup, dtype=jnp.int32))
+            for q in range(nfast - ngroup * k):    # odd tail
+                if q == 0:
+                    carry = refresh(carry)
+                carry = substep(carry,
+                                jnp.int32(ngroup * k + 1 + q))
+            carry = refresh(carry)                 # aux reads stencils
+            return aux_pass(g, carry, sources, stokes2d)
+
+    _run_cache = {}
+
+    def _get_run(srcblk, stkblk):
+        """shard_map specialization per sources/stokes pytree
+        structure (their blocked leaves shard like the state)."""
+        key = (jax.tree_util.tree_structure(srcblk),
+               jax.tree_util.tree_structure(stkblk))
+        if key not in _run_cache:
+            def leafspec(x):
+                return _spec(x) if hasattr(x, "ndim") else P()
+            sspec = jax.tree_util.tree_map(leafspec, srcblk)
+            kspec = jax.tree_util.tree_map(leafspec, stkblk)
+            run_sm = shard_map(
+                run, mesh=mesh,
+                in_specs=(grid_specs, P("eta")) + (s2,) * 11
+                + (P(), sspec, kspec),
+                out_specs=jax.tree_util.tree_map(
+                    lambda _: s2,
+                    (FastAverages(0, 0, 0, 0, 0), 0, 0, 0, 0, 0)))
+            _run_cache[key] = jax.jit(run_sm)
+        return _run_cache[key]
+
+    from .blocked import from_blocks
+    _unblock_jit = jax.jit(lambda tree: jax.tree_util.tree_map(
+        lambda a: from_blocks(a, lay), tree))
+
+    def fast_loop(grid_arg, zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS,
+                  rhoA, ru0_prev, rv0_prev, ru0_prev2, rv0_prev2, iic,
+                  obc=None, sources=None, stokes2d=None):
+        if obc not in (None, {}):
+            raise ValueError("sharded fast loop 2d: obc must be None")
+        srcblk = jax.tree_util.tree_map(_blk, sources) \
+            if sources is not None else None
+        stkblk = jax.tree_util.tree_map(_blk, stokes2d) \
+            if stokes2d is not None else None
+        fields = [zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
+                  ru0_prev, rv0_prev, ru0_prev2, rv0_prev2]
+        blocked_in = [to_blocks(jnp.asarray(f), lay) for f in fields]
+        out = _get_run(srcblk, stkblk)(
+            gridblk, grow, *blocked_in, jnp.asarray(iic), srcblk,
+            stkblk)
+        return _unblock_jit(out)
+
+    fast_loop.get_run = _get_run
+    fast_loop.gridblk = gridblk
+    fast_loop.layout = lay
+    fast_loop.grow = grow
+    return fast_loop

@@ -1,0 +1,96 @@
+"""Whole-step explicit-halo engine (parallel.sharded_step): the FULL
+baroclinic step inside one shard_map region on the 8-device virtual
+mesh must reproduce the unsharded Model.step to f64 roundoff, with an
+order-of-magnitude fewer collective-permutes than the GSPMD path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from roms_tpu.core.stepping import Model
+from roms_tpu.functionals import benchmark, upwelling
+from roms_tpu.parallel.mesh import audit_hlo, make_mesh
+from roms_tpu.parallel.sharded_step import ShardedStep
+
+FIELDS = ("zeta", "ubar", "vbar", "u", "v", "t")
+
+
+def _interior(a):
+    return np.asarray(a)[..., 1:-1, 1:-1]
+
+
+def _compare(ref, out, atol_scale=1e-12):
+    for name in FIELDS:
+        a = _interior(getattr(ref, name))
+        b = _interior(getattr(out, name))
+        scale = max(np.abs(a).max(), 1e-12)
+        diff = np.abs(a - b).max()
+        # the eps floor covers XLA reduction-order ulps between the
+        # sharded and unsharded compilations (k-axis sums associate
+        # differently across programs)
+        assert diff < max(atol_scale * scale, 5e-16), \
+            (name, diff, scale)
+
+
+@pytest.mark.quick
+def test_sharded_step_matches_model_upwelling():
+    cfg = upwelling.make_config(Lm=64, Mm=32, N=6, dt=120.0,
+                                ndtfast=10, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg))
+    s0 = model.run(upwelling.make_initial(cfg, grid), 2)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(model, mesh, nghost=14, refresh_every=2)
+
+    ref = model.step(s0)
+    ref = model.step(ref)
+    out = ss.step(s0)
+    out = ss.step(out)
+    _compare(ref, out)
+
+
+def test_sharded_step_matches_model_benchmark_kpp():
+    """Full reference BENCHMARK physics (LMD-KPP + bulk fluxes +
+    MIX_GEO_TS + nonlinear EOS) — the headline configuration."""
+    cfg = benchmark.make_config(full_physics=True, Lm=64, Mm=32, N=6)
+    cfg = cfg.replace(dtype="float64", ndtfast=10)
+    grid = benchmark.make_grid(cfg)
+    model = Model(cfg, grid,
+                  forcing_fn=benchmark.make_bulk_forcing_fn(cfg, grid))
+    s0 = model.run(benchmark.make_initial(cfg, grid), 2)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(model, mesh, nghost=14, refresh_every=2)
+
+    ref = model.step(s0)
+    out = ss.step(s0)
+    _compare(ref, out, atol_scale=1e-11)
+
+
+def test_sharded_step_collective_budget():
+    """The compiled sharded step carries < 120 collective-permutes and
+    no field-sized all-gathers (vs ~900 permutes for GSPMD at the same
+    size; mp_exchange.F discipline: ~40-70 exchanges/step)."""
+    cfg = upwelling.make_config(Lm=64, Mm=32, N=6, dt=120.0,
+                                ndtfast=20, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg))
+    s0 = model.run(upwelling.make_initial(cfg, grid), 1)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(model, mesh, nghost=14, refresh_every=2)
+    blk = ss.block_state(s0)
+    forcing = model.forcing_fn(s0.time)
+    fblk = jax.tree_util.tree_map(ss._blk, forcing)
+    fn = ss._build(fblk)
+    with mesh:
+        hlo = fn.lower(ss.gridblk, ss.grow, blk,
+                       fblk).compile().as_text()
+    c = audit_hlo(hlo)
+    assert c["collective-permute"] < 120, c
+    assert c["all-gather"] == 0, c
