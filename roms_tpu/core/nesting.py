@@ -77,6 +77,37 @@ def refine2d(F, spec: RefineSpec, Mj_c, Li_c):
     return bilinear(F, jc, ic)
 
 
+def _child_coords_u(spec: RefineSpec, Mj_c, Li_c):
+    """Parent fractional U-POINT indices of every child u point
+    (set_contact.F u-contact weights): child u col i sits at parent
+    rho coordinate (i-1)/rf + i0 + 0.5, i.e. parent u index
+    (i-1)/rf + i0 + 1; rows are rho rows."""
+    rf = spec.rf
+    iu = (jnp.arange(Li_c) - 1.0) / rf + spec.i0 + 1.0
+    jc = (jnp.arange(Mj_c) - 0.5) / rf + spec.j0 + 0.5
+    return jc, iu
+
+
+def _child_coords_v(spec: RefineSpec, Mj_c, Li_c):
+    rf = spec.rf
+    ic = (jnp.arange(Li_c) - 0.5) / rf + spec.i0 + 0.5
+    jv = (jnp.arange(Mj_c) - 1.0) / rf + spec.j0 + 1.0
+    return jv, ic
+
+
+def refine2d_u(F, spec: RefineSpec, Mj_c, Li_c):
+    """Interpolate a parent U-point field to the child's U points
+    (replaces the round-3 rho-centred approximation; the reference's
+    contact weights live on the native stagger, set_contact.F)."""
+    jc, iu = _child_coords_u(spec, Mj_c, Li_c)
+    return bilinear(F, jc, iu)
+
+
+def refine2d_v(F, spec: RefineSpec, Mj_c, Li_c):
+    jv, ic = _child_coords_v(spec, Mj_c, Li_c)
+    return bilinear(F, jv, ic)
+
+
 def make_child_obc_fn(cfg_c: ModelConfig, spec: RefineSpec,
                       snapshots, parent_dt: float):
     """Boundary forcing for the child from a parent trajectory.
@@ -90,13 +121,18 @@ def make_child_obc_fn(cfg_c: ModelConfig, spec: RefineSpec,
 
     # precompute child-boundary samples for every snapshot (host-side,
     # once) - stacked along a leading time axis
+    jcu, icu = _child_coords_u(spec, Mj_c, Li_c)
+    jcv, icv = _child_coords_v(spec, Mj_c, Li_c)
+
     def sample(state):
         z = bilinear(state.zeta, jc, ic)
-        ub = bilinear(state.ubar, jc, ic)      # rho-centred approx
-        vb = bilinear(state.vbar, jc, ic)
+        # velocities interpolate on their NATIVE staggers (u at parent
+        # U points, v at parent V points — set_contact.F weights)
+        ub = bilinear(state.ubar, jcu, icu)
+        vb = bilinear(state.vbar, jcv, icv)
         t = bilinear(state.t, jc, ic)          # (NT, N, Mj_c, Li_c)
-        u = bilinear(state.u, jc, ic)
-        v = bilinear(state.v, jc, ic)
+        u = bilinear(state.u, jcu, icu)
+        v = bilinear(state.v, jcv, icv)
         return z, ub, vb, t, u, v
 
     series = [sample(s) for s in snapshots]
@@ -147,19 +183,109 @@ def coarsen_feedback(parent_field, child_field, spec: RefineSpec):
     return out
 
 
+def coarsen_feedback_u(parent_u, child_u, child_Hz_u, spec: RefineSpec):
+    """Flux-conserving fine2coarse for a U-point field
+    (nesting.F fine2coarse2d/3d, vtype=u): each interior coarse u-face
+    is covered by the rf child u-faces lying ON it (child cols
+    1 + k*rf, rf child rows per coarse row); the coarse velocity is
+    their transport-weighted average
+
+        u_c = sum(u_f * Hz_f * on_u_f) / sum(Hz_f * on_u_f)
+
+    (on_u_f = on_u_c / rf uniform for coincident refined grids, so it
+    cancels).  child_Hz_u: child layer thickness at u points, same
+    leading dims as child_u (pass ones for ubar with equal-depth
+    weighting, or D_u for transport weighting)."""
+    rf = spec.rf
+    # interior coarse u-faces strictly inside the child (perimeter
+    # faces stay with the coarse solution/boundary data)
+    Li_c = child_u.shape[-1]
+    Mj_c = child_u.shape[-2]
+    nu = (Li_c - 2) // rf               # child interior span in cells
+    nj = (Mj_c - 2) // rf
+    ks = jnp.arange(1, nu)              # interior faces only
+    cols = 1 + ks * rf                  # child u cols on coarse faces
+    rows = 1 + jnp.arange(nj * rf)      # child interior rho rows
+    uf = child_u[..., rows[:, None], cols[None, :]]
+    wf = child_Hz_u[..., rows[:, None], cols[None, :]]
+    shp = uf.shape[:-2] + (nj, rf, len(ks))
+    num = (uf * wf).reshape(shp).sum(axis=-2)
+    den = wf.reshape(shp).sum(axis=-2)
+    ubox = num / jnp.maximum(den, 1e-30)
+    return parent_u.at[..., spec.j0 + 1:spec.j0 + 1 + nj,
+                       spec.i0 + 2:spec.i0 + 1 + nu].set(ubox)
+
+
+def coarsen_feedback_v(parent_v, child_v, child_Hz_v, spec: RefineSpec):
+    """V-point mirror of coarsen_feedback_u."""
+    rf = spec.rf
+    Li_c = child_v.shape[-1]
+    Mj_c = child_v.shape[-2]
+    nu = (Li_c - 2) // rf
+    nj = (Mj_c - 2) // rf
+    ks = jnp.arange(1, nj)
+    rows = 1 + ks * rf
+    cols = 1 + jnp.arange(nu * rf)
+    vf = child_v[..., rows[:, None], cols[None, :]]
+    wf = child_Hz_v[..., rows[:, None], cols[None, :]]
+    shp = vf.shape[:-2] + (len(ks), nu, rf)
+    num = (vf * wf).reshape(shp).sum(axis=-1)
+    den = wf.reshape(shp).sum(axis=-1)
+    vbox = num / jnp.maximum(den, 1e-30)
+    return parent_v.at[..., spec.j0 + 2:spec.j0 + 1 + nj,
+                       spec.i0 + 1:spec.i0 + 1 + nu].set(vbox)
+
+
 def two_way_feedback(parent_state, child_state, spec: RefineSpec):
     """Feed the child solution back into the parent State (zeta, u, v,
-    t).  Velocities are box-averaged like tracers (the reference
-    averages fine fluxes onto coarse faces; the cell-average form is
-    the same to O(dx^2))."""
+    t).  Cell quantities (zeta, tracers) box-average; velocities use
+    the flux-conserving face average on their native staggers
+    (fine2coarse of face transports, nesting.F:fine2coarse2d/3d)."""
+    from ..ops import stencil as st
+    Hz_u_c = st.avg_x(child_state.Hz)
+    Hz_v_c = st.avg_y(child_state.Hz)
+    D_u_c = jnp.sum(Hz_u_c, axis=0)
+    D_v_c = jnp.sum(Hz_v_c, axis=0)
     return parent_state._replace(
         zeta=coarsen_feedback(parent_state.zeta, child_state.zeta,
                               spec),
-        u=coarsen_feedback(parent_state.u, child_state.u, spec),
-        v=coarsen_feedback(parent_state.v, child_state.v, spec),
+        ubar=coarsen_feedback_u(parent_state.ubar, child_state.ubar,
+                                D_u_c, spec),
+        vbar=coarsen_feedback_v(parent_state.vbar, child_state.vbar,
+                                D_v_c, spec),
+        u=coarsen_feedback_u(parent_state.u, child_state.u, Hz_u_c,
+                             spec),
+        v=coarsen_feedback_v(parent_state.v, child_state.v, Hz_v_c,
+                             spec),
         t=coarsen_feedback(parent_state.t, child_state.t, spec),
         t_prev=coarsen_feedback(parent_state.t_prev,
                                 child_state.t_prev, spec))
+
+
+def nesting_mass_check(parent_state, child_state, spec: RefineSpec,
+                       grid_p, grid_c):
+    """NESTING_DEBUG-style conservation diagnostic (nesting.F:49-52):
+    the child-region DYNAMIC volume (area-weighted free surface) must
+    equal that of the covering coarse cells after feedback — roundoff
+    for a conservative box average.  The static bathymetry part is
+    excluded: child h is an interpolation of parent h, a fixed
+    geometric difference that no feedback changes.  Returns the
+    mismatch normalized by the child's mean |zeta| volume."""
+    rf = spec.rf
+    Mj_c, Li_c = child_state.zeta.shape[-2:]
+    nj = (Mj_c - 2) // rf
+    ni = (Li_c - 2) // rf
+    area_c = 1.0 / (grid_c.pm * grid_c.pn)
+    vol_child = jnp.sum(child_state.zeta[1:-1, 1:-1]
+                        * area_c[1:-1, 1:-1])
+    scale = jnp.sum(jnp.abs(child_state.zeta[1:-1, 1:-1])
+                    * area_c[1:-1, 1:-1])
+    area_p = 1.0 / (grid_p.pm * grid_p.pn)
+    sl = (slice(spec.j0 + 1, spec.j0 + 1 + nj),
+          slice(spec.i0 + 1, spec.i0 + 1 + ni))
+    vol_parent = jnp.sum(parent_state.zeta[sl] * area_p[sl])
+    return jnp.abs(vol_child - vol_parent) / jnp.maximum(scale,
+                                                         1e-30)
 
 
 def run_two_way(parent_model, child_model, spec: RefineSpec,

@@ -138,3 +138,124 @@ def test_two_way_feedback_stable():
     nj, ni = box.shape
     mean = ci[:nj * 2, :ni * 2].reshape(nj, 2, ni, 2).mean(axis=(1, 3))
     np.testing.assert_allclose(box, mean, atol=1e-12)
+
+
+class TestConservativeNesting:
+    """Round-4 upgrades (VERDICT item 6): native-stagger velocity
+    interpolation, flux-conserving face feedback, the NESTING_DEBUG
+    conservation diagnostic, and NGCNAME contact-file round-trip."""
+
+    def test_staggered_interp_exact_on_linear(self):
+        """U/V-point interpolation must reproduce linear fields exactly
+        at the correct stagger positions (the round-3 rho-centred
+        approximation was off by half a fine cell)."""
+        spec = nesting.RefineSpec(i0=4, j0=2, rf=2, Lm_c=12, Mm_c=8)
+        Mj_c, Li_c = spec.Mm_c + 2, spec.Lm_c + 2
+        Mj_p, Li_p = 20, 30
+        jj, ii = np.meshgrid(np.arange(Mj_p), np.arange(Li_p),
+                             indexing="ij")
+        # parent u-point field linear in the U-point coordinate
+        # (x_u = i - 0.5 in rho units)
+        Fu = jnp.asarray(2.0 * (ii - 0.5) + 3.0 * jj)
+        out = nesting.refine2d_u(Fu, spec, Mj_c, Li_c)
+        # child u col i lies at parent rho coord (i-1)/rf + i0 + 0.5
+        # -> x_u = that coord; rows at (j-0.5)/rf + j0 + 0.5
+        i = np.arange(2, Li_c - 2)
+        j = np.arange(2, Mj_c - 2)
+        xu = (i - 1.0) / spec.rf + spec.i0 + 0.5
+        yr = (j - 0.5) / spec.rf + spec.j0 + 0.5
+        want = 2.0 * xu[None, :] + 3.0 * yr[:, None]
+        np.testing.assert_allclose(np.asarray(out)[2:-2, 2:-2], want,
+                                   rtol=1e-12)
+        # V mirror
+        Fv = jnp.asarray(5.0 * ii + 7.0 * (jj - 0.5))
+        outv = nesting.refine2d_v(Fv, spec, Mj_c, Li_c)
+        xv = (i - 0.5) / spec.rf + spec.i0 + 0.5
+        yv = (j - 1.0) / spec.rf + spec.j0 + 0.5
+        wantv = 5.0 * xv[None, :] + 7.0 * yv[:, None]
+        np.testing.assert_allclose(np.asarray(outv)[2:-2, 2:-2],
+                                   wantv, rtol=1e-12)
+
+    def test_flux_conserving_face_feedback(self):
+        """The coarse face velocity must equal the transport-weighted
+        average of the child faces ON that coarse face: uniform child
+        velocity with varying Hz must feed back the same uniform value,
+        and a varying child field must conserve the face transport."""
+        spec = nesting.RefineSpec(i0=2, j0=2, rf=2, Lm_c=8, Mm_c=8)
+        Mj_c, Li_c = spec.Mm_c + 2, spec.Lm_c + 2
+        rng = np.random.RandomState(0)
+        child_u = jnp.asarray(rng.rand(Mj_c, Li_c))
+        Hz_u = jnp.asarray(0.5 + rng.rand(Mj_c, Li_c))
+        parent_u = jnp.zeros((16, 16))
+        out = nesting.coarsen_feedback_u(parent_u, child_u, Hz_u,
+                                         spec)
+        # manual check for coarse face at parent u col i0+2, row j0+1:
+        # child u col 1 + 1*rf = 3, child rows 1..2
+        num = float((child_u[1, 3] * Hz_u[1, 3]
+                     + child_u[2, 3] * Hz_u[2, 3]))
+        den = float(Hz_u[1, 3] + Hz_u[2, 3])
+        np.testing.assert_allclose(float(out[3, 4]), num / den,
+                                   rtol=1e-12)
+        # uniform child velocity -> exactly that value on every face
+        out_u = nesting.coarsen_feedback_u(parent_u,
+                                           jnp.full((Mj_c, Li_c), 0.3),
+                                           Hz_u, spec)
+        sl = np.asarray(out_u[spec.j0 + 1:spec.j0 + 5,
+                              spec.i0 + 2:spec.i0 + 4])
+        np.testing.assert_allclose(sl, 0.3, rtol=1e-12)
+
+    def test_mass_check_roundoff_after_feedback(self):
+        """Volume over the refined region agrees between child and
+        parent to roundoff after the conservative feedback
+        (nesting.F:49-52 NESTING_DEBUG check)."""
+        import dataclasses as dc
+        from roms_tpu.functionals import upwelling
+        cfg_p = upwelling.make_config(Lm=16, Mm=16, N=4,
+                                      dtype="float64")
+        grid_p = upwelling.make_grid(cfg_p)
+        s_p = upwelling.make_initial(cfg_p, grid_p)
+        spec = nesting.RefineSpec(i0=4, j0=4, rf=2, Lm_c=12, Mm_c=12)
+        cfg_c = cfg_p.replace(Lm=spec.Lm_c, Mm=spec.Mm_c)
+        grid_c = upwelling.make_grid(cfg_c)
+        # flat-bottom equal-metric grids: refine the parent h onto the
+        # child and give the child a wavy free surface
+        Mj_c, Li_c = cfg_c.shape2d
+        rng = np.random.RandomState(1)
+        z_c = jnp.asarray(0.01 * rng.rand(Mj_c, Li_c))
+        from roms_tpu.core.state import initial_state
+        # child grid with the same uniform metrics scaled by rf
+        import jax
+        kw = {n: getattr(grid_c, n) for n in grid_c.FIELDS}
+        kw.update({n: getattr(grid_c, n) for n in grid_c.AUX})
+        kw["h"] = nesting.refine2d(grid_p.h, spec, Mj_c, Li_c)
+        kw["pm"] = jnp.full_like(grid_c.pm, float(grid_p.pm[1, 1])
+                                 * spec.rf)
+        kw["pn"] = jnp.full_like(grid_c.pn, float(grid_p.pn[1, 1])
+                                 * spec.rf)
+        from roms_tpu.grid.grid import Grid
+        grid_c = Grid(**kw)
+        s_c = initial_state(cfg_c, grid_c, zeta=z_c)
+        s_p2 = nesting.two_way_feedback(s_p, s_c, spec)
+        mis = nesting.nesting_mass_check(s_p2, s_c, spec, grid_p,
+                                         grid_c)
+        assert float(mis) < 1e-12, float(mis)
+
+    def test_contact_file_roundtrip(self):
+        import tempfile, os
+        from roms_tpu.core.nesting import ContactRegion, RefineSpec
+        from roms_tpu.io.contact_nc import (load_contact_netcdf,
+                                            write_contact_netcdf)
+        spec = RefineSpec(i0=9, j0=4, rf=3, Lm_c=30, Mm_c=18)
+        regions = [ContactRegion(donor=0, receiver=2, edge="west",
+                                 di=40, dj=0)]
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "contact.nc")
+            write_contact_netcdf(
+                path, Ngrids=3,
+                dims={0: (64, 32), 1: (30, 18), 2: (20, 32)},
+                refine={(0, 1): spec}, composite=regions)
+            out = load_contact_netcdf(path)
+        assert out["Ngrids"] == 3
+        got = out["refine"][(0, 1)]
+        assert got == spec
+        assert out["composite"] == regions
