@@ -315,7 +315,19 @@ def main(argv=None):
           f"(ndtfast={cfg.ndtfast}) on {cfg.Lm}x{cfg.Mm}x{cfg.N}")
     t0 = time.perf_counter()
     for _ in range(ntimes):
-        if om.wants_diag:
+        if om.wants_diag and om.wants_diag_uv:
+            if not hasattr(model, "_step_diag_both_jit"):
+                import jax as _jax
+                model._step_diag_both_jit = _jax.jit(
+                    lambda s, g: model.step_impl(
+                        s, g, collect_diag=True, collect_diag_uv=True))
+            state, dia, dia_uv = model._step_diag_both_jit(state,
+                                                          model.grid)
+            om.step(state, diag=dia, diag_uv=dia_uv)
+        elif om.wants_diag_uv:
+            state, dia_uv = model.step_diag_uv(state)
+            om.step(state, diag_uv=dia_uv)
+        elif om.wants_diag:
             state, dia = model.step_diag(state)
             om.step(state, diag=dia)
         else:

@@ -22,13 +22,19 @@ from . import boundary, obc as obc_mod
 
 def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
               Hz, z_r, Akv, avg, Huon_old, Hvom_old, iic,
-              u_old=None, v_old=None, obc=None, Wi=None):
+              u_old=None, v_old=None, obc=None, Wi=None,
+              collect_diag: bool = False):
     """Returns (u, v, ubar, vbar, Huon, Hvom) at time n+1.
 
     u_part/v_part: corrector seeds from pre_step3d (+uv3dmix), Hz*u units.
     ru/rv: full 3D RHS at time n.  Hz/z_r: NEW depths (from Zt_avg1).
     avg: FastAverages.  Huon_old/Hvom_old: mass fluxes at time n.
-    """
+
+    collect_diag=True additionally returns the DIAGNOSTICS_UV stage
+    increments in Hz*u units (set_diags.F momentum budget): vvisc =
+    implicit-solve + new-depth increment, cpl = barotropic-coupling +
+    BC increment, and the AB3 lead scale DC0 for converting the RHS
+    term decomposition."""
     dt = cfg.dt
     # AB3 lead coefficient (step3d_uv.F:261-268)
     cffab = jnp.where(iic == 0, 0.25 * dt,
@@ -36,7 +42,7 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
                                 0.25 * dt * 23.0 / 12.0))
 
     from ..ops import pallas_uv
-    if pallas_uv.use_pallas_uv(cfg):
+    if pallas_uv.use_pallas_uv(cfg) and not collect_diag:
         return _step3d_uv_pallas(cfg, grid, u_part, v_part, ru, rv,
                                  Hz, Akv, cffab, avg, Huon_old,
                                  Hvom_old, u_old, v_old, obc)
@@ -53,6 +59,9 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
 
     un = u_part + DC0u * ru
     vn = v_part + DC0v * rv
+    if collect_diag:
+        un_pre = un
+        vn_pre = vn
 
     if cfg.mixing.splines_vvisc:
         # SPLINES_VVISC (step3d_uv.F:292-339); the u and v systems are
@@ -103,6 +112,12 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
             (D_v * grid.om_v)
         return (q - err[None]) * grid.vmask
 
+    if collect_diag:
+        dia_uv = {"vvisc_u": Hz_u * un - un_pre,
+                  "vvisc_v": Hz_v * vn - vn_pre,
+                  "un_solved": un, "vn_solved": vn,
+                  "DC0u": DC0u, "DC0v": DC0v,
+                  "Hz_u": Hz_u, "Hz_v": Hz_v}
     un = correct_u(un)
     vn = correct_v(vn)
     un = boundary.bc_u(un, cfg.bc.u, cfg.gamma2,
@@ -146,6 +161,10 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
         Huon = st.periodic_y(Huon)
         Hvom = st.periodic_y(Hvom)
 
+    if collect_diag:
+        dia_uv["cpl_u"] = dia_uv["Hz_u"] * (un - dia_uv.pop("un_solved"))
+        dia_uv["cpl_v"] = dia_uv["Hz_v"] * (vn - dia_uv.pop("vn_solved"))
+        return un, vn, ubar, vbar, Huon, Hvom, dia_uv
     return un, vn, ubar, vbar, Huon, Hvom
 
 

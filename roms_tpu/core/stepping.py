@@ -135,7 +135,7 @@ class Model:
     def step_impl(self, state: State, grid: Optional[Grid] = None,
                   collect_diag: bool = False, obc_data=None,
                   forcing_override=None, forcing_adjust=None,
-                  wave_override=None):
+                  wave_override=None, collect_diag_uv: bool = False):
         cfg = self.cfg
         grid = self.grid if grid is None else grid
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
@@ -375,8 +375,34 @@ class Model:
             qface = self.sources.qsrc_u + self.sources.qsrc_v
             t_part = t_part + cfg.dt * pmn_[None, None] * \
                 qface[None] * (self.sources.tsrc - state.t)
-        ru, rv = rhs3d.rhs3d_momentum(cfg, grid, state.u, state.v, Hz,
-                                      Huon, Hvom, W, ru, rv)
+        if collect_diag_uv:
+            # DIAGNOSTICS_UV decomposition (set_diags.F): accumulate
+            # the RHS in the same order as rhs3d_momentum so the sum
+            # is arithmetically identical to the jnp path
+            ru_pgrd, rv_pgrd = ru, rv
+            cor_u = cor_v = 0.0
+            if cfg.uv_cor:
+                cu, cv = rhs3d.coriolis(cfg, grid, state.u, state.v,
+                                        Hz)
+                ru, rv = ru + cu, rv + cv
+                cor_u, cor_v = cu, cv
+            if cfg.curvgrid and cfg.uv_adv:
+                cu, cv = rhs3d.curv_metric(cfg, grid, state.u,
+                                           state.v, Hz)
+                ru, rv = ru + cu, rv + cv
+                cor_u, cor_v = cor_u + cu, cor_v + cv
+            hadv_u = hadv_v = vadv_u = vadv_v = 0.0
+            if cfg.uv_adv:
+                hu, hv = rhs3d.hadv_uv(cfg, grid, state.u, state.v,
+                                       Huon, Hvom)
+                ru, rv = ru + hu, rv + hv
+                hadv_u, hadv_v = hu, hv
+                wu, wv = rhs3d.vadv_uv(cfg, state.u, state.v, W)
+                ru, rv = ru + wu, rv + wv
+                vadv_u, vadv_v = wu, wv
+        else:
+            ru, rv = rhs3d.rhs3d_momentum(cfg, grid, state.u, state.v,
+                                          Hz, Huon, Hvom, W, ru, rv)
         stokes2d = None
         if self.wec_fn is not None and hasattr(self.wec_fn, "stokes"):
             # full Lagrangian WEC coupling: Stokes transports enter the
@@ -398,6 +424,8 @@ class Model:
                                  z_r, z_w, ru, rv, **wec_kw)
         ru, rv = clm_mod.nudge_momentum_rhs(cfg, grid, clm, state.u,
                                             state.v, Hz, ru, rv)
+        if collect_diag_uv:
+            u_part_pre, v_part_pre = u_part, v_part
         rufrc, rvfrc = rhs3d.integrate_rufrc(cfg, grid, ru, rv, forcing,
                                              bustr, bvstr)
         rufrc, rvfrc = clm_mod.nudge_momentum2d_rhs(
@@ -436,10 +464,16 @@ class Model:
         z_r2, z_w2, Hz2 = set_depth(grid, avg.Zt_avg1)
 
         # ---- correctors (main3d.F:990-1045) -----------------------------
-        un, vn, ubar, vbar, Huon2, Hvom2 = step3d_uv(
-            cfg, grid, u_part, v_part, ru, rv, Hz2, z_r2, Akv, avg,
-            Huon, Hvom, iic, u_old=state.u, v_old=state.v, obc=obc,
-            Wi=Wi)
+        if collect_diag_uv:
+            un, vn, ubar, vbar, Huon2, Hvom2, dia_uv = step3d_uv(
+                cfg, grid, u_part, v_part, ru, rv, Hz2, z_r2, Akv,
+                avg, Huon, Hvom, iic, u_old=state.u, v_old=state.v,
+                obc=obc, Wi=Wi, collect_diag=True)
+        else:
+            un, vn, ubar, vbar, Huon2, Hvom2 = step3d_uv(
+                cfg, grid, u_part, v_part, ru, rv, Hz2, z_r2, Akv,
+                avg, Huon, Hvom, iic, u_old=state.u, v_old=state.v,
+                obc=obc, Wi=Wi)
         if cfg.wetdry:
             # 3D wet/dry coupling (step3d_uv.F WET_DRY): gate the new
             # baroclinic momentum with the filtered-free-surface masks
@@ -501,6 +535,39 @@ class Model:
                 "vdif": tdia["vdif"],
                 "nudg": Hz2[None] * (tn - tn_pre_nudge),
             }
+        if collect_diag_uv:
+            # DIAGNOSTICS_UV budget (set_diags.F): Hz-weighted per-step
+            # momentum increments; rate = pre + prsgrd + cor + hadv +
+            # vadv + hvisc + vvisc + cpl, closing to roundoff
+            Hzu_old = 0.5 * (state.Hz + st.im1(state.Hz))
+            Hzv_old = 0.5 * (state.Hz + st.jm1(state.Hz))
+            DC0u, DC0v = dia_uv["DC0u"], dia_uv["DC0v"]
+
+            def _b3u(x):
+                return jnp.broadcast_to(x, un.shape)
+
+            def _b3v(x):
+                return jnp.broadcast_to(x, vn.shape)
+
+            diag_uv = {
+                "u_rate": dia_uv["Hz_u"] * un - Hzu_old * state.u,
+                "v_rate": dia_uv["Hz_v"] * vn - Hzv_old * state.v,
+                "u_pre": u_part_pre - Hzu_old * state.u,
+                "v_pre": v_part_pre - Hzv_old * state.v,
+                "u_hvisc": u_part - u_part_pre,
+                "v_hvisc": v_part - v_part_pre,
+                "u_prsgrd": DC0u * ru_pgrd,
+                "v_prsgrd": DC0v * rv_pgrd,
+                "u_cor": _b3u(DC0u * cor_u),
+                "v_cor": _b3v(DC0v * cor_v),
+                "u_hadv": _b3u(DC0u * hadv_u),
+                "v_hadv": _b3v(DC0v * hadv_v),
+                "u_vadv": _b3u(DC0u * vadv_u),
+                "v_vadv": _b3v(DC0v * vadv_v),
+                "u_vvisc": dia_uv["vvisc_u"],
+                "v_vvisc": dia_uv["vvisc_v"],
+                "u_cpl": dia_uv["cpl_u"], "v_cpl": dia_uv["cpl_v"],
+            }
         new_state = State(
             time=state.time + cfg.dt, iic=iic + 1,
             zeta=avg.Zt_avg1, ubar=ubar, vbar=vbar,
@@ -511,6 +578,10 @@ class Model:
             ru0_prev2=state.ru0_prev, rv0_prev2=state.rv0_prev,
             z_r=z_r2, z_w=z_w2, Hz=Hz2, mix=mix_new, sed=sed_new,
             bbl=bbl_new, ice=ice_new)
+        if collect_diag and collect_diag_uv:
+            return new_state, diag, diag_uv
+        if collect_diag_uv:
+            return new_state, diag_uv
         if collect_diag:
             return new_state, diag
         return new_state
@@ -621,6 +692,17 @@ class Model:
             self._step_diag_jit = jax.jit(
                 lambda s, g: self.step_impl(s, g, collect_diag=True))
         return self._step_diag_jit(state, self.grid)
+
+    def step_diag_uv(self, state: State):
+        """One step returning (new_state, DIAGNOSTICS_UV budget dict)
+        of Hz-weighted per-step momentum increments (set_diags.F DIA
+        u/v term budgets): rate = pre + prsgrd + cor + hadv + vadv +
+        hvisc + vvisc + cpl to roundoff."""
+        if not hasattr(self, "_step_diag_uv_jit"):
+            self._step_diag_uv_jit = jax.jit(
+                lambda s, g: self.step_impl(s, g,
+                                            collect_diag_uv=True))
+        return self._step_diag_uv_jit(state, self.grid)
 
     def sharded_stepper(self, mesh, nghost: int = 14,
                         refresh_every: int = 2):

@@ -312,6 +312,57 @@ class DiagWriter:
         self.f.close()
 
 
+class DiagUVWriter:
+    """DIAGNOSTICS_UV output stream (set_diags.F + wrt_diags.F momentum
+    budgets): one variable per (component, term), Hz-weighted per-step
+    increments on the native staggers."""
+
+    TERMS = ("rate", "pre", "prsgrd", "cor", "hadv", "vadv", "hvisc",
+             "vvisc", "cpl")
+
+    def __init__(self, path: str, cfg: ModelConfig, grid,
+                 terms=None):
+        self.cfg = cfg
+        self.terms = tuple(terms or self.TERMS)
+        self.nrec = 0
+        Mj, Li = cfg.shape2d
+        f = netcdf_file(path, "w", version=2)
+        f.type = "ROMS/TOMS diagnostics file"
+        f.createDimension("ocean_time", None)
+        f.createDimension("xi_u", Li)
+        f.createDimension("eta_u", Mj)
+        f.createDimension("xi_v", Li)
+        f.createDimension("eta_v", Mj)
+        f.createDimension("s_rho", cfg.N)
+        vt = f.createVariable("ocean_time", "d", ("ocean_time",))
+        vt.units = "seconds since initialization"
+        self._time = vt
+        self._vars = {}
+        for mom, dims in (("u", ("ocean_time", "s_rho", "eta_u",
+                                 "xi_u")),
+                          ("v", ("ocean_time", "s_rho", "eta_v",
+                                 "xi_v"))):
+            for term in self.terms:
+                key = f"{mom}_{term}"
+                info = varinfo_for(key, cfg)
+                v = f.createVariable(key, "f", dims)
+                v.long_name = info.long_name
+                v.units = "meter2 second-1"   # Hz-weighted m/s per step
+                self._vars[key] = v
+        self.f = f
+
+    def write(self, diag_uv, time):
+        i = self.nrec
+        self._time[i] = float(np.asarray(time))
+        for key, v in self._vars.items():
+            v[i] = np.asarray(diag_uv[key], np.float32)
+        self.nrec += 1
+        self.f.flush()
+
+    def close(self):
+        self.f.close()
+
+
 class ExtractWriter(HistoryWriter):
     """Grid-extraction output stream (the reference's grid extraction
     utility, SURVEY 2.6): history records for a strided subdomain

@@ -138,6 +138,7 @@ class OutputManager:
                                 "temp", "salt"))
         self.his = self.qck = self.avg_writer = self.rst = None
         self.dia = None
+        self.dia_uv = None
         self.avg = None
         if self.nhis:
             self.his = HistoryWriter(
@@ -186,6 +187,22 @@ class OutputManager:
             self.dia = DiagWriter(
                 path("DIANAME", "roms_dia.nc"), cfg, grid,
                 tracers=tuple(dtr) or tuple(tn[:cfg.NAT]))
+        # DIAGNOSTICS_UV: any Dout(M2*/M3*) switch activates the
+        # momentum-budget stream (set_diags.F u/v terms; the M2
+        # depth-integrated splits are covered by the Hz-weighted 3-D
+        # terms' vertical sums)
+        if self.ndia and any(
+                re.match(r"^Dout\(M[23]\w+\)$", k) and (
+                    v is True or (isinstance(v, list) and any(v)))
+                for k, v in params.items()):
+            from .netcdf import DiagUVWriter
+            self.dia_uv = DiagUVWriter(
+                path("DIAUVNAME", "roms_dia_uv.nc"), cfg, grid)
+            # the M2/M3 codes are represented; drop them from the
+            # unsupported list
+            self.unsupported = [
+                u for u in self.unsupported
+                if not (u.startswith("M2") or u.startswith("M3"))]
         if self.nrst:
             cycle = 2 if params.get("LcycleRST", True) else 0
             self.rst = RestartWriter(
@@ -253,12 +270,21 @@ class OutputManager:
         and pass the budget dict into step(state, diag=...)."""
         return self.dia is not None
 
-    def step(self, state, diag=None) -> None:
+    @property
+    def wants_diag_uv(self) -> bool:
+        """True when the driver should advance with
+        Model.step_diag_uv and pass diag_uv into step()."""
+        return self.dia_uv is not None
+
+    def step(self, state, diag=None, diag_uv=None) -> None:
         """Dispatch all due streams for a just-completed step."""
         iic = int(np.asarray(state.iic))
         if self.dia is not None and diag is not None \
                 and iic % self.ndia == 0:
             self.dia.write(diag, state.time)
+        if self.dia_uv is not None and diag_uv is not None \
+                and iic % self.ndia == 0:
+            self.dia_uv.write(diag_uv, state.time)
         t = float(np.asarray(state.time))
         if self.ninfo and iic % self.ninfo == 0:
             self._info(state)
@@ -290,6 +316,6 @@ class OutputManager:
 
     def close(self) -> None:
         for w in (self.his, self.qck, self.avg_writer, self.rst,
-                  self.sta, self.dia):
+                  self.sta, self.dia, self.dia_uv):
             if w is not None:
                 w.close()

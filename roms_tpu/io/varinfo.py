@@ -232,7 +232,9 @@ for _mom, _loc in (("u", "u3"), ("v", "v3")):
                          ("cor", "Coriolis"),
                          ("prsgrd", "pressure gradient"),
                          ("hvisc", "horizontal viscosity"),
-                         ("vvisc", "vertical viscosity")):
+                         ("vvisc", "vertical viscosity"),
+                         ("pre", "predictor-step contribution"),
+                         ("cpl", "barotropic coupling adjustment")):
         REGISTRY[f"{_mom}_{_term}"] = _v(
             f"{_mom}_{_term}", f"{_mom}-momentum {_desc}",
             "meter second-2", _loc)

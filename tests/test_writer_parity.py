@@ -205,3 +205,61 @@ class TestDiaStream:
             err = np.abs(rate - tot)[:, 2:-2, 2:-2].max()
             assert err < 1e-4 * max(np.abs(rate).max(), 1e-12)
             f.close()
+
+
+class TestDiagUV:
+    def test_uv_budget_closes_and_writes(self):
+        """DIAGNOSTICS_UV (set_diags.F momentum budgets): the
+        Hz-weighted per-step increments close — rate = pre + prsgrd +
+        cor + hadv + vadv + hvisc + vvisc + cpl — and Dout(M3*)
+        switches produce the DIA-UV file."""
+        cfg = upwelling.make_config(Lm=16, Mm=12, N=6,
+                                    dtype="float64")
+        grid = upwelling.make_grid(cfg)
+        state = upwelling.make_initial(cfg, grid)
+        model = stepping.Model(
+            cfg, grid, forcing_fn=upwelling.make_forcing_fn(cfg, grid),
+            vmix_fn=upwelling.make_vmix_fn(cfg))
+        # spin up so every term is nonzero
+        state = model.run(state, 3)
+        s2, dia_uv = model.step_diag_uv(state)
+        rate = np.asarray(dia_uv["u_rate"], np.float64)
+        tot = sum(np.asarray(dia_uv[f"u_{t}"], np.float64)
+                  for t in ("pre", "prsgrd", "cor", "hadv", "vadv",
+                            "hvisc", "vvisc", "cpl"))
+        err = np.abs(rate - tot)[:, 2:-2, 2:-2].max()
+        scale = max(np.abs(rate).max(), 1e-30)
+        assert err < 1e-10 * scale + 1e-18, (err, scale)
+        ratev = np.asarray(dia_uv["v_rate"], np.float64)
+        totv = sum(np.asarray(dia_uv[f"v_{t}"], np.float64)
+                   for t in ("pre", "prsgrd", "cor", "hadv", "vadv",
+                             "hvisc", "vvisc", "cpl"))
+        errv = np.abs(ratev - totv)[:, 2:-2, 2:-2].max()
+        assert errv < 1e-10 * max(np.abs(ratev).max(), 1e-30) + 1e-18
+        # pressure gradient must be active after spin-up (UPWELLING is
+        # x-uniform, so the signal is in the v budget)
+        assert np.abs(np.asarray(dia_uv["v_prsgrd"])).max() > 0.0
+
+        params = {
+            "NDIA": 1, "DIANAME": "dia.nc",
+            "Dout(M3rate)": True, "Dout(M3pgrd)": True,
+            "Dout(M3fcor)": True, "Dout(M3hadv)": True,
+            "Dout(M3vadv)": True, "Dout(M3hvis)": True,
+            "Dout(M3vvis)": True,
+        }
+        with tempfile.TemporaryDirectory() as d:
+            om = OutputManager(cfg, grid, params, outdir=d,
+                               initial_state=state, model=model)
+            assert om.wants_diag_uv
+            assert not any(u.startswith("M3")
+                           for u in om.unsupported), om.unsupported
+            om.step(s2, diag_uv=dia_uv)
+            om.close()
+            f = netcdf_file(os.path.join(d, "roms_dia_uv.nc"), "r",
+                            mmap=False)
+            for var in ("u_rate", "u_prsgrd", "v_cor", "u_vvisc",
+                        "v_cpl"):
+                assert var in f.variables, var
+                assert np.isfinite(np.asarray(
+                    f.variables[var][0])).all(), var
+            f.close()
