@@ -107,6 +107,33 @@ def _app_module(name: str):
                       idealized.shoreface_initial,
                       lambda cfg, grid: idealized.zero_forcing(cfg),
                       None, idealized.shoreface_extras),
+        "CHANNEL_NECK": None,   # file-based (grid NetCDF), generic path
+        "TEST_CHAN": (idealized.test_chan_config,
+                      idealized.test_chan_grid,
+                      idealized.test_chan_initial,
+                      lambda cfg, grid: idealized.zero_forcing(cfg),
+                      None,
+                      lambda cfg, grid: {
+                          "obc_fn": idealized.test_chan_obc_fn(cfg,
+                                                               grid)}),
+        "SED_TEST1": (idealized.sed_test1_config,
+                      idealized.sed_test1_grid,
+                      idealized.sed_test1_initial,
+                      lambda cfg, grid: idealized.zero_forcing(cfg),
+                      None, idealized.sed_test1_extras),
+        "RIVERPLUME2": (idealized.riverplume2_config,
+                        idealized.riverplume2_grid,
+                        idealized.riverplume2_initial,
+                        lambda cfg, grid: idealized.zero_forcing(cfg),
+                        None, idealized.riverplume2_extras),
+        "LAB_CANYON": (idealized.lab_canyon_config,
+                       idealized.lab_canyon_grid,
+                       idealized.lab_canyon_initial,
+                       lambda cfg, grid: idealized.zero_forcing(cfg),
+                       None),
+        "CHANNEL": (idealized.channel_config, idealized.channel_grid,
+                    idealized.channel_initial,
+                    idealized.channel_forcing_fn, None),
     }
     for key in table:
         if key in name:                    # e.g. "BENCHMARK3"
@@ -167,10 +194,10 @@ def main(argv=None):
         hdr = _bm.make_config(full_physics=True)
         cfg = cfg.replace(mixing=hdr.mixing, drag=hdr.drag,
                           eos=hdr.eos)
-    elif any(k in app.upper() for k in
+    elif mk_cfg is not None and any(k in app.upper() for k in
              ("CANYON", "OVERFLOW", "LAKE_SIGNELL", "ESTUARY_TEST",
               "RIVERPLUME", "WINDBASIN", "LMD_TEST", "MIXED_LAYER",
-              "SED_TOY")):
+              "SED_TOY", "TEST_CHAN", "SED_TEST1", "CHANNEL")):
         # same header-physics merge for the newer analytical apps:
         # the factory carries the .h file's compile-time selections
         # (mixing closure, rotated diffusion, drag law, EOS, LBC set)

@@ -41,7 +41,11 @@ def stokes_drift(cfg: ModelConfig, grid: Grid, Hwave, Dwave, Lwave,
     """
     g = cfg.g
     k = 2.0 * jnp.pi / jnp.maximum(Lwave, 1.0)
-    D = z_w[-1] - z_w[0]
+    # wet/dry: the water column can thin to (or momentarily below)
+    # zero on the swash face; clamp the dispersion depth so sigma and
+    # the sinh^2 amplitude stay finite (NaN here would poison the
+    # whole field through the masked transports: NaN*0 = NaN)
+    D = jnp.maximum(z_w[-1] - z_w[0], cfg.Dcrit)
     sigma = jnp.sqrt(g * k * jnp.tanh(k * D))
     a = Hwave / (2.0 * jnp.sqrt(2.0))             # rms amplitude
     # cap the e-folding argument to keep cosh/sinh finite in deep water
@@ -89,9 +93,21 @@ def stokes_transport(cfg: ModelConfig, grid: Grid, u_st, v_st, Hz):
     """Vertically integrated Stokes mass transports and their
     per-layer fluxes (the DU_stokes/Huon_stokes arrays of the
     reference's WEC coupling, mod_ocean.F:103-127): the barotropic
-    continuity advances zeta with the LAGRANGIAN transport."""
+    continuity advances zeta with the LAGRANGIAN transport.
+
+    Faces touching (near-)dry cells carry no Stokes transport — the
+    reference gates these through its wet/dry face masks
+    (step2d WET_DRY umask_wet on DUSon); without the gate the swash
+    zone is pumped dry-cell-full in a handful of steps."""
     Hz_u = 0.5 * (Hz + st.im1(Hz))
     Hz_v = 0.5 * (Hz + st.jm1(Hz))
+    if cfg.wetdry:
+        D = jnp.sum(Hz, axis=0)
+        wet = (D > 1.1 * cfg.Dcrit).astype(Hz.dtype)
+        wet_u = wet * st.im1(wet)
+        wet_v = wet * st.jm1(wet)
+        Hz_u = Hz_u * wet_u[None]
+        Hz_v = Hz_v * wet_v[None]
     Huon_st = Hz_u * u_st * grid.on_u[None]
     Hvom_st = Hz_v * v_st * grid.om_v[None]
     return (jnp.sum(Huon_st, axis=0), jnp.sum(Hvom_st, axis=0),

@@ -1104,3 +1104,328 @@ def shoreface_extras(cfg: ModelConfig, grid: Grid):
     return {"wec_fn": make_wec_fn(cfg, grid, shoreface_waves(cfg, grid),
                                   stokes_coupling=True),
             "sed_fn": make_sed_hook(cfg, shoreface_sedconfig(), grid)}
+
+
+# ---------------------------------------------------------------------------
+# CHANNEL (ROMS/Include/channel.h): geostrophically balanced Gaussian
+# jet in a periodic f-plane channel (ana_grid.h:255-260,
+# ana_initial.h:218-230,349-367; guscale=40 km, u0=1.6 m/s).
+# ---------------------------------------------------------------------------
+
+def channel_config(Lm: int = 128, Mm: int = 72, N: int = 10,
+                   dt: float = 400.0, ndtfast: int = 20,
+                   dtype: str = "float64") -> ModelConfig:
+    lbc = LBC.ew_periodic()
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=0.0, theta_b=0.0,
+                                 Tcline=1e16),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=14.0, S0=35.0,
+                      Tcoef=1.7e-4, Scoef=0.0),
+        mixing=MixingConfig(visc2=100.0, tnu2=(5.0, 5.0)),
+        drag=BottomDragConfig(kind="linear", rdrg=3.0e-4),
+        bc=BoundaryConfig.uniform(lbc),
+        rho0=1025.0, gamma2=1.0, dtype=dtype,
+    )
+
+
+def channel_grid(cfg: ModelConfig) -> Grid:
+    return _plane_grid(cfg, 600.0e3, 360.0e3, 500.0, f0=1.0e-4)
+
+
+def channel_initial(cfg: ModelConfig, grid: Grid) -> State:
+    from scipy.special import erf
+    Mj, Li = cfg.shape2d
+    guscale, u0 = 40.0e3, 1.6
+    g = cfg.g
+    y0 = 0.5 * 360.0e3
+    yr = np.asarray(grid.yr)
+    f = np.asarray(grid.f)
+    # u on U rows = rho rows here (uniform metrics)
+    val = (yr - y0) / guscale
+    u2d = u0 * np.exp(-val * val) / 6.0
+    zeta = (-u0 * guscale * f * np.sqrt(np.pi) / (12.0 * g)
+            * erf(val))
+    u3 = jnp.asarray(np.broadcast_to(u2d, (cfg.N, Mj, Li)),
+                     cfg.dtype)
+    T = jnp.full((cfg.N, Mj, Li), 14.0, cfg.dtype)
+    S = jnp.full_like(T, 35.0)
+    return initial_state(cfg, grid, zeta=jnp.asarray(zeta, cfg.dtype),
+                         u=u3, t=jnp.stack([T, S]))
+
+
+def channel_forcing_fn(cfg: ModelConfig, grid: Grid):
+    return zero_forcing(cfg)
+
+
+# ---------------------------------------------------------------------------
+# TEST_CHAN (ROMS/Include/test_chan.h): head-driven flat flume —
+# 10 km x 1 km x 10 m, sloped bathymetry h = 10 + 0.404*i/(Lm+1),
+# western zeta clamped to 0, eastern ramped to -0.404 m over 150000 s
+# (ana_grid.h:1052-1057, ana_fsobc.h:139-154).
+# ---------------------------------------------------------------------------
+
+def test_chan_config(Lm: int = 100, Mm: int = 5, N: int = 10,
+                     dt: float = 60.0, ndtfast: int = 30,
+                     dtype: str = "float64") -> ModelConfig:
+    from ..config import CLAMPED, FLATHER, GRADIENT
+    # roms_test_chan.in:184-187: Chapman zeta, Flather-west /
+    # clamped-east ubar driven by the ana_m2obc.h:229-260 ramped
+    # barotropic inflow
+    zeta = LBC(west=CLAMPED, east=CLAMPED)
+    uv2 = LBC(west=FLATHER, east=CLAMPED)
+    uv3 = LBC(west=GRADIENT, east=GRADIENT)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=0.0, theta_b=0.0,
+                                 Tcline=1e16),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=14.0, S0=35.0,
+                      Tcoef=0.0, Scoef=0.0),
+        mixing=MixingConfig(akv_bak=1.0e-4),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig(zeta=zeta, ubar=uv2, vbar=uv2, u=uv3,
+                          v=uv3, t=uv3),
+        rho0=1025.0, gamma2=1.0, uv_cor=False, dtype=dtype,
+    )
+
+
+def test_chan_grid(cfg: ModelConfig) -> Grid:
+    def h2d(xr, yr):
+        dx = 10000.0 / cfg.Lm
+        i = xr / dx + 0.5
+        return 10.0 + 0.4040 * i / (cfg.Lm + 1)
+    return _plane_grid(cfg, 10000.0, 1000.0, 10.0, f0=0.0, h2d=h2d)
+
+
+def test_chan_initial(cfg: ModelConfig, grid: Grid) -> State:
+    return initial_state(cfg, grid)
+
+
+def test_chan_obc_fn(cfg: ModelConfig, grid: Grid):
+    """ana_fsobc.h TEST_CHAN (west head 0, east ramps to -0.404 m) +
+    ana_m2obc.h:229-260: ramped ~1 m/s barotropic through-flow
+    (ubar = ramp * 10 m2/s transport / local depth)."""
+    Mj, _ = cfg.shape2d
+    h_w = jnp.asarray(np.asarray(grid.h)[:, 1], cfg.dtype)
+    h_e = jnp.asarray(np.asarray(grid.h)[:, -2], cfg.dtype)
+
+    def obc(time):
+        ramp = jnp.minimum(time / 150000.0, 1.0)
+        east = -0.4040 * ramp
+        return {"zeta": {"west": jnp.zeros((Mj,), cfg.dtype),
+                         "east": jnp.full((Mj,), east, cfg.dtype)},
+                "ubar": {"west": ramp * 10.0 / h_w,
+                         "east": ramp * 10.0 / h_e}}
+    return obc
+
+
+# ---------------------------------------------------------------------------
+# SED_TEST1 (ROMS/Include/sed_test1.h): suspended-sediment flume —
+# 300 m x 36 m x 10 m, head-driven steady flow (ana_fsobc.h:114-129),
+# MY2.5 closure, log drag, one sand class.
+# ---------------------------------------------------------------------------
+
+def sed_test1_config(Lm: int = 100, Mm: int = 4, N: int = 16,
+                     dt: float = 2.0, ndtfast: int = 10,
+                     dtype: str = "float64") -> ModelConfig:
+    from ..config import CLAMPED, GRADIENT, RADIATION
+    # roms_sed_test1.in:184-185 with the ana_m2obc through-flow
+    # expressed as clamped ubar data
+    zeta = LBC(west=RADIATION, east=CLAMPED)
+    uv2 = LBC(west=CLAMPED, east=CLAMPED)
+    uv3 = LBC(west=GRADIENT, east=GRADIENT)
+    trc = LBC(west=CLAMPED, east=GRADIENT)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=3, NAT=2, dt=dt, ndtfast=ndtfast,
+        tracer_names=("sand_01",),
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=0.0, theta_b=0.0,
+                                 Tcline=1e16),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=14.0, S0=35.0,
+                      Tcoef=0.0, Scoef=0.0),
+        mixing=MixingConfig(vmix="my25"),
+        drag=BottomDragConfig(kind="log", Zob=0.0015),
+        bc=BoundaryConfig(zeta=zeta, ubar=uv2, vbar=uv2, u=uv3,
+                          v=uv3, t=trc, tke=uv3),
+        rho0=1025.0, gamma2=1.0, uv_cor=False, dtype=dtype,
+    )
+
+
+def sed_test1_grid(cfg: ModelConfig) -> Grid:
+    return _plane_grid(cfg, 300.0, 36.0, 10.0, f0=0.0)
+
+
+def sed_test1_initial(cfg: ModelConfig, grid: Grid) -> State:
+    from ..core.sediment import SedConfig, initial_sed
+    Mj, Li = cfg.shape2d
+    T = jnp.full((cfg.N, Mj, Li), 14.0, cfg.dtype)
+    S = jnp.full_like(T, 35.0)
+    sand = jnp.zeros_like(T)
+    return initial_state(cfg, grid, t=jnp.stack([T, S, sand]),
+                         sed=initial_sed(cfg, SedConfig(nsed=1)))
+
+
+def sed_test1_obc_fn(cfg: ModelConfig, grid: Grid):
+    """ana_fsobc.h SED_TEST1 head + ana_m2obc.h:202-227 prescribed
+    westward through-flow ubar = -10 m2/s / D on both ends."""
+    Mj, _ = cfg.shape2d
+    h_w = jnp.asarray(np.asarray(grid.h)[:, 1], cfg.dtype)
+    h_e = jnp.asarray(np.asarray(grid.h)[:, -2], cfg.dtype)
+
+    def obc(time):
+        west = 9.0e-6 * 100.0
+        east = 9.0e-6 * (cfg.Lm + 1) * 100.0
+        return {"zeta": {"west": jnp.full((Mj,), west, cfg.dtype),
+                         "east": jnp.full((Mj,), east, cfg.dtype)},
+                "ubar": {"west": -10.0 / h_w,
+                         "east": -10.0 / h_e}}
+    return obc
+
+
+def sed_test1_extras(cfg: ModelConfig, grid: Grid):
+    from ..core.sediment import SedConfig, make_sed_hook
+    sed = SedConfig(nsed=1, Srho=(2650.0,), Wsed=(1.0,),
+                    Erate=(5.0e-4,), tau_ce=(0.05,))
+    return {"obc_fn": sed_test1_obc_fn(cfg, grid),
+            "sed_fn": make_sed_hook(cfg, sed, grid)}
+
+
+# ---------------------------------------------------------------------------
+# RIVERPLUME2 (ROMS/Include/riverplume2.h): plume with LMD-KPP +
+# rotated diffusion on the RIVERPLUME1 coastline geometry but a
+# 100 km x 210 km x 190 m shelf (ana_grid.h:340-345,1022-1031).
+# ---------------------------------------------------------------------------
+
+def riverplume2_config(Lm: int = 39, Mm: int = 67, N: int = 13,
+                       dt: float = 120.0, ndtfast: int = 20,
+                       dtype: str = "float64") -> ModelConfig:
+    base = riverplume_config(Lm=Lm, Mm=Mm, N=N, dt=dt,
+                             ndtfast=ndtfast, dtype=dtype)
+    return base.replace(
+        eos=EOSConfig(linear=False),
+        mixing=MixingConfig(vmix="lmd", bkpp=True, tnu2=(5.0, 5.0),
+                            mix_geo_ts=True, solar_source=False),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3))
+
+
+def riverplume2_grid(cfg: ModelConfig) -> Grid:
+    Lm, Mm = cfg.Lm, cfg.Mm
+    Mj, Li = cfg.shape2d
+
+    def h2d(xr, yr):
+        dx = 100.0e3 / Lm
+        i = xr / dx + 0.5
+        return np.where(i <= 5.0, 15.0,
+                        190.0 + (Lm - i) * (15.0 - 190.0) / (Lm - 6.0))
+
+    rmask = np.ones((Mj, Li))
+    for i in range(0, min(5, Li - 1) + 1):
+        rmask[:Mm - 18 + 1, i] = 0.0
+        rmask[Mm - 16:, i] = 0.0
+    grid = _plane_grid(cfg, 100.0e3, 210.0e3, 190.0, f0=1.0e-4,
+                       h2d=h2d)
+    return build_grid(cfg, h=np.asarray(grid.h),
+                      pm=np.asarray(grid.pm), pn=np.asarray(grid.pn),
+                      f=np.asarray(grid.f), xr=np.asarray(grid.xr),
+                      yr=np.asarray(grid.yr), rmask=rmask)
+
+
+def riverplume2_initial(cfg: ModelConfig, grid: Grid) -> State:
+    return riverplume_initial(cfg, grid)
+
+
+def riverplume2_extras(cfg: ModelConfig, grid: Grid):
+    return {"sources": riverplume_sources(cfg, grid)}
+
+
+# ---------------------------------------------------------------------------
+# LAB_CANYON (ROMS/Include/lab_canyon.h): rotating-table polar annulus
+# with a shelf-break canyon (ana_grid.h:305-309,483-514,960-991).
+# Curvilinear metrics (CURVGRID) with variable azimuthal spacing.
+# ---------------------------------------------------------------------------
+
+def lab_canyon_config(Lm: int = 48, Mm: int = 72, N: int = 10,
+                      dt: float = 0.05, ndtfast: int = 10,
+                      dtype: str = "float64") -> ModelConfig:
+    from ..config import CLOSED, PERIODIC
+    lbc = LBC(west=CLOSED, east=CLOSED, south=PERIODIC,
+              north=PERIODIC)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=0.0, theta_b=0.0,
+                                 Tcline=1e16),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=14.0, S0=35.0,
+                      Tcoef=1.7e-4, Scoef=0.0),
+        mixing=MixingConfig(visc2=1.0e-5, tnu2=(1.0e-6, 1.0e-6),
+                            mix_geo_ts=True),
+        drag=BottomDragConfig(kind="linear", rdrg=3.0e-4),
+        bc=BoundaryConfig.uniform(lbc),
+        rho0=1025.0, gamma2=1.0, curvgrid=True, dtype=dtype,
+    )
+
+
+def lab_canyon_grid(cfg: ModelConfig) -> Grid:
+    """Polar annulus r in [0.35, 0.90] m with variable azimuthal
+    spacing and the canyon notch in the shelf break."""
+    Lm, Mm = cfg.Lm, cfg.Mm
+    Mj, Li = cfg.shape2d
+    Xsize = 0.55
+    dx = Xsize / Lm
+    dth = 0.01
+    twopi = 2.0 * np.pi
+    cffF = (4.0 * np.pi / (dth * Mm)) - 1.0
+
+    jj = np.arange(Mj, dtype=np.float64)[:, None]
+    ii = np.arange(Li, dtype=np.float64)[None, :]
+    # rho points (i-1+0.5, j-1+0.5) in the reference's 1-based layout
+    r = 0.35 + dx * (ii - 0.5)
+    theta = -np.pi + 0.5 * dth * (
+        (cffF + 1.0) * (jj - 0.5)
+        + (cffF - 1.0) * (Mm / twopi) * np.sin(twopi * (jj - 0.5)
+                                               / Mm))
+    xr = r * np.cos(theta) + 0.0 * jj
+    yr = r * np.sin(theta) + 0.0 * ii
+    # metrics: pm = 1/dr; pn = 1/(r dtheta_j)
+    dth_j = 0.5 * dth * ((cffF + 1.0)
+                         + (cffF - 1.0) * np.cos(twopi * (jj - 0.5)
+                                                 / Mm))
+    pm = np.broadcast_to(1.0 / dx, (Mj, Li)).copy()
+    pn = 1.0 / (r * dth_j) + 0.0 * jj
+    angler = np.broadcast_to(theta, (Mj, Li)).copy()
+
+    # bathymetry (ana_grid.h:960-991): shelf 0.025 m, deep 0.125 m,
+    # canyon notch where |theta| < 2/11
+    val1 = 0.55 - 0.15 * np.cos(np.pi * theta * 0.55 / 0.2) ** 2
+    val2 = 0.15 + 0.15 * np.cos(np.pi * theta * 0.55 / 0.2) ** 2
+    r2 = np.broadcast_to(r, (Mj, Li))
+    th2 = np.broadcast_to(theta, (Mj, Li))
+    v1 = np.broadcast_to(val1, (Mj, Li))
+    v2 = np.broadcast_to(val2, (Mj, Li))
+    h_out = np.where(r2 <= 0.55, 0.025,
+                     np.where(r2 >= 0.7, 0.125,
+                              0.125 - 0.1 * np.cos(
+                                  0.5 * np.pi * (r2 - 0.55) / 0.15)
+                              ** 2))
+    h_in = np.where(r2 <= v1, 0.025,
+                    np.where(r2 >= 0.7, 0.125,
+                             0.125 - 0.1 * np.cos(
+                                 0.5 * np.pi * (r2 - v1)
+                                 / np.maximum(v2, 1e-9)) ** 2))
+    h = np.where(np.abs(th2) >= 0.181818181818, h_out, h_in)
+
+    f0 = 4.0 * np.pi / 25.0
+    return build_grid(cfg, h=h, pm=pm,
+                      pn=np.broadcast_to(pn, (Mj, Li)).copy(),
+                      f=np.full((Mj, Li), f0), xr=xr, yr=yr,
+                      angler=angler,
+                      dndx=None, dmde=None)
+
+
+def lab_canyon_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    T = jnp.full((cfg.N, Mj, Li), 14.0, cfg.dtype)
+    S = jnp.full_like(T, 35.0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
