@@ -349,4 +349,24 @@ def make_bulk_forcing(cfg: ModelConfig, atm_fn, cool_skin=False,
         return Forcing(sustr=sustr, svstr=svstr, stflx=stflx,
                        btflx=btflx, srflx=atm.srflx)
 
+    def components(time, sst, sss, rho_surf):
+        """Write-time flux components (wrt_his.F idLrad/idLhea/
+        idShea/idEmPf/idrain/idPair/idTair/idUair/idVair surface):
+        always the jnp reference path — diagnostics, not the hot
+        loop."""
+        atm = atm_fn(time)
+        (_, _, _, _, lrflx, lhflx, shflx, evap) = bulk_flux(
+            cfg, atm, sst, sss, rho_surf, cool_skin=cool_skin,
+            coare35=coare35)
+        Hscale = cfg.rho0 * constants.Cp
+        return {"lwrad": lrflx * Hscale,
+                "latent": lhflx * Hscale,
+                "sensible": shflx * Hscale,
+                "evaporation": evap,
+                "rain": atm.rain,
+                "EminusP": evap / RHOW - atm.rain / RHOW,
+                "Pair": atm.Pair, "Tair": atm.Tair,
+                "Uwind": atm.Uwind, "Vwind": atm.Vwind}
+
+    forcing.components = components
     return forcing

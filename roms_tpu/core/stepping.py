@@ -615,6 +615,13 @@ class Model:
                        "swrad": forcing.srflx}
                 if cfg.NT > 1:
                     out["ssflux"] = forcing.stflx[1]
+                if hasattr(self.forcing_fn, "components"):
+                    # bulk-flux write-time components (wrt_his.F
+                    # idLrad/idLhea/idShea/idEmPf/idrain + atmosphere)
+                    out.update(self.forcing_fn.components(
+                        state.time, state.t[0][-1],
+                        state.t[1][-1] if cfg.NT > 1 else sss,
+                        rho[-1]))
                 if self.bbl_fn is not None:
                     bblout = self.bbl_fn(state.time, state.bbl, state.u,
                                          state.v, rho[0], z_r, z_w)

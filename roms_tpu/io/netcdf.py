@@ -25,7 +25,9 @@ _ICE_ATTRS = {"ice_a": "ai", "ice_h": "hi", "ice_u": "ui",
 _BED_ATTRS = {"bed_thickness": "thick", "bed_age": "age",
               "bed_porosity": "poro"}
 _DIAGNOSED = ("sustr", "svstr", "shflux", "ssflux", "swrad", "bustr",
-              "bvstr", "hsbl", "hbbl")
+              "bvstr", "hsbl", "hbbl", "lwrad", "latent", "sensible",
+              "evaporation", "rain", "EminusP", "Pair", "Tair",
+              "Uwind", "Vwind")
 
 
 def supported_keys(cfg: ModelConfig, model=None) -> set:
@@ -46,6 +48,10 @@ def supported_keys(cfg: ModelConfig, model=None) -> set:
         keys |= {"sustr", "svstr", "shflux", "swrad", "bustr", "bvstr"}
         if cfg.NT > 1:
             keys.add("ssflux")
+        if hasattr(getattr(model, "forcing_fn", None), "components"):
+            keys |= {"lwrad", "latent", "sensible", "evaporation",
+                     "rain", "EminusP", "Pair", "Tair", "Uwind",
+                     "Vwind"}
         if cfg.mixing.vmix == "lmd":
             keys |= {"AKv", "AKt", "hsbl"}
             if cfg.NT > 1:

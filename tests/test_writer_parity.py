@@ -263,3 +263,33 @@ class TestDiagUV:
                 assert np.isfinite(np.asarray(
                     f.variables[var][0])).all(), var
             f.close()
+
+
+def test_bulk_component_fields_written(kpp_model):
+    """Bulk-flux component diagnostics (idLrad/idLhea/idShea/idrain/
+    idEmPf + atmosphere state) extract through Model.diagnose for a
+    BENCHMARK bulk-forced run."""
+    cfg, grid, state, model = kpp_model
+    params = {
+        "NHIS": 1, "HISNAME": "his.nc",
+        "Hout(idLrad)": True, "Hout(idLhea)": True,
+        "Hout(idShea)": True, "Hout(idrain)": True,
+        "Hout(idEmPf)": True, "Hout(idPair)": True,
+        "Hout(idTair)": True, "Hout(idUair)": True,
+        "Hout(idVair)": True,
+    }
+    with tempfile.TemporaryDirectory() as d:
+        om = OutputManager(cfg, grid, params, outdir=d,
+                           initial_state=state, model=model)
+        assert om.unsupported == [], om.unsupported
+        s = model.step(state)
+        om.step(s)
+        om.close()
+        f = netcdf_file(os.path.join(d, "his.nc"), "r", mmap=False)
+        for var in ("lwrad", "latent", "sensible", "rain", "EminusP",
+                    "Pair", "Tair", "Uwind", "Vwind"):
+            assert var in f.variables, var
+            assert np.isfinite(np.asarray(f.variables[var][0])).all()
+        # longwave cools (negative) over the warm benchmark ocean
+        assert np.asarray(f.variables["lwrad"][0]).mean() < 0.0
+        f.close()
