@@ -341,7 +341,30 @@ def main(argv=None):
     print(f"stepping {ntimes} x dt={cfg.dt}s "
           f"(ndtfast={cfg.ndtfast}) on {cfg.Lm}x{cfg.Mm}x{cfg.N}")
     t0 = time.perf_counter()
-    for _ in range(ntimes):
+    # Chunked advance: when no stream needs every step (AVG/DIA
+    # accumulate per step), run whole between-output windows inside one
+    # jitted lax.scan — no per-step host dispatch (the reference's step
+    # loop equally runs host-silent between output events).
+    import math
+    if om.avg is None and not om.wants_diag and not om.wants_diag_uv:
+        cadences = [c for c in (om.nhis, om.nqck, om.nrst, om.nsta,
+                                om.ninfo) if c]
+        chunk = math.gcd(*cadences) if cadences else ntimes
+    else:
+        chunk = 1
+    if chunk > 1 and ntimes >= chunk:
+        print(f"advancing in jitted chunks of {chunk} steps")
+        done = 0
+        while done < ntimes:
+            n = min(chunk, ntimes - done)
+            state = model.run(state, n)
+            done += n
+            om.step(state)
+        ntimes_left = 0
+    else:
+        ntimes_left = ntimes
+
+    for _ in range(ntimes_left):
         if om.wants_diag and om.wants_diag_uv:
             if not hasattr(model, "_step_diag_both_jit"):
                 import jax as _jax

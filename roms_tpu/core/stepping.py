@@ -723,9 +723,15 @@ class Model:
                            refresh_every=refresh_every)
 
     def run(self, state: State, nsteps: int) -> State:
-        """Advance nsteps inside a single jitted scan."""
-        def scan_run(s, g):
-            def body(c, _):
-                return self.step_impl(c, g), None
-            return jax.lax.scan(body, s, None, length=nsteps)[0]
-        return jax.jit(scan_run)(state, self.grid)
+        """Advance nsteps inside a single jitted scan (compiled once
+        per distinct nsteps)."""
+        cache = getattr(self, "_run_jit_cache", None)
+        if cache is None:
+            cache = self._run_jit_cache = {}
+        if nsteps not in cache:
+            def scan_run(s, g):
+                def body(c, _):
+                    return self.step_impl(c, g), None
+                return jax.lax.scan(body, s, None, length=nsteps)[0]
+            cache[nsteps] = jax.jit(scan_run)
+        return cache[nsteps](state, self.grid)
