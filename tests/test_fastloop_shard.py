@@ -157,3 +157,45 @@ def test_fastloop2d_widened_halo_refresh2():
                                   nghost=14, refresh_every=2)
     out = sl(grid, *args, 2)
     _assert_close_2d(ref, out)
+
+
+@pytest.mark.quick
+def test_substep_contamination_reach_bound():
+    """Pins the widened-halo sizing claim: one LF-AM3 substep's
+    influence radius (cells changed by a point perturbation) must not
+    exceed the per-substep reach budgeted by the sharded engines
+    (nghost=7 per refresh for refresh_every=1, 14 for 2).  A stencil
+    change that widens the reach fails HERE instead of silently
+    corrupting shard interiors."""
+    from roms_tpu.core.step2d import make_substep_kernels
+    cfg, grid, args, nfast, w1, w2 = make_setup(Lm=64)
+    import jax.numpy as jnp
+    w1j = jnp.asarray(w1, jnp.float64)
+    w2j = jnp.asarray(w2, jnp.float64)
+    predictor, corrector, aux_pass, init_carry = make_substep_kernels(
+        cfg, nfast, w1j, w2j, True)
+    (zeta0, ubar0, vbar0, rufrc, rvfrc, rhoS, rhoA,
+     ru0p, rv0p, ru0p2, rv0p2) = args
+
+    def one_substep(z0):
+        c = init_carry(z0, ubar0, vbar0, rufrc, rvfrc, ru0p, rv0p)
+        out = predictor(grid, 2, c, rhoS, rhoA, 2, ru0p2, rv0p2, None)
+        c = c._replace(avg=out[8])
+        c2 = corrector(grid, 2, c, *out[:8], rhoS, rhoA, None)
+        return c2.zeta, c2.ubar, c2.vbar
+
+    base = one_substep(zeta0)
+    jc, ic = 9, 33
+    pert = zeta0.at[jc, ic].add(1e-3)
+    out = one_substep(pert)
+    reach = 0
+    for a, b in zip(base, out):
+        d = np.abs(np.asarray(a - b)) > 1e-14
+        jj, ii = np.nonzero(d[..., 1:-1])
+        if len(ii):
+            # xi distance on the periodic interior
+            dx = np.abs((ii + 1) - ic)
+            dx = np.minimum(dx, 64 - dx)
+            reach = max(reach, int(dx.max()),
+                        int(np.abs(jj - jc).max()))
+    assert 0 < reach <= 7, reach
