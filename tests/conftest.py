@@ -14,11 +14,11 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_use_thunk_runtime" not in flags:
-    # the XLA:CPU thunk runtime segfaults sporadically mid-suite on
-    # some sandbox host types (observed in backend_compile_and_load);
-    # fall back to the legacy runtime for tests
-    flags = flags + " --xla_cpu_use_thunk_runtime=false"
+# NOTE: the legacy-runtime fallback (--xla_cpu_use_thunk_runtime=false)
+# that worked around sporadic XLA:CPU segfaults was removed from XLA in
+# this environment's jaxlib; whole-suite runs can still die mid-flight
+# on affected hosts.  Use tools/run_suite.py, which runs one pytest
+# process per test file and retries segfaulted files.
 os.environ["XLA_FLAGS"] = flags
 
 import jax
