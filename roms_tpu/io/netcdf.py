@@ -410,3 +410,67 @@ class ExtractWriter(HistoryWriter):
     def _extract(self, state, key):
         full = super()._extract(state, key)
         return np.asarray(full)[..., self._sl[0], self._sl[1]]
+
+
+class InterpExtractWriter(HistoryWriter):
+    """Interpolated grid-extraction stream (GRID_EXTRACT with
+    ExtractFlag < 0 in the reference: output on a SEPARATE
+    coarser/finer target grid via interpolation, mod_extract.F +
+    extract_field.F — the round-3 writer only supported the decimated
+    ExtractFlag > 0 form).
+
+    target_x/target_y: 1-D physical coordinates of the target grid's
+    rho points in the source grid's xr/yr system (rectilinear source
+    grids; the analytic application family).  Fields are sampled with
+    bilinear weights in fractional index space — the same contact
+    machinery as nesting (core/nesting.bilinear).
+    """
+
+    def __init__(self, path: str, cfg: ModelConfig, grid, target_x,
+                 target_y, fields=("zeta", "u", "v", "temp")):
+        import numpy as _np
+        xr = _np.asarray(grid.xr)
+        yr = _np.asarray(grid.yr)
+        xv = xr[xr.shape[0] // 2, :]
+        yv = yr[:, yr.shape[1] // 2]
+        if not (_np.all(_np.diff(xv) > 0) and
+                _np.all(_np.diff(yv) > 0)):
+            raise ValueError("InterpExtractWriter needs a rectilinear "
+                             "source grid (monotonic xr/yr)")
+        tx = _np.asarray(target_x, _np.float64)
+        ty = _np.asarray(target_y, _np.float64)
+        # fractional source indices of the target points
+        self._fi = _np.interp(tx, xv, _np.arange(len(xv)))
+        self._fj = _np.interp(ty, yv, _np.arange(len(yv)))
+
+        Me, Le = len(ty), len(tx)
+
+        class _CfgView:
+            shape2d = (Me, Le)
+            N = cfg.N
+            vert = cfg.vert
+
+        class _GridView:
+            pass
+
+        gv = _GridView()
+        from ..core.nesting import bilinear as _bilin
+        import jax.numpy as _jnp
+        fj = _jnp.asarray(self._fj)
+        fi = _jnp.asarray(self._fi)
+        for key in ("h", "f", "pm", "pn"):
+            setattr(gv, key,
+                    _np.asarray(_bilin(_jnp.asarray(
+                        getattr(grid, key)), fj, fi)))
+        for key in ("sc_r", "Cs_r", "sc_w", "Cs_w"):
+            setattr(gv, key, getattr(grid, key))
+        super().__init__(path, _CfgView(), gv, fields)
+        self.cfg = cfg
+        self.grid = grid
+        self._bilin = _bilin
+        self._fjj = fj
+        self._fii = fi
+
+    def _extract(self, state, key):
+        full = super()._extract(state, key)
+        return self._bilin(full, self._fjj, self._fii)

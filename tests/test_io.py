@@ -88,3 +88,37 @@ def test_extract_writer(tmp_path):
     expect = np.asarray(s.t[0])[:, 6:26:2, 4:20:2]
     np.testing.assert_allclose(T, expect.astype(np.float32), rtol=1e-6)
     f.close()
+
+
+def test_interp_extract_writer():
+    """Interpolated extraction grid (GRID_EXTRACT ExtractFlag<0):
+    records sampled onto an arbitrary rectilinear target grid must
+    reproduce a linear field exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from roms_tpu.functionals import upwelling
+    from roms_tpu.io.netcdf import InterpExtractWriter
+    cfg = upwelling.make_config(Lm=24, Mm=20, N=4, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s = upwelling.make_initial(cfg, grid)
+    xr = np.asarray(grid.xr)
+    yr = np.asarray(grid.yr)
+    # linear zeta in physical coordinates
+    zlin = 1e-4 * xr + 2e-4 * yr
+    s = s._replace(zeta=jnp.asarray(zlin))
+    # coarser off-lattice target inside the domain
+    tx = np.linspace(xr[2, 3], xr[2, -4], 9)
+    ty = np.linspace(yr[3, 2], yr[-4, 2], 7)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "xtr.nc")
+        w = InterpExtractWriter(path, cfg, grid, tx, ty,
+                                fields=("zeta",))
+        w.write(s)
+        w.close()
+        from scipy.io import netcdf_file
+        f = netcdf_file(path, "r", mmap=False)
+        z = np.asarray(f.variables["zeta"][0], np.float64)
+        want = 1e-4 * tx[None, :] + 2e-4 * ty[:, None]
+        np.testing.assert_allclose(z, want, rtol=1e-6)
+        f.close()
