@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from roms_tpu.core.biology import NPZDConfig, make_npzd_hook, npzd_powell
 from roms_tpu.core.state import initial_state
@@ -419,6 +420,7 @@ class TestFennelCarbon:
         bio = FennelConfig(carbon=True, **bio_kw)
         return cfg, grid, st, bio, make_fennel_hook
 
+    @pytest.mark.quick
     def test_pco2_check_value(self):
         """pCO2_water check inputs (fennel.h:1953-1957: T=24, S=36.6,
         TIC=2040, TAlk=2390 -> 350.75 ppmv with the full OCMIP

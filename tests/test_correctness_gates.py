@@ -26,6 +26,7 @@ ALL_KERNELS = ("FLUX", "HMIX", "KPP", "PRSGRD", "RHO", "RHS3D",
                "TADV", "UV", "UVMIX", "VDIFF")
 
 
+@pytest.mark.quick
 class TestCrossEngineFullPhysics:
     """f64 interpret-mode Pallas vs jnp over full baroclinic steps of
     the BENCHMARK physics — every kernel at once (the round-3 gate
@@ -106,6 +107,7 @@ def test_grav_adj_front_speed():
     assert 0.35 < alpha < 0.60, (alpha, speed, c_theory)
 
 
+@pytest.mark.quick
 class TestAdvectionConvergenceOrder:
     """Semi-discrete truncation error of the horizontal tracer flux
     divergence for a smooth periodic profile under uniform transport:

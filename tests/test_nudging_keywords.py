@@ -44,6 +44,7 @@ LBC(isTvar) == Clo Clo RadNud Clo
 """
 
 
+@pytest.mark.quick
 class TestDeckParsing:
     def test_rates_converted_days_to_per_second(self):
         cfg = to_config(parse_roms_in(DECK))

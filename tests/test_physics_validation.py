@@ -7,6 +7,7 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from roms_tpu.core.stepping import Model
 from roms_tpu.functionals import kelvin, upwelling
@@ -111,6 +112,7 @@ def test_geostrophic_balance_maintained():
     assert abs(ke1 - ke0) < 0.10 * ke0, (ke0, ke1)
 
 
+@pytest.mark.quick
 class TestEOSCheckValues:
     """Exact Jackett & McDougall check values (rho_eos.F:21-37):
     T=3 C, S=35.5 PSU, Z=-5000 m.  These pin the discretization's EOS
