@@ -100,26 +100,36 @@ def _run_size(jax, size, steps, warmup, dtype, variant):
 
     # Single-step jit: one compile, steady-state throughput measured
     # over repeated calls.  (No buffer donation: the tunneled TPU
-    # backend rejects aliased buffers.)  Steps advance in ONE jitted
-    # scan per timing block — the production driver's between-outputs
-    # cadence (python -m roms_tpu chunked advance; the reference also
-    # runs its step loop without per-step host round-trips), which
-    # amortizes the per-dispatch latency of the tunneled chip (~2.5 ms
-    # per jit call measured in tools/phase_bench.py).
+    # backend rejects aliased buffers.)  Two driving modes, best wins:
+    # the async per-step dispatch loop (pipelines well at large grids)
+    # and ONE jitted scan over the steps (the production driver's
+    # between-outputs cadence; amortizes the ~2.5 ms per-dispatch
+    # tunnel latency that dominates small grids — tools/phase_bench).
+    step = jax.jit(model._step_grid)
+
     def run_n(s0, g, n):
         def body(c, _):
             return model.step_impl(c, g), None
         return jax.lax.scan(body, s0, None, length=n)[0]
 
     run_jit = jax.jit(run_n, static_argnums=2)
-    s = run_jit(state, grid, max(warmup, 1))
+    s = state
+    for _ in range(warmup):
+        s = step(s, grid)
     jax.block_until_ready(s)
 
-    # Best of 3 timing blocks: the tunneled chip shows up to ~50%
-    # session-to-session timing noise (a 65.4 ms/step BM3 reading with
-    # a bitwise-identical trajectory next to same-day 43.3 ms runs);
-    # the MINIMUM block is the honest steady-state number.
+    # Best of 3 timing blocks per mode: the tunneled chip shows up to
+    # ~50% session-to-session timing noise; the MINIMUM is the honest
+    # steady-state number.
     wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            s = step(s, grid)
+        jax.block_until_ready(s)
+        wall = min(wall, time.perf_counter() - t0)
+    s = run_jit(s, grid, 1)          # compile the scan mode
+    jax.block_until_ready(s)
     for _ in range(3):
         t0 = time.perf_counter()
         s = run_jit(s, grid, steps)
