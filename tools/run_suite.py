@@ -32,6 +32,30 @@ def run_file(path, extra):
     return r.returncode, crashed, summary, dt
 
 
+def collect_tests(path):
+    r = subprocess.run([sys.executable, "-m", "pytest", path,
+                        "--collect-only", "-q", "--no-header"],
+                       cwd=ROOT, capture_output=True, text=True)
+    return [ln.strip() for ln in (r.stdout or "").splitlines()
+            if "::" in ln]
+
+
+def run_per_test(path, extra):
+    """Per-test fallback for files that crash cumulatively (XLA:CPU
+    compiler state): one pytest process per test."""
+    npass = nfail = ncrash = 0
+    t0 = time.time()
+    for nodeid in collect_tests(path):
+        rc, crashed, summary, _ = run_file(nodeid, extra)
+        if crashed:
+            ncrash += 1
+        elif rc in (0, 5):
+            npass += 1
+        else:
+            nfail += 1
+    return npass, nfail, ncrash, time.time() - t0
+
+
 def main():
     extra = sys.argv[1:]
     files = sorted(glob.glob(os.path.join(ROOT, "tests", "test_*.py")))
@@ -44,9 +68,17 @@ def main():
             rc, crashed, summary, dt2 = run_file(path, extra)
             dt += dt2
             if crashed:
-                crashes.append(name)
-                print(f"{name:42s} CRASH (x2)  [{dt:6.1f}s]",
-                      flush=True)
+                npass, nfail, ncrash, dt3 = run_per_test(path, extra)
+                dt += dt3
+                total_pass += npass
+                total_fail += nfail
+                if ncrash:
+                    crashes.append(f"{name} ({ncrash} tests)")
+                if nfail:
+                    failures.append(name)
+                print(f"{name:42s} per-test fallback: {npass} passed,"
+                      f" {nfail} failed, {ncrash} crashed "
+                      f"[{dt:6.1f}s]", flush=True)
                 continue
         import re
         m = re.search(r"(\d+) passed", summary)
