@@ -135,7 +135,9 @@ def _app_module(name: str):
                     idealized.channel_initial,
                     idealized.channel_forcing_fn, None),
     }
-    for key in table:
+    # Longest key first so e.g. "LAB_CANYON" matches its own entry,
+    # not the shorter "CANYON" substring.
+    for key in sorted(table, key=len, reverse=True):
         if key in name:                    # e.g. "BENCHMARK3"
             return table[key]
     return None                            # file-based app (GRDNAME etc.)

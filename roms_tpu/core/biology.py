@@ -393,6 +393,10 @@ def fennel(cfg: ModelConfig, bio: FennelConfig, grid: Grid, t,
         if bio.oxygen:
             # nitrification consumes 2 mol O2/mol N (fennel.h:847)
             Oxy = Oxy - 2.0 * nitri
+        if bio.carbon and bio.talk_nonconserv:
+            # nitrification consumes 2 eq alkalinity/mol N
+            # (fennel.h:850,878)
+            TAlk = TAlk - 2.0 * nitri
 
         # ---- grazing + phytoplankton mortality ----
         cff1g = dtdays * bio.ZooGR * Zoo * Phy / \

@@ -603,9 +603,9 @@ class Model:
                 z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
                 rho, pden, _, _, bvf = rho_eos(cfg, state.t, z_r, Hz,
                                                z_w)
+                sss = state.t[1][-1] if cfg.NT > 1 else \
+                    jnp.zeros_like(rho[-1])
                 if self._forcing_takes_state:
-                    sss = state.t[1][-1] if cfg.NT > 1 else \
-                        jnp.zeros_like(rho[-1])
                     forcing = self.forcing_fn(state.time, state.t[0][-1],
                                               sss, rho[-1])
                 else:

@@ -31,6 +31,25 @@ from .netcdf import AverageAccumulator, HistoryWriter, supported_keys
 from .rst_netcdf import RestartWriter
 from .varinfo import REGISTRY
 
+
+def _acc_tree(acc, d):
+    """Sum a (possibly nested) dict-of-arrays budget into `acc`
+    on host (set_diags.F DiaTwrk accumulation)."""
+    if isinstance(d, dict):
+        if acc is None:
+            acc = {}
+        for k, v in d.items():
+            acc[k] = _acc_tree(acc.get(k), v)
+        return acc
+    v = np.asarray(d, dtype=np.float64)
+    return v if acc is None else acc + v
+
+
+def _mean_tree(acc, n):
+    if isinstance(acc, dict):
+        return {k: _mean_tree(v, n) for k, v in acc.items()}
+    return acc / max(n, 1)
+
 # quick-stream surface-slice ids (wrt_quick.F idSur* switches)
 _SURFACE_CODES = {"idSurT": "temp_sur", "idSurS": "salt_sur",
                   "idSurU": "u_sur", "idSurV": "v_sur",
@@ -187,6 +206,12 @@ class OutputManager:
             self.dia = DiagWriter(
                 path("DIANAME", "roms_dia.nc"), cfg, grid,
                 tracers=tuple(dtr) or tuple(tn[:cfg.NAT]))
+            # set_diags.F accumulates budgets over the NDIA window and
+            # writes the time-average, not the last instantaneous step
+            self._dia_acc: Optional[Dict] = None
+            self._dia_n = 0
+            self._diauv_acc: Optional[Dict] = None
+            self._diauv_n = 0
         # DIAGNOSTICS_UV: any Dout(M2*/M3*) switch activates the
         # momentum-budget stream (set_diags.F u/v terms; the M2
         # depth-integrated splits are covered by the Hz-weighted 3-D
@@ -279,12 +304,21 @@ class OutputManager:
     def step(self, state, diag=None, diag_uv=None) -> None:
         """Dispatch all due streams for a just-completed step."""
         iic = int(np.asarray(state.iic))
-        if self.dia is not None and diag is not None \
-                and iic % self.ndia == 0:
-            self.dia.write(diag, state.time)
-        if self.dia_uv is not None and diag_uv is not None \
-                and iic % self.ndia == 0:
-            self.dia_uv.write(diag_uv, state.time)
+        if self.dia is not None and diag is not None:
+            self._dia_acc = _acc_tree(self._dia_acc, diag)
+            self._dia_n += 1
+            if iic % self.ndia == 0:
+                self.dia.write(_mean_tree(self._dia_acc, self._dia_n),
+                               state.time)
+                self._dia_acc, self._dia_n = None, 0
+        if self.dia_uv is not None and diag_uv is not None:
+            self._diauv_acc = _acc_tree(self._diauv_acc, diag_uv)
+            self._diauv_n += 1
+            if iic % self.ndia == 0:
+                self.dia_uv.write(
+                    _mean_tree(self._diauv_acc, self._diauv_n),
+                    state.time)
+                self._diauv_acc, self._diauv_n = None, 0
         t = float(np.asarray(state.time))
         if self.ninfo and iic % self.ninfo == 0:
             self._info(state)
