@@ -170,6 +170,9 @@ class MixingConfig:
     solar_source: bool = False
     # Bottom boundary layer KPP (LMD_BKPP), used with vmix == 'lmd'
     bkpp: bool = False
+    # Jerlov water type 1-5 for shortwave extinction (WTYPE,
+    # lmd_swfrac.F Jwtype)
+    jwtype: int = 1
     # Double-diffusive interior mixing (LMD_DDMIX, lmd_vmix.F:363-429)
     ddmix: bool = False
     # GLS parameters (roms_*.in GLS_*), used when vmix == 'gls'
@@ -303,6 +306,14 @@ class ModelConfig:
     # step2d_FB.h — present but unwired in the reference; wired here
     # as the modern single-stage scheme).
     step2d: str = "lf_am3"
+
+    # COARE bulk-flux measurement heights (m): wind / air temperature
+    # / humidity (BLK_ZW/BLK_ZT/BLK_ZQ, roms_*.in; mod_scalars.F
+    # blk_ZW defaults).  Consumed by core.bulk_flux and
+    # ops.pallas_bulk.
+    blk_zw: float = 10.0
+    blk_zt: float = 10.0
+    blk_zq: float = 10.0
 
     # Scalar self-attraction-and-loading tide factor beta:
     # zeta_SAL = beta * zeta, weakening the surface pressure gradient

@@ -138,6 +138,11 @@ def bulk_flux_rho(cfg: ModelConfig, atm: AtmState, sst, sss,
     rho0 = cfg.rho0
     Cp = constants.Cp
     Hscale = rho0 * Cp
+    # deck-configured measurement heights shadow the module defaults
+    # (read_phypar.F blk_ZW/blk_ZT/blk_ZQ)
+    BLK_ZW = cfg.blk_zw
+    BLK_ZT = cfg.blk_zt
+    BLK_ZQ = cfg.blk_zq
 
     Wmag = jnp.sqrt(atm.Uwind ** 2 + atm.Vwind ** 2)
     TairC = atm.Tair

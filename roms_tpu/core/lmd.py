@@ -217,13 +217,15 @@ def lmd_ddmix(cfg: ModelConfig, t, alfaobeta, Akt):
 
 
 def lmd_skpp(cfg: ModelConfig, grid: Grid, t, u, v, pden, bvf, Hz,
-             z_r, z_w, forcing, Akv, Akt, jwtype: int = 1):
+             z_r, z_w, forcing, Akv, Akt, jwtype=None):
     """Surface boundary layer (lmd_skpp.F).
 
     Returns (Akv, Akt, ghats, hsbl); ghats (NAT, N+1, ...) is the
     nonlocal transport term consumed by pre_step3d (LMD_NONLOCAL:
     vertical flux -= dt*Akt*ghats).
     """
+    if jwtype is None:
+        jwtype = cfg.mixing.jwtype
     g = constants.g
     vonKar = constants.vonKar
     N = cfg.N
@@ -405,13 +407,15 @@ def lmd_skpp(cfg: ModelConfig, grid: Grid, t, u, v, pden, bvf, Hz,
 
 def lmd_bkpp(cfg: ModelConfig, grid: Grid, t, u, v, pden, bvf, Hz,
              z_r, z_w, forcing, bustr, bvstr, Akv, Akt, ksbl_guard=None,
-             jwtype: int = 1):
+             jwtype=None):
     """Bottom boundary layer KPP (lmd_bkpp.F) — the mirror of lmd_skpp
     with depth measured up from the bottom and the bottom-stress
     friction velocity.  Inside the surface boundary layer the bottom
     profile only RAISES the coefficients (MAX), else it replaces them
     (lmd_bkpp.F:536-552).
     """
+    if jwtype is None:
+        jwtype = cfg.mixing.jwtype
     g = constants.g
     vonKar = constants.vonKar
     N = cfg.N

@@ -112,7 +112,8 @@ def _seeds(cfg, grid, u, v, t, ru_prev, rv_prev, ru_prev2, rv_prev2,
         # Paulson-Simpson penetrative shortwave at interior interfaces
         # (pre_step3d.F SOLAR_SOURCE block)
         from .lmd import swdk_frac
-        swdk_i = swdk_frac(z_w[-1][None] - z_w[1:-1])
+        swdk_i = swdk_frac(z_w[-1][None] - z_w[1:-1],
+                           cfg.mixing.jwtype)
     for itrc in range(NT):
         FC_int = jnp.zeros_like(Hz[:-1])
         if ghats is not None and itrc < NAT:

@@ -186,6 +186,9 @@ _CONSUMED = {
     "TNUDG", "ZNUDG", "M2NUDG", "M3NUDG", "OBCFAC",
     "LuvSponge", "LtracerSponge",
     "LnudgeM2CLM", "LnudgeM3CLM", "LnudgeTCLM",
+    # bulk-flux measurement heights / Jerlov water type / body-force
+    # surface level (read_phypar.F blk_ZW..; lmd_swfrac.F Jwtype)
+    "BLK_ZQ", "BLK_ZT", "BLK_ZW", "WTYPE", "LEVSFRC",
 }
 _ACCEPTED = {
     # run control / restart cadence / output cadence
@@ -210,11 +213,10 @@ _ACCEPTED = {
     "FOInameA", "FOInameB", "FCTnameA", "FCTnameB",
     # output field switches
     "Hout", "Qout", "Aout", "Dout",
-    # physics accepted but configured elsewhere (bulk heights feed
-    # core.bulk_flux via app factories; WTYPE via lmd_swfrac Jwtype)
+    # physics accepted but inert here (no corresponding model knob)
     "BVF_BAK", "AKT_LIMIT", "AKV_LIMIT", "TKENU2", "TKENU4",
     "CHARNOK_ALPHA", "CRGBAN_CW", "ZOS_HSIG_ALPHA", "SZ_ALPHA",
-    "BLK_ZQ", "BLK_ZT", "BLK_ZW", "WTYPE", "LEVSFRC", "LEVBFRC",
+    "LEVBFRC",
     "WEC_ALPHA",
     "LuvSrc", "LwSrc", "LtracerSrc", "LsshCLM", "Lm2CLM",
     "Lm3CLM", "LtracerCLM", "TIDE_START", "Lnodal",
@@ -300,7 +302,8 @@ def to_config(params: Dict, strict: bool = False,
         gls_sigp=float(_first(g("GLS_SIGP"), 1.3)),
         gls_kmin=float(_first(g("GLS_Kmin"), 7.6e-6)),
         gls_pmin=float(_first(g("GLS_Pmin"), 1.0e-12)),
-        gls_Zos=float(_first(g("ZOS"), 0.02)))
+        gls_Zos=float(_first(g("ZOS"), 0.02)),
+        jwtype=int(_first(g("WTYPE"), 1)))
     rdrg2 = float(_first(g("RDRG2"), 3.0e-3))
     rdrg = float(_first(g("RDRG"), 3.0e-4))
     drag = C.BottomDragConfig(
@@ -354,6 +357,10 @@ def to_config(params: Dict, strict: bool = False,
         rho0=float(_first(g("RHO0"), 1025.0)),
         gamma2=float(_first(g("GAMMA2"), 1.0)),
         Dcrit=float(_first(g("DCRIT"), 0.10)),
+        blk_zw=float(_first(g("BLK_ZW"), 10.0)),
+        blk_zt=float(_first(g("BLK_ZT"), 10.0)),
+        blk_zq=float(_first(g("BLK_ZQ"), 10.0)),
+        levsfrc=int(_first(g("LEVSFRC"), 1)),
         hadv=_adv_scheme(params, "Hadvection", C.UPSTREAM3),
         vadv=_adv_scheme(params, "Vadvection", C.CENTERED4),
         hadv_t=_adv_registry(params, "Hadvection", C.UPSTREAM3),

@@ -359,7 +359,7 @@ def lmd_kpp_fused(cfg, grid, t, u, v, pden, bvf, Hz, z_r, z_w, forcing,
     Akv, Akt_prof, ghT, ghS, hsbl = kpp_pallas(
         cfg, u_r, v_r, pden, bvf, Hz, z_w, Ustar, Bo, Bosol,
         jnp.abs(grid.f), stflx[0] - srflx, flxS, srflx,
-        interpret=interpret)
+        jwtype=cfg.mixing.jwtype, interpret=interpret)
     Akt = jnp.stack([Akt_prof] * cfg.NAT)
     if cfg.NAT > 1:
         ghats = jnp.stack([ghT, ghS])
