@@ -153,7 +153,28 @@ def main(argv=None):
     p.add_argument("--mm", type=int, default=0, help="override Mm")
     p.add_argument("--n", type=int, default=0, help="override N")
     p.add_argument("--dtype", default=None)
+    p.add_argument("--mesh", default="",
+                   help="ExX device mesh (e.g. 2x4): advance through "
+                        "the explicit-halo sharded engine "
+                        "(parallel.sharded_step)")
+    p.add_argument("--platform", default="",
+                   help="force the jax platform before backend init "
+                        "(the axon sitecustomize pins jax_platforms, "
+                        "so JAX_PLATFORMS=cpu in the environment is "
+                        "ignored); with --mesh on cpu, enough virtual "
+                        "host devices are created automatically")
     args = p.parse_args(argv)
+    if args.platform:
+        import os as _os
+        if args.platform == "cpu" and args.mesh:
+            need = 1
+            for x in args.mesh.lower().split("x"):
+                need *= int(x)
+            _os.environ["XLA_FLAGS"] = (
+                _os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={need}")
+        import jax as _jax
+        _jax.config.update("jax_platforms", args.platform)
 
     from .core import stepping
     from .io.output import OutputManager
@@ -333,6 +354,26 @@ def main(argv=None):
         cfg, grid, forcing_fn=forcing_fn,
         vmix_fn=mk_vmix(cfg) if mk_vmix else None,
         obc_fn=extras.pop("obc_fn", None), clm_fn=clm_fn, **extras)
+    sharded = None
+    if args.mesh:
+        # deck-driven multi-chip run: the explicit-halo engine with
+        # the app's own forcing factory rebuilt block-locally
+        import jax as _jax
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+        neta, nxi = (int(x) for x in args.mesh.lower().split("x"))
+        devs = _jax.devices()
+        if len(devs) < neta * nxi:
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {neta * nxi} devices, "
+                f"found {len(devs)}")
+        mesh = _Mesh(_np.asarray(devs[:neta * nxi]).reshape(neta, nxi),
+                     ("eta", "xi"))
+        from .parallel.sharded_step import ShardedStep
+        factory = mk_forc if (not frc and mk_forc is not None) else None
+        sharded = ShardedStep(model, mesh, forcing_factory=factory)
+        print(f"sharded engine on {neta}x{nxi} mesh "
+              f"(forcing {'in-region' if factory else 'global'})")
     om = OutputManager(cfg, grid, params, outdir=args.outdir,
                        initial_state=state, model=model)
     if om.unsupported:
@@ -354,7 +395,28 @@ def main(argv=None):
         chunk = math.gcd(*cadences) if cadences else ntimes
     else:
         chunk = 1
-    if chunk > 1 and ntimes >= chunk:
+    if sharded is not None and (om.wants_diag or om.wants_diag_uv):
+        print("WARNING: --mesh run: DIA budget streams are disabled "
+              "(not yet computed inside the sharded engine)",
+              file=sys.stderr)
+        for w in (om.dia, om.dia_uv):
+            if w is not None:
+                w.close()
+        om.dia = om.dia_uv = None
+    if sharded is not None:
+        # blocked advance: state lives permanently as per-shard blocks;
+        # unblock only at output events (no per-step round trips)
+        blk = sharded.block_state(state)
+        done = 0
+        step_chunk = max(chunk, 1)
+        while done < ntimes:
+            n = min(step_chunk, ntimes - done)
+            blk = sharded.run_blocked(blk, n)
+            done += n
+            state = sharded.unblock_state(blk)
+            om.step(state)
+        ntimes_left = 0
+    elif chunk > 1 and ntimes >= chunk:
         print(f"advancing in jitted chunks of {chunk} steps")
         done = 0
         while done < ntimes:

@@ -119,7 +119,7 @@ def _hadv_interface(cfg, grid, q, Huon, Hvom, Gadv=-0.25, c4: bool = True):
     if cfg.bc.ns_periodic:
         curve = st.periodic_y(curve)
     else:
-        curve = curve.at[..., 0, :].set(0.0).at[..., -1, :].set(0.0)
+        curve = st.zero_south(st.zero_north(curve))
     upx = jnp.where(XF > 0.0, st.im1(curvx), curvx)
     upe = jnp.where(EF > 0.0, st.jm1(curve), curve)
     FX = XF * 0.5 * (q + st.im1(q) - Gadv * upx)

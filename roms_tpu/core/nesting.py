@@ -262,6 +262,107 @@ def two_way_feedback(parent_state, child_state, spec: RefineSpec):
                                 child_state.t_prev, spec))
 
 
+def accumulate_child_tfx(acc, tfx_child):
+    """Accumulate child corrector face fluxes over the rf child steps
+    of one parent window (nesting.F:3110-3178 time accumulation)."""
+    if acc is None:
+        return {"FX": tfx_child["FX"], "FE": tfx_child["FE"]}
+    return {"FX": acc["FX"] + tfx_child["FX"],
+            "FE": acc["FE"] + tfx_child["FE"]}
+
+
+def correct_tracer(parent_state, spec: RefineSpec, grid_p,
+                   tfx_parent, tfx_child_acc, rf: int,
+                   dt_parent: float):
+    """Reflux the coarse tracer cells ADJACENT to the refinement
+    perimeter (nesting.F:3047-3459 correct_tracer): those cells were
+    advanced with the COARSE advective flux across the contact face,
+    while the covered region (overwritten by the fine2coarse feedback)
+    evolved with the child's finer, time-accumulated fluxes through
+    the same faces.  Conservation of combined tracer content requires
+    the exterior cells to see the child flux too:
+
+        Hz*T  +=  -/+ dt_p * pm*pn * (F_fine_avg - F_coarse)
+
+    with F_fine_avg the rf-substep time mean of the rf child faces
+    covering each coarse face.  tfx_*: {'FX','FE'} stacked
+    (NT, N, Mj, Li) corrector fluxes from Model.step_tfx;
+    tfx_child_acc accumulated with accumulate_child_tfx."""
+    FXc, FEc = tfx_parent["FX"], tfx_parent["FE"]
+    FXf, FEf = tfx_child_acc["FX"], tfx_child_acc["FE"]
+    Mj_c, Li_c = FXf.shape[-2:]
+    nj = (Mj_c - 2) // rf
+    ni = (Li_c - 2) // rf
+    j0, i0 = spec.j0, spec.i0
+    pmn = grid_p.pm * grid_p.pn
+    t = parent_state.t
+    Hz = parent_state.Hz
+    dt_p = dt_parent
+
+    rows_f = 1 + jnp.arange(nj * rf)          # child interior rows
+    cols_f = 1 + jnp.arange(ni * rf)
+
+    def tan_sum_rows(F, col):
+        """Sum rf child rows per coarse row at a fixed child col."""
+        line = F[..., rows_f, col]            # (NT, N, nj*rf)
+        return line.reshape(line.shape[:-1] + (nj, rf)).sum(-1) / rf
+
+    def tan_sum_cols(F, row):
+        line = F[..., row, cols_f]
+        return line.reshape(line.shape[:-1] + (ni, rf)).sum(-1) / rf
+
+    jj = j0 + 1 + jnp.arange(nj)              # coarse rows of patch
+    ii = i0 + 1 + jnp.arange(ni)
+
+    # ---- west-adjacent column (its EAST face is the perimeter) -----
+    Ffine = tan_sum_rows(FXf, 1)              # (NT, N, nj)
+    Fcoarse = FXc[..., jj, i0 + 1]
+    dHzT = -dt_p * pmn[jj, i0] * (Ffine - Fcoarse)
+    t = t.at[..., jj, i0].add(dHzT / Hz[:, jj, i0])
+    # ---- east-adjacent column --------------------------------------
+    Ffine = tan_sum_rows(FXf, 1 + ni * rf)
+    Fcoarse = FXc[..., jj, i0 + ni + 1]
+    dHzT = dt_p * pmn[jj, i0 + ni + 1] * (Ffine - Fcoarse)
+    t = t.at[..., jj, i0 + ni + 1].add(dHzT / Hz[:, jj, i0 + ni + 1])
+    # ---- south-adjacent row ----------------------------------------
+    Ffine = tan_sum_cols(FEf, 1)
+    Fcoarse = FEc[..., j0 + 1, ii]
+    dHzT = -dt_p * pmn[j0, ii] * (Ffine - Fcoarse)
+    t = t.at[..., j0, ii].add(dHzT / Hz[:, j0, ii])
+    # ---- north-adjacent row ----------------------------------------
+    Ffine = tan_sum_cols(FEf, 1 + nj * rf)
+    Fcoarse = FEc[..., j0 + nj + 1, ii]
+    dHzT = dt_p * pmn[j0 + nj + 1, ii] * (Ffine - Fcoarse)
+    t = t.at[..., j0 + nj + 1, ii].add(dHzT / Hz[:, j0 + nj + 1, ii])
+
+    return parent_state._replace(t=t)
+
+
+def nesting_tracer_content(parent_state, child_state,
+                           spec: RefineSpec, grid_p, grid_c,
+                           itrc: int = 0):
+    """Combined tracer content of the two-way system: parent cells
+    outside the refinement patch (coarse content) + the child interior
+    (fine content).  The quantity correct_tracer conserves
+    (nesting.F:49-52 NESTING_DEBUG tracer sums)."""
+    rf = spec.rf
+    Mj_c, Li_c = child_state.zeta.shape[-2:]
+    nj = (Mj_c - 2) // rf
+    ni = (Li_c - 2) // rf
+    area_p = 1.0 / (grid_p.pm * grid_p.pn)
+    content_p = jnp.sum(parent_state.t[itrc] * parent_state.Hz
+                        * area_p[None], axis=0)
+    mask = jnp.ones_like(area_p)
+    mask = mask.at[spec.j0 + 1:spec.j0 + 1 + nj,
+                   spec.i0 + 1:spec.i0 + 1 + ni].set(0.0)
+    # interior cells only (the ring is boundary-condition data)
+    outer = jnp.sum((content_p * mask)[1:-1, 1:-1])
+    area_c = 1.0 / (grid_c.pm * grid_c.pn)
+    inner = jnp.sum((child_state.t[itrc] * child_state.Hz
+                     * area_c[None]).sum(0)[1:-1, 1:-1])
+    return outer + inner
+
+
 def nesting_mass_check(parent_state, child_state, spec: RefineSpec,
                        grid_p, grid_c):
     """NESTING_DEBUG-style conservation diagnostic (nesting.F:49-52):
@@ -289,27 +390,43 @@ def nesting_mass_check(parent_state, child_state, spec: RefineSpec,
 
 
 def run_two_way(parent_model, child_model, spec: RefineSpec,
-                s_parent, s_child, nsteps_parent: int):
+                s_parent, s_child, nsteps_parent: int,
+                reflux: bool = False):
     """Interleaved two-way integration: each parent step is followed
     by rf child steps driven by boundary data linearly interpolated
     between the previous and current parent states, then the child
-    solution is averaged back into the parent (nesting.F main cycle).
+    solution is averaged back into the parent (nesting.F main cycle);
+    with reflux=True the coarse cells adjacent to the contact ring are
+    flux-corrected with the accumulated child face fluxes
+    (correct_tracer, nesting.F:3047-3459).
     Returns (parent_state, child_state)."""
     rf = spec.rf
     cfg_c = child_model.cfg
     for n in range(nsteps_parent):
         s_prev = s_parent
-        s_parent = parent_model.step(s_parent)
+        if reflux:
+            s_parent, tfx_p = parent_model.step_tfx(s_parent)
+        else:
+            s_parent = parent_model.step(s_parent)
         obc = make_child_obc_fn(cfg_c, spec, [s_prev, s_parent],
                                 float(parent_model.cfg.dt))
         # child clock runs 0..dt_p within the window; boundary data is
         # evaluated host-side per substep and passed as a jit ARGUMENT
         # so the trace is reused across windows without staleness
         s_child = s_child._replace(time=s_child.time * 0.0)
+        tfx_acc = None
         for k in range(rf):
             obc_k = obc(k * float(cfg_c.dt))
-            s_child = child_model.step_with_obc(s_child, obc_k)
+            if reflux:
+                s_child, tfx_c = child_model.step_tfx(s_child, obc_k)
+                tfx_acc = accumulate_child_tfx(tfx_acc, tfx_c)
+            else:
+                s_child = child_model.step_with_obc(s_child, obc_k)
         s_parent = two_way_feedback(s_parent, s_child, spec)
+        if reflux:
+            s_parent = correct_tracer(
+                s_parent, spec, parent_model.grid, tfx_p, tfx_acc,
+                rf, float(parent_model.cfg.dt))
     return s_parent, s_child
 
 

@@ -24,7 +24,8 @@ from . import advection, boundary, obc as obc_mod
 
 def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
              Huon, Hvom, W, Hz, z_r, Akt, t_old=None, obc=None,
-             Wi=None, collect_diag: bool = False):
+             Wi=None, collect_diag: bool = False,
+             collect_tfx: bool = False):
     """Returns t at n+1 (NT, N, Mj, Li); with collect_diag also a dict
     of per-term Hz-weighted increments (DIAGNOSTICS_TS, set_diags.F:
     iThadv/iTvadv/iTvdif conventions, Tunits m per step).
@@ -39,7 +40,9 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
     dia = {"hadv": [], "vadv": [], "vdif": []}
     from ..config import HSIMT, MPDATA
     from ..ops import pallas_tadv
-    if pallas_tadv.use_pallas_tadv(cfg, "corrector") and not collect_diag:
+    tfx = {"FX": [], "FE": []}
+    if pallas_tadv.use_pallas_tadv(cfg, "corrector") \
+            and not collect_diag and not collect_tfx:
         # fused UP3+C4 advection of all tracers in one VMEM pass
         tn_all = pallas_tadv.corrector_pallas(cfg, grid, t_half,
                                               t_part, Huon, Hvom, W,
@@ -76,6 +79,11 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
             hadv_inc = -dt * pmn * (st.dx_p(FX) + st.dy_p(FE))
             tn = t_part[itrc] + hadv_inc
             dia["hadv"].append(hadv_inc)
+            if collect_tfx:
+                # corrector face fluxes for the two-way nesting
+                # refluxing step (nesting.F:3047-3459 tl_adv arrays)
+                tfx["FX"].append(FX)
+                tfx["FE"].append(FE)
             if v_s == HSIMT:
                 FC = advection.vadv_flux_hsimt(cfg, grid, t_half[itrc],
                                                W, z_r)
@@ -97,8 +105,18 @@ def step3d_t(cfg: ModelConfig, grid: Grid, t_half, t_part,
             tn = tn_new
         out.append(tn)                     # Hz-weighted, pre-diffusion
 
-    return _vdiff_and_bc(cfg, grid, out, dia, Hz, z_r, Akt, t_old, obc,
-                         collect_diag)
+    res = _vdiff_and_bc(cfg, grid, out, dia, Hz, z_r, Akt, t_old, obc,
+                        collect_diag)
+    if collect_tfx:
+        if len(tfx["FX"]) != cfg.NT:
+            raise ValueError(
+                "collect_tfx unsupported for the selected advection "
+                "schemes (MPDATA has no face-flux form)")
+        tfx = {"FX": jnp.stack(tfx["FX"]), "FE": jnp.stack(tfx["FE"])}
+        if collect_diag:
+            return res[0], res[1], tfx
+        return res, tfx
+    return res
 
 
 def _vdiff_and_bc(cfg, grid, out, dia, Hz, z_r, Akt, t_old, obc,

@@ -135,9 +135,23 @@ class Model:
     def step_impl(self, state: State, grid: Optional[Grid] = None,
                   collect_diag: bool = False, obc_data=None,
                   forcing_override=None, forcing_adjust=None,
-                  wave_override=None, collect_diag_uv: bool = False):
+                  wave_override=None, collect_diag_uv: bool = False,
+                  forcing_fn=None, fast_loop=None, clm_data=None,
+                  eqt_data=None, pair_data=None,
+                  collect_tfx: bool = False):
+        """One baroclinic step (main3d.F:216-1130).
+
+        The trailing keyword hooks let a wrapper re-enter the SAME
+        step dataflow with substituted pieces — the explicit-halo
+        sharded engine (parallel.sharded_step) passes a block-local
+        forcing_fn, a halo-refreshing fast_loop, and externally
+        computed obc/clm/eq-tide/Pair data so every physics branch
+        here is shared verbatim between the single-chip and multi-chip
+        paths instead of being duplicated."""
         cfg = self.cfg
         grid = self.grid if grid is None else grid
+        forcing_fn = forcing_fn or self.forcing_fn
+        fast_loop = fast_loop or self.fast_loop
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
         iic = state.iic
 
@@ -177,10 +191,10 @@ class Model:
                                                  z_w)
         if self._forcing_takes_state:
             sss = state.t[1][-1] if cfg.NT > 1 else jnp.zeros_like(rho[-1])
-            forcing = self.forcing_fn(state.time, state.t[0][-1], sss,
-                                      rho[-1])
+            forcing = forcing_fn(state.time, state.t[0][-1], sss,
+                                 rho[-1])
         else:
-            forcing = self.forcing_fn(state.time)
+            forcing = forcing_fn(state.time)
         if forcing_override is not None:
             # coupling imports (core/coupling.py): non-None fields of
             # the override pytree replace the computed forcing; passed
@@ -296,7 +310,8 @@ class Model:
             obc = obc_data        # explicit pytree argument (nesting)
         else:
             obc = self.obc_fn(state.time) if self.obc_fn else None
-        clm = self.clm_fn(state.time) if self.clm_fn else None
+        clm = clm_data if clm_data is not None else (
+            self.clm_fn(state.time) if self.clm_fn else None)
 
         # ---- predictor stage (rhs3d.F:80-189) ---------------------------
         t_half, t_part, u_part, v_part = pre_step3d(
@@ -304,8 +319,10 @@ class Model:
             state.ru_prev, state.rv_prev, state.ru_prev2, state.rv_prev2,
             Hz, z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic,
             ghats=ghats_flux)
-        eqt = self.eq_tide_fn(state.time) if self.eq_tide_fn else None
-        pair = self.pair_fn(state.time) if self.pair_fn else None
+        eqt = eqt_data if eqt_data is not None else (
+            self.eq_tide_fn(state.time) if self.eq_tide_fn else None)
+        pair = pair_data if pair_data is not None else (
+            self.pair_fn(state.time) if self.pair_fn else None)
         if cfg.prsgrd in ("sj", "sj_wj"):
             ru, rv = prsgrd.prsgrd31(cfg, grid, rho, z_r, z_w, Hz,
                                      wj_gradp=(cfg.prsgrd == "sj_wj"))
@@ -453,7 +470,7 @@ class Model:
                 cfg, grid, state.mix, Huon, Hvom, W, Hz, iic)
 
         # ---- fast barotropic sub-cycle (main3d.F:810-918) ---------------
-        (avg, rufrc_eff, rvfrc_eff, _, _, _) = self.fast_loop(
+        (avg, rufrc_eff, rvfrc_eff, _, _, _) = fast_loop(
             grid, state.zeta, state.ubar, state.vbar, rufrc, rvfrc,
             rhoS, rhoA,
             state.ru0_prev, state.rv0_prev,
@@ -511,11 +528,23 @@ class Model:
         else:
             mix_new = state.mix
             Akt_t = Akt
-        if collect_diag:
+        tfx = None
+        if collect_diag and collect_tfx:
+            tn, tdia, tfx = step3d_t(cfg, grid, t_half, t_part, Huon2,
+                                     Hvom2, W2, Hz2, z_r2, Akt_t,
+                                     t_old=state.t, obc=obc, Wi=Wi2,
+                                     collect_diag=True,
+                                     collect_tfx=True)
+        elif collect_diag:
             tn, tdia = step3d_t(cfg, grid, t_half, t_part, Huon2,
                                 Hvom2, W2, Hz2, z_r2, Akt_t,
                                 t_old=state.t, obc=obc, Wi=Wi2,
                                 collect_diag=True)
+        elif collect_tfx:
+            tn, tfx = step3d_t(cfg, grid, t_half, t_part, Huon2,
+                               Hvom2, W2, Hz2, z_r2, Akt_t,
+                               t_old=state.t, obc=obc, Wi=Wi2,
+                               collect_tfx=True)
         else:
             tn = step3d_t(cfg, grid, t_half, t_part, Huon2, Hvom2, W2,
                           Hz2, z_r2, Akt_t, t_old=state.t, obc=obc,
@@ -584,6 +613,8 @@ class Model:
             return new_state, diag_uv
         if collect_diag:
             return new_state, diag
+        if collect_tfx:
+            return new_state, tfx
         return new_state
 
     def step(self, state: State) -> State:
@@ -690,6 +721,16 @@ class Model:
             self._step_obc_jit = jax.jit(
                 lambda s, g, o: self.step_impl(s, g, obc_data=o))
         return self._step_obc_jit(state, self.grid, obc_data)
+
+    def step_tfx(self, state: State, obc_data=None):
+        """One step returning (new_state, corrector tracer face
+        fluxes {'FX','FE'} (NT,N,Mj,Li)) — the two-way nesting
+        refluxing inputs (nesting.F:3047-3459 correct_tracer)."""
+        if not hasattr(self, "_step_tfx_jit"):
+            self._step_tfx_jit = jax.jit(
+                lambda s, g, o: self.step_impl(s, g, obc_data=o,
+                                               collect_tfx=True))
+        return self._step_tfx_jit(state, self.grid, obc_data)
 
     def step_diag(self, state: State):
         """One step returning (new_state, DIAGNOSTICS_TS budget dict of

@@ -121,22 +121,25 @@ def make_atm_fn(cfg: ModelConfig, grid: Grid):
     diurnal cycle (ana_srflux.h:165-192, ALBEDO)."""
     import math
     from ..core.bulk_flux import AtmState
-    Mj, Li = cfg.shape2d
     dtype = jnp.dtype(cfg.dtype)
-    dy = 20.0 / cfg.Mm
-    dx = 360.0 / cfg.Lm
-    lat = np.asarray(-70.0 + dy * (np.arange(Mj) - 0.5))[:, None] \
-        + np.zeros((1, Li))
-    lon = (dx * (np.arange(Li) - 0.5))[None, :] + np.zeros((Mj, 1))
+    # positions from the grid's OWN coordinate fields so the factory
+    # is shape-agnostic: called with the global grid it reproduces
+    # ana_grid.h lat/lon; called with a per-shard BLOCK grid (inside
+    # parallel.sharded_step's shard_map region) it yields block-local
+    # forcing with no global arrays (bulk_flux.F per-tile semantics)
+    d2r = constants.deg2rad
+    Er = constants.Eradius
+    lat = grid.yr / (Er * d2r)
+    lon = grid.xr / (Er * d2r * jnp.cos(lat * d2r))
     cffw = 0.2 * (60.0 + lat)
-    Uwind = jnp.asarray(15.0 * np.exp(-cffw * cffw), dtype)
-    zeros = jnp.zeros((Mj, Li), dtype)
-    Tair = jnp.full((Mj, Li), 4.0, dtype)
-    Pair = jnp.full((Mj, Li), 1025.0, dtype)
-    Hair = jnp.full((Mj, Li), 0.8, dtype)
-    cloud = jnp.full((Mj, Li), 0.6, dtype)
-    latr = jnp.asarray(lat * constants.deg2rad, dtype)
-    lonr = jnp.asarray(lon * constants.deg2rad, dtype)
+    Uwind = (15.0 * jnp.exp(-cffw * cffw)).astype(dtype)
+    zeros = jnp.zeros_like(Uwind)
+    Tair = jnp.full_like(Uwind, 4.0)
+    Pair = jnp.full_like(Uwind, 1025.0)
+    Hair = jnp.full_like(Uwind, 0.8)
+    cloud = jnp.full_like(Uwind, 0.6)
+    latr = (lat * d2r).astype(dtype)
+    lonr = (lon * d2r).astype(dtype)
     Rsolar = 1353.0 / (cfg.rho0 * constants.Cp)
     alb_w = 0.06
 

@@ -1,13 +1,13 @@
 """Whole-step explicit-halo engine: the FULL baroclinic step inside one
 shard_map region (VERDICT round-3 item 2 — the production multi-chip
-path).
+path; generalized round 5 to reuse Model.step_impl verbatim).
 
 Collective budget per step (vs ~900 collective-permutes for the GSPMD
 whole-array path at BENCHMARK1):
 
   R1  start-of-step refresh: ONE stacked 3-D slab (u, v, all tracers,
-      previous tracers) + ONE 2-D slab (zeta, ubar, vbar)
-                                       -> 8 permutes (2 axes x 2 dirs)
+      previous tracers, + tke/gls history for GLS runs) + ONE 2-D slab
+      (zeta, ubar, vbar)             -> 8 permutes (2 axes x 2 dirs)
   fast loop: refresh every `refresh_every` substeps, 4 fields stacked
       (mp_exchange.F:290-333 aggregation)
                                        -> 4 * ceil(nfast/k) permutes
@@ -16,21 +16,37 @@ whole-array path at BENCHMARK1):
 
 The 3-D phases run WITHOUT mid-phase exchanges: the nghost-wide halo
 ring absorbs the whole prep+predictor+corrector stencil chain (the
-widened-halo discipline; reach ~10 cells for the UP3/C4 BENCHMARK
-physics), and parallel.blockctx applies every wall boundary condition
-at the true domain edges per block.  Interior equality vs the
-unsharded Model.step is asserted to f64 roundoff in
+widened-halo discipline; reach pinned by tests/test_sharded_step.py
+point-perturbation test), and parallel.blockctx applies every wall
+boundary condition at the true domain edges per block.  Interior
+equality vs the unsharded Model.step is asserted to f64 roundoff in
 tests/test_sharded_step.py.
 
-Supported class (the BENCHMARK/UPWELLING channel family): EW-periodic,
-N/S closed/gradient walls, LMD-KPP / constant / analytic vmix, DJS
-pressure gradient, no GLS / bio / sed / ice / WEC / obc / nesting.
+Instead of duplicating the step, the engine calls the Model's OWN
+``step_impl`` inside the shard_map region with three substitutions
+(core/stepping.py hook parameters):
+
+  * ``forcing_fn`` — rebuilt from ``forcing_factory(cfg, grid_block)``
+    so bulk fluxes are computed block-locally INSIDE the region (no
+    global gather; the reference computes bulk_flux.F per tile);
+  * ``fast_loop`` — the halo-refreshing barotropic sub-cycle below;
+  * blocked-grid argument — every stencil/boundary primitive consults
+    parallel.blockctx and lands wall writes on true domain edges.
+
+Supported class (round 5): EW-periodic, N/S walls, LMD-KPP / GLS /
+MY2.5 / constant / analytic vmix, all prsgrd schemes, column-local
+ecosystem (bio_fn) and sediment (sed_fn) hooks, wet/dry.  Still
+unsupported: open boundaries (obc_fn), climatology nudging, point
+sources, sea ice, WEC, nesting — these raise at construction.
+Horizontal advection schemes are guarded against the nghost budget
+(`_check_stencil_reach`); wide-stencil schemes (MPDATA/HSIMT/AKIMA4)
+raise instead of silently corrupting interiors.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -40,46 +56,82 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core import (climatology as clm_mod, hmix, lmd as lmd_mod,
-                    omega as omega_mod, prsgrd, rhs3d, set_vbc)
-from ..core.pre_step3d import pre_step3d
-from ..core.rho_eos import rho_eos
+from ..config import CENTERED2, CENTERED4, UPSTREAM3
 from ..core.state import State
 from ..core.step2d import FastAverages, make_substep_kernels
-from ..core.step3d_t import step3d_t
-from ..core.step3d_uv import step3d_uv
 from ..core.weights import power_law_weights
-from ..grid.depth import set_depth, set_massflux
+from ..grid.depth import set_depth
 from ..ops.kernel_gate import no_pallas
 from . import blockctx as bctx
 from .blocked import (from_blocks, grow_array, make_layout,
                       refresh_block, to_blocks)
+
+# Horizontal advection schemes whose full-step contamination reach is
+# covered by the validated nghost=14 / refresh_every=2 budget (reach
+# pinned <= 11 cells by the point-perturbation test).  MPDATA/HSIMT/
+# AKIMA4 have wider or iteration-dependent stencils and are refused.
+_SUPPORTED_HADV = {UPSTREAM3, CENTERED4, CENTERED2}
+_SUPPORTED_UV_HADV = {"up3", "c2", "c4"}
+
+
+def _check_stencil_reach(cfg, nghost: int) -> None:
+    """Refuse configurations whose advection stencils exceed the halo
+    budget (the reference never needs this — it exchanges after every
+    kernel; the widened-halo engine exchanges once per step)."""
+    schemes = {cfg.hadv} | set(cfg.hadv_t or ())
+    bad = sorted(s for s in schemes if s not in _SUPPORTED_HADV)
+    if bad:
+        raise ValueError(
+            f"sharded step: tracer advection {bad} exceeds the "
+            f"nghost={nghost} halo budget (supported: "
+            f"{sorted(_SUPPORTED_HADV)})")
+    if cfg.uv_hadv not in _SUPPORTED_UV_HADV:
+        raise ValueError(
+            f"sharded step: momentum advection {cfg.uv_hadv!r} not "
+            f"validated for the halo budget")
+    if nghost < 12:
+        raise ValueError(
+            f"sharded step: nghost={nghost} below the validated "
+            "full-step reach budget (>= 12)")
 
 
 class ShardedStep:
     """Explicit-halo sharded stepper around a core Model.
 
     step(state) takes and returns GLOBAL state (blocking on device at
-    the jit boundary); step_fn is the underlying jitted function for
-    HLO audits (dryrun_multichip collective accounting).
+    the jit boundary); step_blocked operates on permanently blocked
+    state (the production loop — no per-step block/unblock); step_fn
+    is the underlying jitted function for HLO audits
+    (dryrun_multichip collective accounting).
+
+    forcing_factory(cfg, grid) rebuilds the model's forcing function
+    from a BLOCK grid so surface fluxes are computed inside the
+    shard_map region (pass the same factory the app used, e.g.
+    functionals.benchmark.make_bulk_forcing_fn).
     """
 
     def __init__(self, model, mesh: Mesh, nghost: int = 14,
-                 refresh_every: int = 2):
+                 refresh_every: int = 2,
+                 forcing_factory: Optional[Callable] = None):
         cfg = model.cfg
         if not cfg.bc.ew_periodic or cfg.bc.ns_periodic:
             raise ValueError("sharded step: EW-periodic/NS-walled only")
-        if cfg.mixing.vmix in ("gls", "my25"):
-            raise ValueError("sharded step: GLS/MY25 unsupported")
-        for hook in ("bio_fn", "sed_fn", "bbl_fn", "ice_fn", "wec_fn",
-                     "obc_fn", "clm_fn", "eq_tide_fn"):
+        for hook in ("ice_fn", "wec_fn", "obc_fn", "clm_fn",
+                     "bbl_fn", "eq_tide_fn", "pair_fn"):
             if getattr(model, hook, None) is not None:
                 raise ValueError(f"sharded step: {hook} unsupported")
+        if model.sources is not None:
+            raise ValueError("sharded step: point sources unsupported")
+        if cfg.omega_implicit:
+            raise ValueError("sharded step: OMEGA_IMPLICIT unsupported")
+        _check_stencil_reach(cfg, nghost)
         self.model = model
         self.cfg = cfg
         self.mesh = mesh
         self.lay = make_layout(cfg, mesh, nghost)
         self.refresh_every = refresh_every
+        self.forcing_factory = forcing_factory
+        self._use_gls = cfg.mixing.vmix in ("gls", "my25")
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         dtype = jnp.dtype(cfg.dtype)
         self._w1 = jnp.asarray(w1, dtype)
@@ -105,27 +157,9 @@ class ShardedStep:
                 return P(*([None] * (x.ndim - 2) + ["eta", "xi"]))
             return P(*([None] * getattr(x, "ndim", 0)))
 
-        grid_specs = jax.tree_util.tree_map(_spec, self.gridblk)
-        s2 = P("eta", "xi")
-        s3 = P(None, "eta", "xi")
-
-        state_spec = State(
-            time=P(), iic=P(), zeta=s2, ubar=s2, vbar=s2,
-            u=s3, v=s3, t=P(None, None, "eta", "xi"),
-            t_prev=P(None, None, "eta", "xi"),
-            ru_prev=s3, rv_prev=s3, ru_prev2=s3, rv_prev2=s3,
-            ru0_prev=s2, rv0_prev=s2, ru0_prev2=s2, rv0_prev2=s2,
-            z_r=s3, z_w=s3, Hz=s3, mix=None, sed=None, bbl=None,
-            ice=None)
-        forcing_spec = None  # built per forcing pytree below
-
-        def step_block(g, grow, state, forcing):
-            return self._step_impl_blocked(g, grow, state, forcing)
-
+        self._spec = _spec
+        self._grid_specs = jax.tree_util.tree_map(_spec, self.gridblk)
         self._step_sm = None
-        self._grid_specs = grid_specs
-        self._state_spec = state_spec
-        self._s2, self._s3 = s2, s3
 
         # to/from-block converters at the jit boundary
         def block_state(s: State) -> State:
@@ -156,15 +190,26 @@ class ShardedStep:
             pos += n
         return out
 
+    # -----------------------------------------------------------------
     def _step_impl_blocked(self, grid, grow, state: State, forcing):
+        """The per-device step body: R1 halo refresh, then the Model's
+        own step_impl with block-local forcing and the halo-refreshing
+        fast loop (main3d.F cycle with the mp_exchange discipline
+        collapsed into the three aggregated refresh points)."""
         cfg = self.cfg
-        lay = self.lay
         ctx = bctx.BlockCtx(grow=grow, Mm=cfg.Mm)
         with bctx.block_ctx(ctx), no_pallas():
             # ---- R1: start-of-step halo refresh --------------------
-            (u, v, *ts) = self._refresh3(
-                [state.u, state.v, state.t, state.t_prev])
-            t, t_prev = ts
+            f3 = [state.u, state.v, state.t, state.t_prev]
+            if self._use_gls:
+                mx = state.mix
+                f3 += [mx.tke, mx.tke_prev, mx.gls, mx.gls_prev]
+            out3 = self._refresh3(f3)
+            u, v, t, t_prev = out3[:4]
+            mix = state.mix
+            if self._use_gls:
+                mix = mix._replace(tke=out3[4], tke_prev=out3[5],
+                                   gls=out3[6], gls_prev=out3[7])
             zeta, ubar, vbar = self._refresh3(
                 [state.zeta, state.ubar, state.vbar])
             # depths recomputed locally from the refreshed free
@@ -172,91 +217,28 @@ class ShardedStep:
             z_r, z_w, Hz = set_depth(grid, zeta)
             state = state._replace(u=u, v=v, t=t, t_prev=t_prev,
                                    zeta=zeta, ubar=ubar, vbar=vbar,
-                                   z_r=z_r, z_w=z_w, Hz=Hz)
-            iic = state.iic
+                                   z_r=z_r, z_w=z_w, Hz=Hz, mix=mix)
 
-            # ---- prep (main3d.F:348-535) ---------------------------
-            Huon, Hvom = set_massflux(grid, u, v, Hz)
-            rho, pden, rhoA, rhoS, bvf = rho_eos(cfg, t, z_r, Hz, z_w)
-            bustr, bvstr = set_vbc.bottom_drag(cfg, grid, u, v, Hz,
-                                               z_r, z_w)
-            if cfg.mixing.vmix == "lmd":
-                Akv, Akt = lmd_mod.lmd_vmix_interior(cfg, u, v, bvf,
-                                                     Hz)
-                Akv, Akt, ghats, hsbl = lmd_mod.lmd_skpp(
-                    cfg, grid, t, u, v, pden, bvf, Hz, z_r, z_w,
-                    forcing, Akv, Akt)
-                ghats_flux = Akt * ghats
+            if self.forcing_factory is not None:
+                # block-local forcing: rebuilt from the BLOCK grid at
+                # trace time; runs entirely inside the region
+                forcing_fn = self.forcing_factory(cfg, grid)
             else:
-                Akv, Akt = self.model.vmix_fn(state, grid, z_w)
-                ghats_flux = None
-            W = omega_mod.omega(cfg, grid, Huon, Hvom, z_w)
+                forcing_fn = lambda *a: forcing  # noqa: E731
 
-            # ---- predictor stage (rhs3d.F:80-189) ------------------
-            t_half, t_part, u_part, v_part = pre_step3d(
-                cfg, grid, u, v, t, t_prev, state.ru_prev,
-                state.rv_prev, state.ru_prev2, state.rv_prev2, Hz,
-                z_r, z_w, Huon, Hvom, W, forcing, bustr, bvstr, iic,
-                ghats=ghats_flux)
-            ru, rv = prsgrd.prsgrd32(cfg, grid, rho, z_r, z_w, Hz)
-            if cfg.mixing.mix_geo_ts:
-                t_part = hmix.t3dmix2_geo(cfg, grid, t, t_part, Hz,
-                                          z_r)
-            else:
-                t_part = hmix.t3dmix2_s(cfg, grid, t, t_part, Hz)
-            t_part = hmix.t3dmix4_s(cfg, grid, t, t_part, Hz)
-            ru, rv = rhs3d.rhs3d_momentum(cfg, grid, u, v, Hz, Huon,
-                                          Hvom, W, ru, rv)
-            rufrc, rvfrc = rhs3d.integrate_rufrc(cfg, grid, ru, rv,
-                                                 forcing, bustr,
-                                                 bvstr)
-            if cfg.mixing.mix_geo_uv:
-                u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_geo(
-                    cfg, grid, u, v, u_part, v_part, Hz, z_r, rufrc,
-                    rvfrc)
-            else:
-                u_part, v_part, rufrc, rvfrc = hmix.uv3dmix2_s(
-                    cfg, grid, u, v, u_part, v_part, Hz, rufrc, rvfrc)
-            u_part, v_part, rufrc, rvfrc = hmix.uv3dmix4_s(
-                cfg, grid, u, v, u_part, v_part, Hz, rufrc, rvfrc)
-
-            # ---- fast barotropic sub-cycle -------------------------
-            avg, rufrc_eff, rvfrc_eff = self._fast_loop_blocked(
-                grid, zeta, ubar, vbar, rufrc, rvfrc, rhoS, rhoA,
-                state.ru0_prev, state.rv0_prev, state.ru0_prev2,
-                state.rv0_prev2, iic)
-
-            # ---- R2: refresh the fast averages ---------------------
-            (Zt_avg1, DU_avg1, DV_avg1, DU_avg2,
-             DV_avg2) = self._refresh3(
-                 [avg.Zt_avg1, avg.DU_avg1, avg.DV_avg1, avg.DU_avg2,
-                  avg.DV_avg2])
-            avg = FastAverages(Zt_avg1, DU_avg1, DV_avg1, DU_avg2,
-                               DV_avg2)
-
-            # ---- correctors (main3d.F:963-1045) --------------------
-            z_r2, z_w2, Hz2 = set_depth(grid, avg.Zt_avg1)
-            un, vn, ubar_n, vbar_n, Huon2, Hvom2 = step3d_uv(
-                cfg, grid, u_part, v_part, ru, rv, Hz2, z_r2, Akv,
-                avg, Huon, Hvom, iic, u_old=u, v_old=v)
-            W2 = omega_mod.omega(cfg, grid, Huon2, Hvom2, z_w2)
-            tn = step3d_t(cfg, grid, t_half, t_part, Huon2, Hvom2,
-                          W2, Hz2, z_r2, Akt, t_old=t)
-
-            return State(
-                time=state.time + cfg.dt, iic=iic + 1,
-                zeta=avg.Zt_avg1, ubar=ubar_n, vbar=vbar_n,
-                u=un, v=vn, t=tn, t_prev=t,
-                ru_prev=ru, rv_prev=rv,
-                ru_prev2=state.ru_prev, rv_prev2=state.rv_prev,
-                ru0_prev=rufrc_eff, rv0_prev=rvfrc_eff,
-                ru0_prev2=state.ru0_prev, rv0_prev2=state.rv0_prev,
-                z_r=z_r2, z_w=z_w2, Hz=Hz2, mix=state.mix,
-                sed=state.sed, bbl=state.bbl, ice=state.ice)
+            return self.model.step_impl(
+                state, grid=grid, forcing_fn=forcing_fn,
+                fast_loop=self._fast_loop_blocked)
 
     def _fast_loop_blocked(self, grid, zeta0, ubar0, vbar0, rufrc,
                            rvfrc, rhoS, rhoA, ru0_prev, rv0_prev,
-                           ru0_prev2, rv0_prev2, iic):
+                           ru0_prev2, rv0_prev2, iic, obc=None,
+                           sources=None, stokes2d=None):
+        """Drop-in for core.step2d.make_fast_loop's loop with the
+        reference's fast-cycle exchange discipline: one stacked
+        4-field refresh every `refresh_every` substeps
+        (mp_exchange.F:290-333 aggregation), plus the R2 refresh of
+        the fast-average outputs."""
         predictor, corrector, aux_pass, init_carry = self._kern
         lay = self.lay
         nfast = self.nfast
@@ -273,11 +255,12 @@ class ShardedStep:
         def substep(c, iif):
             (zeta_p, ubar_p, vbar_p, rz_m, ru_m, rv_m, rufrc_c,
              rvfrc_c, avg) = predictor(grid, iif, c, rhoS, rhoA, iic,
-                                       ru0_prev2, rv0_prev2, None)
+                                       ru0_prev2, rv0_prev2, obc,
+                                       sources, stokes2d)
             c = c._replace(avg=avg)
             return corrector(grid, iif, c, zeta_p, ubar_p, vbar_p,
                              rz_m, ru_m, rv_m, rufrc_c, rvfrc_c,
-                             rhoS, rhoA, None)
+                             rhoS, rhoA, obc, sources, stokes2d)
 
         k = self.refresh_every
         ngroup = nfast // k
@@ -295,54 +278,84 @@ class ShardedStep:
                 carry = refresh(carry)
             carry = substep(carry, jnp.int32(ngroup * k + 1 + q))
         carry = refresh(carry)
-        avg, rufrc_eff, rvfrc_eff, _, _, _ = aux_pass(grid, carry,
-                                                      None, None)
-        return avg, rufrc_eff, rvfrc_eff
+        (avg, rufrc_eff, rvfrc_eff, zf, uf, vf) = aux_pass(
+            grid, carry, sources, stokes2d)
+
+        # ---- R2: refresh the fast averages -------------------------
+        (Zt_avg1, DU_avg1, DV_avg1, DU_avg2, DV_avg2) = self._refresh3(
+            [avg.Zt_avg1, avg.DU_avg1, avg.DV_avg1, avg.DU_avg2,
+             avg.DV_avg2])
+        avg = FastAverages(Zt_avg1, DU_avg1, DV_avg1, DU_avg2,
+                           DV_avg2)
+        return avg, rufrc_eff, rvfrc_eff, zf, uf, vf
 
     # -----------------------------------------------------------------
-    def _build(self, forcing):
-        def leafspec(x):
-            if hasattr(x, "ndim") and x.ndim >= 2 and \
-                    x.shape[-2:] == (self.lay.neta * self.lay.BJ,
-                                     self.lay.nxi * self.lay.BI):
-                return P(*([None] * (x.ndim - 2) + ["eta", "xi"]))
-            return P(*([None] * getattr(x, "ndim", 0)))
-        fspec = jax.tree_util.tree_map(leafspec, forcing)
+    def _build(self, state_blk, forcing_blk):
+        tm = jax.tree_util.tree_map
+        state_spec = tm(self._spec, state_blk)
+        fspec = tm(self._spec, forcing_blk)
         sm = shard_map(
             lambda g, gr, s, f: self._step_impl_blocked(g, gr, s, f),
             mesh=self.mesh,
-            in_specs=(self._grid_specs, P("eta"), self._state_spec,
-                      fspec),
-            out_specs=self._state_spec)
+            in_specs=(self._grid_specs, P("eta"), state_spec, fspec),
+            out_specs=state_spec)
         return jax.jit(sm)
 
-    def step_blocked(self, state_blk: State) -> State:
-        """One step on BLOCKED state (forcing computed globally and
-        blocked — elementwise fields, exact per block)."""
+    def _global_forcing(self, state_blk: State):
+        """Fallback when no forcing_factory is given: compute the
+        forcing on GLOBAL arrays (the model's own closure grid) and
+        block it.  For state-taking (bulk) forcing this gathers the
+        surface fields — pass a forcing_factory to avoid it."""
         m = self.model
-        if m._forcing_takes_state:
-            # surface values from the blocked state: unblock the three
-            # surface fields cheaply (they are elementwise inputs)
-            sst = from_blocks(state_blk.t[0][-1], self.lay)
-            sss = from_blocks(state_blk.t[1][-1], self.lay) \
-                if self.cfg.NT > 1 else jnp.zeros_like(sst)
-            rho_s = rho_eos(self.cfg,
-                            jax.tree_util.tree_map(
-                                lambda a: from_blocks(a, self.lay),
-                                state_blk.t),
-                            from_blocks(state_blk.z_r, self.lay),
-                            from_blocks(state_blk.Hz, self.lay),
-                            from_blocks(state_blk.z_w, self.lay))[0]
-            forcing = m.forcing_fn(state_blk.time, sst, sss,
-                                   rho_s[-1])
+        if not m._forcing_takes_state:
+            return m.forcing_fn(state_blk.time)
+        from ..core.rho_eos import rho_eos
+        lay = self.lay
+        sst = from_blocks(state_blk.t[0][-1], lay)
+        sss = from_blocks(state_blk.t[1][-1], lay) \
+            if self.cfg.NT > 1 else jnp.zeros_like(sst)
+        rho_s = rho_eos(self.cfg,
+                        jax.tree_util.tree_map(
+                            lambda a: from_blocks(a, lay), state_blk.t),
+                        from_blocks(state_blk.z_r, lay),
+                        from_blocks(state_blk.Hz, lay),
+                        from_blocks(state_blk.z_w, lay))[0]
+        return m.forcing_fn(state_blk.time, sst, sss, rho_s[-1])
+
+    def step_blocked(self, state_blk: State) -> State:
+        """One step on BLOCKED state (the production loop shape)."""
+        if self.forcing_factory is not None:
+            # forcing computed inside the region; pass a zero-size
+            # placeholder pytree
+            forcing_blk = ()
         else:
-            forcing = m.forcing_fn(state_blk.time)
-        forcing_blk = jax.tree_util.tree_map(self._blk, forcing)
+            forcing_blk = jax.tree_util.tree_map(
+                self._blk, self._global_forcing(state_blk))
         if self._step_sm is None:
-            self._step_sm = self._build(forcing_blk)
+            self._step_sm = self._build(state_blk, forcing_blk)
         return self._step_sm(self.gridblk, self.grow, state_blk,
                              forcing_blk)
 
     def step(self, state: State) -> State:
         return self.unblock_state(
             self.step_blocked(self.block_state(state)))
+
+    def run_blocked(self, state_blk: State, nsteps: int) -> State:
+        """Advance nsteps with NO per-step block/unblock round trips
+        (one jitted lax.scan when the forcing lives in-region)."""
+        if self.forcing_factory is None:
+            for _ in range(nsteps):
+                state_blk = self.step_blocked(state_blk)
+            return state_blk
+        if getattr(self, "_scan_fn", None) is None:
+            if self._step_sm is None:
+                self._step_sm = self._build(state_blk, ())
+
+            def advance(s, n):
+                def body(c, _):
+                    return self._step_sm(self.gridblk, self.grow,
+                                         c, ()), None
+                s, _ = lax.scan(body, s, None, length=n)
+                return s
+            self._scan_fn = jax.jit(advance, static_argnums=1)
+        return self._scan_fn(state_blk, nsteps)

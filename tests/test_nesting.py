@@ -259,3 +259,79 @@ class TestConservativeNesting:
         got = out["refine"][(0, 1)]
         assert got == spec
         assert out["composite"] == regions
+
+
+def test_correct_tracer_refluxing():
+    """Round-5 (VERDICT item 3): with correct_tracer refluxing, the
+    combined parent+child tracer content closes orders of magnitude
+    tighter than the uncorrected feedback (nesting.F:3047-3459).
+    Closed basin, pure advection (no hmix/forcing), so the advective
+    perimeter fluxes are the only content exchange."""
+    from roms_tpu.functionals import idealized
+
+    cfg_p = idealized.grav_adj_config(Lm=40, Mm=24, N=4, dt=20.0,
+                                      ndtfast=10)
+    cfg_p = cfg_p.replace(mixing=dataclasses.replace(
+        cfg_p.mixing, visc2=0.0, tnu2=(0.0, 0.0)))
+    grid_p = idealized.grav_adj_grid(cfg_p)
+    m_p = Model(cfg_p, grid_p,
+                lambda t: idealized.zero_forcing(cfg_p)(t))
+    from roms_tpu.core.state import initial_state
+    import jax.numpy as jnp
+    s_p = initial_state(cfg_p, grid_p)
+    # tracer blob straddling the (to-be) patch west perimeter + a
+    # zeta bump to drive flow across it
+    Mj, Li = cfg_p.shape2d
+    jj, ii = np.mgrid[0:Mj, 0:Li]
+    blob = np.exp(-((jj - 12.0) ** 2 + (ii - 15.0) ** 2) / 18.0)
+    t0 = np.array(s_p.t)
+    t0[0] += 2.0 * blob[None]
+    zeta0 = (0.02 * blob).astype(t0.dtype)
+    s_p = initial_state(cfg_p, grid_p, zeta=jnp.asarray(zeta0),
+                        t=jnp.asarray(t0))
+
+    rf = 2
+    spec = nesting.RefineSpec(i0=14, j0=6, rf=rf, Lm_c=20, Mm_c=20)
+    cfg_c = dataclasses.replace(
+        cfg_p, Lm=spec.Lm_c, Mm=spec.Mm_c, dt=cfg_p.dt / rf,
+        bc=C.BoundaryConfig(
+            zeta=C.LBC.same(C.CLAMPED),
+            ubar=C.LBC.same(C.CLAMPED), vbar=C.LBC.same(C.CLAMPED),
+            u=C.LBC.same(C.CLAMPED), v=C.LBC.same(C.CLAMPED),
+            t=C.LBC.same(C.CLAMPED), tke=C.LBC.same(C.GRADIENT)))
+    Mj_c, Li_c = cfg_c.shape2d
+    h_c = nesting.refine2d(grid_p.h, spec, Mj_c, Li_c)
+    pm_c = nesting.refine2d(grid_p.pm, spec, Mj_c, Li_c) * rf
+    pn_c = nesting.refine2d(grid_p.pn, spec, Mj_c, Li_c) * rf
+    f_c = nesting.refine2d(grid_p.f, spec, Mj_c, Li_c)
+    grid_c = build_grid(cfg_c, h=np.asarray(h_c),
+                        pm=np.asarray(pm_c), pn=np.asarray(pn_c),
+                        f=np.asarray(f_c))
+    m_c = Model(cfg_c, grid_c,
+                lambda t: idealized.zero_forcing(cfg_c)(t))
+    jc, ic = nesting._child_coords(spec, Mj_c, Li_c)
+    s_c = initial_state(
+        cfg_c, grid_c,
+        zeta=nesting.bilinear(s_p.zeta, jc, ic),
+        u=nesting.bilinear(s_p.u, jc, ic),
+        v=nesting.bilinear(s_p.v, jc, ic),
+        t=nesting.bilinear(s_p.t, jc, ic), time0=0.0)
+
+    c0 = float(nesting.nesting_tracer_content(s_p, s_c, spec, grid_p,
+                                              grid_c))
+
+    sp_a, sc_a = nesting.run_two_way(m_p, m_c, spec, s_p, s_c, 8,
+                                     reflux=False)
+    c_a = float(nesting.nesting_tracer_content(sp_a, sc_a, spec,
+                                               grid_p, grid_c))
+    sp_b, sc_b = nesting.run_two_way(m_p, m_c, spec, s_p, s_c, 8,
+                                     reflux=True)
+    c_b = float(nesting.nesting_tracer_content(sp_b, sc_b, spec,
+                                               grid_p, grid_c))
+    drift_no = abs(c_a - c0) / abs(c0)
+    drift_rf = abs(c_b - c0) / abs(c0)
+    assert np.isfinite(np.asarray(sp_b.t)).all()
+    assert np.isfinite(np.asarray(sc_b.t)).all()
+    # refluxing must recover most of the perimeter-flux mismatch
+    assert drift_rf < 0.5 * drift_no, (drift_rf, drift_no)
+    assert drift_rf < 1e-6, (drift_rf, drift_no)
