@@ -157,6 +157,12 @@ def main(argv=None):
                    help="ExX device mesh (e.g. 2x4): advance through "
                         "the explicit-halo sharded engine "
                         "(parallel.sharded_step)")
+    p.add_argument("--sharded-out", default="",
+                   help="with --mesh: write HIS records per-shard "
+                        "into this tensorstore/zarr directory "
+                        "(io.sharded_out; export with "
+                        "tools/export_sharded_his.py) instead of the "
+                        "single-host gathered NetCDF writer")
     p.add_argument("--platform", default="",
                    help="force the jax platform before backend init "
                         "(the axon sitecustomize pins jax_platforms, "
@@ -406,6 +412,14 @@ def main(argv=None):
     if sharded is not None:
         # blocked advance: state lives permanently as per-shard blocks;
         # unblock only at output events (no per-step round trips)
+        import numpy as _np
+        sw = None
+        if args.sharded_out:
+            from .io.sharded_out import ShardedHistoryWriter
+            sw = ShardedHistoryWriter(args.sharded_out, cfg)
+            om.his = None          # per-shard writes replace HIS
+            print(f"sharded HIS -> {args.sharded_out} "
+                  "(per-shard tensorstore writes)")
         blk = sharded.block_state(state)
         done = 0
         step_chunk = max(chunk, 1)
@@ -413,8 +427,13 @@ def main(argv=None):
             n = min(step_chunk, ntimes - done)
             blk = sharded.run_blocked(blk, n)
             done += n
+            if sw is not None and (done % max(om.nhis or n, 1)) == 0:
+                sw.write_blocked(blk, sharded.lay,
+                                 time=float(_np.asarray(blk.time)))
             state = sharded.unblock_state(blk)
             om.step(state)
+        if sw is not None:
+            sw.close()
         ntimes_left = 0
     elif chunk > 1 and ntimes >= chunk:
         print(f"advancing in jitted chunks of {chunk} steps")
