@@ -134,6 +134,11 @@ def _app_module(name: str):
         "CHANNEL": (idealized.channel_config, idealized.channel_grid,
                     idealized.channel_initial,
                     idealized.channel_forcing_fn, None),
+        # multi-grid file-based apps: header-physics factory only;
+        # grids/contacts come from GRDNAME/NGCNAME
+        "DOGBONE": (idealized.dogbone_config, None, None,
+                    lambda cfg, grid: idealized.zero_forcing(cfg),
+                    None),
     }
     # Longest key first so e.g. "LAB_CANYON" matches its own entry,
     # not the shorter "CANYON" substring.
@@ -141,6 +146,157 @@ def _app_module(name: str):
         if key in name:                    # e.g. "BENCHMARK3"
             return table[key]
     return None                            # file-based app (GRDNAME etc.)
+
+
+def _run_multigrid(args, params, deck_files):
+    """Ngrids>1 deck path (nesting.F driver role): load the NGCNAME
+    contact file, build one Model per grid from the per-grid deck
+    columns, and advance the composite (bulk-synchronous donor
+    exchange) or refined (two-way rf-substep) system with per-grid
+    HIS output."""
+    import numpy as np
+
+    from .core import nesting, stepping
+    from .core.state import initial_state
+    from .functionals import idealized
+    from .io.contact_nc import load_contact_netcdf
+    from .io.grid_nc import load_grid_netcdf
+    from .io.output import OutputManager
+    from .io.roms_in import to_config
+
+    ngc = deck_files("NGCNAME")
+    contact = load_contact_netcdf(ngc[0])
+    ngrids = contact["Ngrids"]
+    print(f"multi-grid run: Ngrids={ngrids}, contact file {ngc[0]} "
+          f"({len(contact['composite'])} composite regions, "
+          f"{len(contact['refine'])} refinement pairs)")
+
+    def per_grid(key, gi, default=None):
+        v = params.get(key, default)
+        if isinstance(v, list):
+            return v[gi] if gi < len(v) else v[-1]
+        return v
+
+    app = params.get("MyAppCPP", "")
+    mod = _app_module(app)
+    mk_cfg = mod[0] if mod else None
+    mk_forc = (mod[3] if mod else
+               (lambda cfg, grid: idealized.zero_forcing(cfg)))
+
+    grd = deck_files("GRDNAME")
+    ini = deck_files("ININAME")
+    models, states, oms = [], [], []
+    for gi in range(ngrids):
+        params_gi0 = dict(params)
+        # scalarize the per-grid columns for this grid's config
+        for key in ("Lm", "Mm", "N", "DT", "NDTFAST", "NTIMES"):
+            if isinstance(params.get(key), list):
+                params_gi0[key] = per_grid(key, gi)
+        over = {}
+        if args.lm:
+            over["Lm"] = args.lm
+        if args.mm:
+            over["Mm"] = args.mm
+        if args.dtype:
+            over["dtype"] = args.dtype
+        cfg = to_config(params_gi0, **over)
+        if args.n:
+            cfg = cfg.replace(vert=dataclasses.replace(cfg.vert,
+                                                       N=args.n))
+        if mk_cfg is not None:
+            hdr = mk_cfg()
+            cfg = cfg.replace(mixing=hdr.mixing, drag=hdr.drag,
+                              eos=hdr.eos, bc=hdr.bc,
+                              uv_cor=hdr.uv_cor)
+        # contact edges become open (the reference decks mark them
+        # Clo and let the nesting machinery override at contact
+        # points, set_contact.F; here the LBC selection carries it)
+        edges = {r.edge for r in contact["composite"]
+                 if r.receiver == gi}
+        for (dg, rg) in contact["refine"]:
+            if rg == gi:
+                edges = {"west", "east", "south", "north"}
+        if edges:
+            from . import config as _C
+            import dataclasses as _dc
+
+            def _upd(lbc, kind):
+                return _dc.replace(lbc,
+                                   **{e: kind for e in edges})
+            bc = cfg.bc
+            cfg = cfg.replace(bc=_dc.replace(
+                bc, zeta=_upd(bc.zeta, _C.CLAMPED),
+                ubar=_upd(bc.ubar, _C.FLATHER),
+                vbar=_upd(bc.vbar, _C.FLATHER),
+                u=_upd(bc.u, _C.RADIATION),
+                v=_upd(bc.v, _C.RADIATION),
+                t=_upd(bc.t, _C.RADIATION)))
+        if gi < len(grd):
+            grid = load_grid_netcdf(grd[gi], cfg)
+        else:
+            raise SystemExit(
+                f"multi-grid deck: no GRDNAME file for grid {gi + 1}")
+        if gi < len(ini):
+            from .io.state_nc import read_state_netcdf
+            state = read_state_netcdf(ini[gi], cfg, grid)
+        else:
+            state = initial_state(cfg, grid)
+        model = stepping.Model(cfg, grid,
+                               forcing_fn=mk_forc(cfg, grid))
+        params_gi = dict(params_gi0)
+        for key in ("HISNAME", "QCKNAME", "RSTNAME", "AVGNAME",
+                    "DIANAME", "NHIS", "NQCK", "NRST", "NAVG",
+                    "NDIA", "NSTA", "NINFO"):
+            v = params.get(key)
+            if isinstance(v, list):
+                params_gi[key] = v[gi] if gi < len(v) else v[-1]
+        om = OutputManager(cfg, grid, params_gi, outdir=args.outdir,
+                           initial_state=state, model=model)
+        om.dia = om.dia_uv = None      # budgets: single-grid path only
+        models.append(model)
+        states.append(state)
+        oms.append(om)
+
+    ntimes = args.ntimes or int(per_grid("NTIMES", 0, 0))
+    cfgs = [m.cfg for m in models]
+    t0 = time.perf_counter()
+    if contact["composite"]:
+        regions = contact["composite"]
+        for n in range(ntimes):
+            obcs = [nesting.composite_obc(states, cfgs, regions, r)
+                    for r in range(ngrids)]
+            states = [m.step_with_obc(sx, o)
+                      for m, sx, o in zip(models, states, obcs)]
+            for om, sx in zip(oms, states):
+                om.step(sx)
+    elif contact["refine"]:
+        (dg, rg), spec = next(iter(contact["refine"].items()))
+        nh = oms[dg].nhis or ntimes
+        done = 0
+        while done < ntimes:
+            nwin = min(nh, ntimes - done)
+            states[dg], states[rg] = nesting.run_two_way(
+                models[dg], models[rg], spec, states[dg], states[rg],
+                nwin, reflux=True)
+            done += nwin
+            oms[dg].step(states[dg])
+            oms[rg].step(states[rg])
+    else:
+        raise SystemExit("contact file declares no usable contacts")
+    import jax
+    jax.block_until_ready(states[0].zeta)
+    wall = time.perf_counter() - t0
+    for om in oms:
+        om.close()
+    import numpy as _np2
+    for gi, sx in enumerate(states):
+        if not _np2.isfinite(_np2.asarray(sx.zeta)).all():
+            print(f"BLOW-UP in grid {gi + 1}", file=sys.stderr)
+            return 1
+    pts = sum(c.Lm * c.Mm * c.N for c in cfgs) * max(ntimes, 1)
+    print(f"done: {wall:.2f}s wall "
+          f"({pts / max(wall, 1e-9):.3e} gridpoint-steps/s)")
+    return 0
 
 
 def main(argv=None):
@@ -194,6 +350,19 @@ def main(argv=None):
         title = " ".join(str(x) for x in title)
     app = params.get("MyAppCPP", "UPWELLING")
     print(f"roms_tpu: {title}  [{app}]")
+
+    def _deck_files_early(key):
+        import os as _os
+        v = params.get(key)
+        vs = v if isinstance(v, list) else [v]
+        return [x for x in vs
+                if isinstance(x, str) and _os.path.isfile(x)]
+
+    ngrids_kw = params.get("Ngrids", 1)
+    ngrids_kw = ngrids_kw[0] if isinstance(ngrids_kw, list) \
+        else ngrids_kw
+    if int(ngrids_kw or 1) > 1 and _deck_files_early("NGCNAME"):
+        return _run_multigrid(args, params, _deck_files_early)
 
     mod = _app_module(app)
     if mod is None:

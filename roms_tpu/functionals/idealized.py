@@ -789,6 +789,35 @@ def mixed_layer_forcing_fn(cfg: ModelConfig, grid: Grid):
 # current (sed_toy.h; ana_grid.h; ana_initial.h:292-300, 491-499)
 # ---------------------------------------------------------------------------
 
+def dogbone_config(Lm: int = 21, Mm: int = 15, N: int = 10,
+                   dt: float = 6.0, ndtfast: int = 20,
+                   dtype: str = "float64") -> ModelConfig:
+    """DOGBONE composite-grid test header physics
+    (ROMS/Include/dogbone.h: UV_ADV + UV_QDRAG + MASKING + SALINITY +
+    DJ_GRADPS + SPLINES_VDIFF/VVISC + GLS_MIXING KANTHA_CLAYSON;
+    deck roms_dogbone_composite.in: dt=6 s, ndtfast=20, zero VISC2/
+    TNU2, AKV_BAK=1e-5, RDRG2=3e-3, Vtransform=2/Vstretching=4).
+    Grids and contact points come from NGCNAME/GRDNAME files."""
+    import dataclasses as _dc
+    mixing = MixingConfig(
+        vmix="gls", gls_stab="kantha_clayson",
+        akv_bak=1.0e-5, akt_bak=(1.0e-6, 1.0e-6),
+        splines_vdiff=True, splines_vvisc=True)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=4,
+                                 theta_s=0.0, theta_b=0.0,
+                                 Tcline=1e16),
+        eos=EOSConfig(linear=True, R0=1027.0, T0=14.0, S0=35.0,
+                      Tcoef=1.7e-4, Scoef=0.0),
+        mixing=mixing,
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig(),            # closed; contacts open edges
+        rho0=1025.0, gamma2=1.0, prsgrd="djs",
+        uv_cor=False, uv_adv=True, dtype=dtype,
+    )
+
+
 def sed_toy_config(Lm: int = 4, Mm: int = 3, N: int = 20,
                    dt: float = 2.0, ndtfast: int = 10,
                    dtype: str = "float64") -> ModelConfig:
