@@ -99,7 +99,7 @@ def hadv_flux(cfg: ModelConfig, grid: Grid, q, Huon, Hvom, scheme: str):
         if ewp:
             curvx = st.periodic_x(curvx)
         else:
-            curvx = curvx.at[..., 0].set(0.0).at[..., -1].set(0.0)
+            curvx = st.zero_east(st.zero_west(curvx))
         if nsp:
             curve = st.periodic_y(curve)
         else:
@@ -131,9 +131,10 @@ def hadv_flux(cfg: ModelConfig, grid: Grid, q, Huon, Hvom, scheme: str):
     else:
         # clamp effect of FX(Istr-1)=FX(Istr) / FX(Iend+2)=FX(Iend+1)
         if scheme == CENTERED4:
-            gx = gx.at[..., 0].set(dqx[..., 1]).at[..., -1].set(dqx[..., -1])
+            gx = st.clamp_west(gx, col=1, at=0, src=dqx)
+            gx = st.clamp_east(gx, col=-1, at=-1, src=dqx)
         else:
-            gx = gx.at[..., 0].set(0.0).at[..., -1].set(0.0)
+            gx = st.zero_east(st.zero_west(gx))
     if nsp:
         ge = st.periodic_y(ge)
     else:

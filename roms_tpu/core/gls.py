@@ -115,7 +115,7 @@ def _hadv_interface(cfg, grid, q, Huon, Hvom, Gadv=-0.25, c4: bool = True):
     if cfg.bc.ew_periodic:
         curvx = st.periodic_x(curvx)
     else:
-        curvx = curvx.at[..., 0].set(0.0).at[..., -1].set(0.0)
+        curvx = st.zero_east(st.zero_west(curvx))
     if cfg.bc.ns_periodic:
         curve = st.periodic_y(curve)
     else:

@@ -82,10 +82,10 @@ def hadv_uv(cfg: ModelConfig, grid: Grid, u, v, Huon, Hvom):
             uxx, Huxx = st.periodic_x(uxx), st.periodic_x(Huxx)
         else:
             # uxx(Istr)=uxx(Istr+1); uxx(Iend+1)=uxx(Iend) (rhs3d.F:732-746)
-            uxx = uxx.at[..., 1].set(uxx[..., 2]).at[..., -1].set(
-                uxx[..., -2])
-            Huxx = Huxx.at[..., 1].set(Huxx[..., 2]).at[..., -1].set(
-                Huxx[..., -2])
+            uxx = st.clamp_east(st.clamp_west(uxx, col=2, at=1),
+                                col=-2, at=-1)
+            Huxx = st.clamp_east(st.clamp_west(Huxx, col=2, at=1),
+                                 col=-2, at=-1)
         UFx = _up3_upwind(u + st.ip1(u),
                           uxx, st.ip1(uxx),
                           Huon + st.ip1(Huon),
@@ -108,8 +108,8 @@ def hadv_uv(cfg: ModelConfig, grid: Grid, u, v, Huon, Hvom):
         if ewp:
             vxx = st.periodic_x(vxx)
         else:
-            vxx = vxx.at[..., 0].set(vxx[..., 1]).at[..., -1].set(
-                vxx[..., -2])
+            vxx = st.clamp_east(st.clamp_west(vxx, col=1, at=0),
+                                col=-2, at=-1)
         Huee = st.lap_y(Huon)
         Huee, = _ring_y(cfg, Huee)
         cff2 = Huon + st.jm1(Huon)

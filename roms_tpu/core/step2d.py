@@ -166,8 +166,10 @@ def _rhs2d_momentum(cfg: ModelConfig, grid: Grid, ubar, vbar,
             Dgu = st.periodic_x(Dgu)
         else:
             # grad(Istr)=grad(Istr+1); grad(Iend+1)=grad(Iend)  (:1258-1273)
-            gu = gu.at[..., 1].set(gu[..., 2]).at[..., -1].set(gu[..., -2])
-            Dgu = Dgu.at[..., 1].set(Dgu[..., 2]).at[..., -1].set(Dgu[..., -2])
+            gu = st.clamp_east(st.clamp_west(gu, col=2, at=1),
+                               col=-2, at=-1)
+            Dgu = st.clamp_east(st.clamp_west(Dgu, col=2, at=1),
+                                col=-2, at=-1)
         UFx = 0.25 * (ubar + st.ip1(ubar) - sixth * (gu + st.ip1(gu))) * \
             (DUon + st.ip1(DUon) - sixth * (Dgu + st.ip1(Dgu)))
 
@@ -188,7 +190,8 @@ def _rhs2d_momentum(cfg: ModelConfig, grid: Grid, ubar, vbar,
         if ewp:
             gv = st.periodic_x(gv)
         else:
-            gv = gv.at[..., 0].set(gv[..., 1]).at[..., -1].set(gv[..., -2])
+            gv = st.clamp_east(st.clamp_west(gv, col=1, at=0),
+                               col=-2, at=-1)
         DgDU = st.lap_y(DUon)
         if nsp:
             DgDU = st.periodic_y(DgDU)

@@ -91,9 +91,12 @@ def lap_y(a):
 
 def periodic_x(a):
     from ..parallel import blockctx
-    if blockctx.current() is not None:
+    ctx = blockctx.current()
+    if ctx is not None:
         # blocked xi torus: periodicity is inherent (ghost-free
         # interior decomposition; halos wrap mod Lm)
+        assert ctx.xi_periodic, \
+            "periodic_x called under a walled-xi block layout"
         return a
     a = a.at[..., 0].set(a[..., -2])
     a = a.at[..., -1].set(a[..., 1])
@@ -116,20 +119,53 @@ def periodic_y(a):
 # These write the ring so wrapped roll garbage never propagates inward.
 # ---------------------------------------------------------------------------
 
-def clamp_west(a, col=1):
+def clamp_west(a, col=1, at=0, src=None):
+    """a[..., at] = (src or a)[..., col] at the western edge
+    (ctx-aware for walled-xi block layouts)."""
     from ..parallel import blockctx
-    if blockctx.current() is not None:
-        # xi is periodic in the blocked class; the global code never
-        # clamps a periodic axis
-        raise NotImplementedError("clamp_west under blocked xi torus")
-    return a.at[..., 0].set(a[..., col])
+    ctx = blockctx.current()
+    if ctx is not None:
+        if ctx.xi_periodic:
+            raise NotImplementedError(
+                "clamp_west under blocked xi torus")
+        return blockctx.clamp_west_blocked(a, ctx, col=col, at=at,
+                                           src=src)
+    return a.at[..., at].set((a if src is None else src)[..., col])
 
 
-def clamp_east(a, col=-2):
+def clamp_east(a, col=-2, at=-1, src=None):
     from ..parallel import blockctx
-    if blockctx.current() is not None:
-        raise NotImplementedError("clamp_east under blocked xi torus")
-    return a.at[..., -1].set(a[..., col])
+    ctx = blockctx.current()
+    if ctx is not None:
+        if ctx.xi_periodic:
+            raise NotImplementedError(
+                "clamp_east under blocked xi torus")
+        return blockctx.clamp_east_blocked(a, ctx, col=col, at=at,
+                                           src=src)
+    return a.at[..., at].set((a if src is None else src)[..., col])
+
+
+def zero_west(a, at=0):
+    """a[..., at global col] = 0 at the western wall (ctx-aware)."""
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None and not ctx.xi_periodic:
+        return blockctx.zero_col_blocked(a, ctx, at if at >= 0
+                                         else ctx.Lm + 2 + at)
+    if ctx is not None:
+        raise NotImplementedError("zero_west under blocked xi torus")
+    return a.at[..., at].set(0.0)
+
+
+def zero_east(a, at=-1):
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None and not ctx.xi_periodic:
+        return blockctx.zero_col_blocked(a, ctx, at if at >= 0
+                                         else ctx.Lm + 2 + at)
+    if ctx is not None:
+        raise NotImplementedError("zero_east under blocked xi torus")
+    return a.at[..., at].set(0.0)
 
 
 def clamp_south(a, row=1, at=0, src=None):

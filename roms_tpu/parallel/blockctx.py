@@ -38,9 +38,14 @@ class BlockCtx(NamedTuple):
     """grow: (block_rows,) int32 global eta index of every block row
     (0 = south physical ghost row, Mm+1 = north ghost; halo rows
     outside the domain are clamped to those values).  Mm: interior
-    rows."""
+    rows.  For walled-xi layouts (xi_periodic=False), gcol is the
+    column counterpart (0 = west ghost, Lm+1 = east ghost) and
+    fixed-column boundary writes become masked updates too."""
     grow: jnp.ndarray
     Mm: int
+    gcol: jnp.ndarray = None
+    Lm: int = 0
+    xi_periodic: bool = True
 
 
 def current() -> Optional[BlockCtx]:
@@ -67,12 +72,44 @@ def _set_row(f, ctx, g, value):
     return jnp.where(_row_mask(ctx, g), value, f)
 
 
+def _col_mask(ctx: BlockCtx, g: int):
+    """(cols,) bool mask of block cols holding global col g."""
+    return ctx.gcol == g
+
+
+def _set_col(f, ctx, g, value):
+    """f[..., global col g] = value (value aligned with f's cols,
+    or (..., rows) line data broadcast with a trailing axis)."""
+    if hasattr(value, "ndim") and value.ndim == f.ndim - 1:
+        value = value[..., None]
+    return jnp.where(_col_mask(ctx, g), value, f)
+
+
 def _jp1(a):
     return jnp.roll(a, -1, axis=-2)
 
 
 def _jm1(a):
     return jnp.roll(a, 1, axis=-2)
+
+
+def _ip1(a):
+    return jnp.roll(a, -1, axis=-1)
+
+
+def _im1(a):
+    return jnp.roll(a, 1, axis=-1)
+
+
+def _corners_blocked(f, ctx: BlockCtx):
+    """bc_2d.F corner treatment under blocks: the four domain-corner
+    ghost points average their two edge neighbors."""
+    Mn, Ln = ctx.Mm + 1, ctx.Lm + 1
+    for gr, gc, nj, ni in ((0, 0, _jp1, _ip1), (0, Ln, _jp1, _im1),
+                           (Mn, 0, _jm1, _ip1), (Mn, Ln, _jm1, _im1)):
+        m = _row_mask(ctx, gr) & _col_mask(ctx, gc)
+        f = jnp.where(m, 0.5 * (nj(f) + ni(f)), f)
+    return f
 
 
 # ---------------------------------------------------------------------------
@@ -82,9 +119,22 @@ def _jm1(a):
 
 def bc_rho_blocked(f, lbc, ctx: BlockCtx, bdata=None):
     from ..config import CLAMPED, CLOSED, GRADIENT, PERIODIC
-    assert lbc.west == PERIODIC and lbc.east == PERIODIC, \
-        "block context supports EW-periodic domains only"
     bd = bdata or {}
+    if ctx.xi_periodic:
+        assert lbc.west == PERIODIC and lbc.east == PERIODIC, \
+            "torus-xi block context requires EW-periodic LBCs"
+    else:
+        assert lbc.west != PERIODIC and lbc.east != PERIODIC
+        if lbc.west in (CLOSED, GRADIENT) or (
+                lbc.west == CLAMPED and "west" not in bd):
+            f = _set_col(f, ctx, 0, _ip1(f))
+        elif lbc.west == CLAMPED:
+            f = _set_col(f, ctx, 0, bd["west"])
+        if lbc.east in (CLOSED, GRADIENT) or (
+                lbc.east == CLAMPED and "east" not in bd):
+            f = _set_col(f, ctx, ctx.Lm + 1, _im1(f))
+        elif lbc.east == CLAMPED:
+            f = _set_col(f, ctx, ctx.Lm + 1, bd["east"])
     if lbc.south in (CLOSED, GRADIENT) or (
             lbc.south == CLAMPED and "south" not in bd):
         f = _set_row(f, ctx, 0, _jp1(f))
@@ -95,13 +145,37 @@ def bc_rho_blocked(f, lbc, ctx: BlockCtx, bdata=None):
         f = _set_row(f, ctx, ctx.Mm + 1, _jm1(f))
     elif lbc.north == CLAMPED:
         f = _set_row(f, ctx, ctx.Mm + 1, bd["north"])
+    if not ctx.xi_periodic:
+        f = _corners_blocked(f, ctx)
     return f
 
 
 def bc_u_blocked(f, lbc, ctx: BlockCtx, gamma2=1.0, bdata=None):
     from ..config import CLAMPED, CLOSED, GRADIENT, PERIODIC
-    assert lbc.west == PERIODIC and lbc.east == PERIODIC
     bd = bdata or {}
+    if ctx.xi_periodic:
+        assert lbc.west == PERIODIC and lbc.east == PERIODIC
+    else:
+        assert lbc.west != PERIODIC and lbc.east != PERIODIC
+        # west/east are the flow-normal edges for U (u2dbc_im.F):
+        # wall u-point is global col 1; ghost col 0
+        if lbc.west == CLOSED:
+            f = _set_col(f, ctx, 1, jnp.zeros_like(f))
+            f = _set_col(f, ctx, 0, jnp.zeros_like(f))
+        elif lbc.west == GRADIENT or (lbc.west == CLAMPED
+                                      and "west" not in bd):
+            f = _set_col(f, ctx, 1, _ip1(f))
+            f = _set_col(f, ctx, 0, jnp.roll(f, -2, axis=-1))
+        elif lbc.west == CLAMPED:
+            f = _set_col(f, ctx, 1, bd["west"])
+            f = _set_col(f, ctx, 0, bd["west"])
+        if lbc.east == CLOSED:
+            f = _set_col(f, ctx, ctx.Lm + 1, jnp.zeros_like(f))
+        elif lbc.east == GRADIENT or (lbc.east == CLAMPED
+                                      and "east" not in bd):
+            f = _set_col(f, ctx, ctx.Lm + 1, _im1(f))
+        elif lbc.east == CLAMPED:
+            f = _set_col(f, ctx, ctx.Lm + 1, bd["east"])
     if lbc.south == CLOSED:
         f = _set_row(f, ctx, 0, gamma2 * _jp1(f))
     elif lbc.south == GRADIENT or (lbc.south == CLAMPED
@@ -116,13 +190,33 @@ def bc_u_blocked(f, lbc, ctx: BlockCtx, gamma2=1.0, bdata=None):
         f = _set_row(f, ctx, ctx.Mm + 1, _jm1(f))
     elif lbc.north == CLAMPED:
         f = _set_row(f, ctx, ctx.Mm + 1, bd["north"])
+    if not ctx.xi_periodic:
+        f = _corners_blocked(f, ctx)
     return f
 
 
 def bc_v_blocked(f, lbc, ctx: BlockCtx, gamma2=1.0, bdata=None):
     from ..config import CLAMPED, CLOSED, GRADIENT, PERIODIC
-    assert lbc.west == PERIODIC and lbc.east == PERIODIC
     bd = bdata or {}
+    if ctx.xi_periodic:
+        assert lbc.west == PERIODIC and lbc.east == PERIODIC
+    else:
+        assert lbc.west != PERIODIC and lbc.east != PERIODIC
+        # west/east are tangential for V: ghost col writes
+        if lbc.west == CLOSED:
+            f = _set_col(f, ctx, 0, gamma2 * _ip1(f))
+        elif lbc.west == GRADIENT or (lbc.west == CLAMPED
+                                      and "west" not in bd):
+            f = _set_col(f, ctx, 0, _ip1(f))
+        elif lbc.west == CLAMPED:
+            f = _set_col(f, ctx, 0, bd["west"])
+        if lbc.east == CLOSED:
+            f = _set_col(f, ctx, ctx.Lm + 1, gamma2 * _im1(f))
+        elif lbc.east == GRADIENT or (lbc.east == CLAMPED
+                                      and "east" not in bd):
+            f = _set_col(f, ctx, ctx.Lm + 1, _im1(f))
+        elif lbc.east == CLAMPED:
+            f = _set_col(f, ctx, ctx.Lm + 1, bd["east"])
     if lbc.south == CLOSED:
         f = _set_row(f, ctx, 1, jnp.zeros_like(f))
         f = _set_row(f, ctx, 0, jnp.zeros_like(f))
@@ -142,6 +236,8 @@ def bc_v_blocked(f, lbc, ctx: BlockCtx, gamma2=1.0, bdata=None):
         f = _set_row(f, ctx, ctx.Mm + 1, _jm1(f))
     elif lbc.north == CLAMPED:
         f = _set_row(f, ctx, ctx.Mm + 1, bd["north"])
+    if not ctx.xi_periodic:
+        f = _corners_blocked(f, ctx)
     return f
 
 
@@ -163,3 +259,23 @@ def clamp_north_blocked(a, ctx: BlockCtx, row: int = -2,
 
 def zero_row_blocked(a, ctx: BlockCtx, g: int):
     return _set_row(a, ctx, g, jnp.zeros_like(a))
+
+
+def clamp_west_blocked(a, ctx: BlockCtx, col: int = 1, at: int = 0,
+                       src=None):
+    """stencil.clamp_west under the context: global col `at` copies
+    (src or a) at global col `col` near the western wall."""
+    b = a if src is None else src
+    return _set_col(a, ctx, at, jnp.roll(b, -(col - at), axis=-1))
+
+
+def clamp_east_blocked(a, ctx: BlockCtx, col: int = -2, at: int = -1,
+                       src=None):
+    g_at = ctx.Lm + 2 + at if at < 0 else at
+    g_col = ctx.Lm + 2 + col if col < 0 else col
+    b = a if src is None else src
+    return _set_col(a, ctx, g_at, jnp.roll(b, g_at - g_col, axis=-1))
+
+
+def zero_col_blocked(a, ctx: BlockCtx, g: int):
+    return _set_col(a, ctx, g, jnp.zeros_like(a))

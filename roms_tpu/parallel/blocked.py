@@ -40,6 +40,7 @@ class BlockLayout(NamedTuple):
     nghost: int
     Mm: int
     Lm: int
+    xi_periodic: bool = True
 
     @property
     def bj(self) -> int:
@@ -64,7 +65,8 @@ def make_layout(cfg, mesh: Mesh, nghost: int) -> BlockLayout:
         raise ValueError(
             f"grid {cfg.Mm}x{cfg.Lm} not divisible by mesh "
             f"({neta},{nxi})")
-    return BlockLayout(neta, nxi, nghost, cfg.Mm, cfg.Lm)
+    return BlockLayout(neta, nxi, nghost, cfg.Mm, cfg.Lm,
+                       xi_periodic=bool(cfg.bc.ew_periodic))
 
 
 def _eta_index(lay: BlockLayout) -> np.ndarray:
@@ -79,12 +81,19 @@ def _eta_index(lay: BlockLayout) -> np.ndarray:
 
 
 def _xi_index(lay: BlockLayout) -> np.ndarray:
-    """Global col index per blocked col (nxi*BI,), periodic mod Lm
-    over the interior columns 1..Lm."""
+    """Global col index per blocked col (nxi*BI,): periodic mod Lm
+    over the interior columns 1..Lm for the torus layout; clamped to
+    the physical ghost columns (0 / Lm+1) for walled xi (same
+    discipline as the eta axis)."""
     idx = []
     for ib in range(lay.nxi):
-        g = np.arange(ib * lay.bi - lay.nghost,
-                      (ib + 1) * lay.bi + lay.nghost) % lay.Lm + 1
+        if lay.xi_periodic:
+            g = np.arange(ib * lay.bi - lay.nghost,
+                          (ib + 1) * lay.bi + lay.nghost) % lay.Lm + 1
+        else:
+            g = np.clip(np.arange(ib * lay.bi + 1 - lay.nghost,
+                                  (ib + 1) * lay.bi + 1 + lay.nghost),
+                        0, lay.Lm + 1)
         idx.append(g)
     return np.concatenate(idx)
 
@@ -93,6 +102,12 @@ def grow_array(lay: BlockLayout) -> jnp.ndarray:
     """(neta*BJ,) int32 global row index of every blocked row —
     shard along 'eta' so each device sees its own block's indices."""
     return jnp.asarray(_eta_index(lay), jnp.int32)
+
+
+def gcol_array(lay: BlockLayout) -> jnp.ndarray:
+    """(nxi*BI,) int32 global col index of every blocked col (walled
+    xi layouts) — shard along 'xi'."""
+    return jnp.asarray(_xi_index(lay), jnp.int32)
 
 
 def to_blocks(f, lay: BlockLayout):
@@ -132,8 +147,33 @@ def from_blocks(fb, lay: BlockLayout):
     full = jnp.concatenate(
         [xi_reassemble(south), interior, xi_reassemble(north)],
         axis=-2)                                        # (Mj, Lm)
-    west = lax.slice_in_dim(full, lay.Lm - 1, lay.Lm, axis=-1)
-    east = lax.slice_in_dim(full, 0, 1, axis=-1)
+    if lay.xi_periodic:
+        west = lax.slice_in_dim(full, lay.Lm - 1, lay.Lm, axis=-1)
+        east = lax.slice_in_dim(full, 0, 1, axis=-1)
+        return jnp.concatenate([west, full, east], axis=-1)
+
+    # walled xi: the physical ghost columns live in the wall blocks'
+    # rings (same as the eta ghost rows)
+    def col_from_blocks(ib, col_in_block):
+        c = ib * lay.BI + col_in_block
+        parts = []
+        for jb in range(lay.neta):
+            r0 = jb * lay.BJ + lay.nghost
+            parts.append(lax.slice_in_dim(
+                lax.slice_in_dim(fb, r0, r0 + lay.bj, axis=-2),
+                c, c + 1, axis=-1))
+        col = jnp.concatenate(parts, axis=-2)           # (Mm, 1)
+        s_g = lax.slice_in_dim(lax.slice_in_dim(
+            fb, lay.nghost - 1, lay.nghost, axis=-2), c, c + 1,
+            axis=-1)
+        n_g = lax.slice_in_dim(lax.slice_in_dim(
+            fb, (lay.neta - 1) * lay.BJ + lay.nghost + lay.bj,
+            (lay.neta - 1) * lay.BJ + lay.nghost + lay.bj + 1,
+            axis=-2), c, c + 1, axis=-1)
+        return jnp.concatenate([s_g, col, n_g], axis=-2)  # (Mj, 1)
+
+    west = col_from_blocks(0, lay.nghost - 1)
+    east = col_from_blocks(lay.nxi - 1, lay.nghost + lay.bi)
     return jnp.concatenate([west, full, east], axis=-1)
 
 
@@ -158,13 +198,22 @@ def refresh_block(f, lay: BlockLayout, mesh_axes=("eta", "xi")):
     physical boundary rows maintained by blockctx)."""
     g = lay.nghost
     eta_ax, xi_ax = mesh_axes
-    if lay.nxi > 1 or True:
-        fwd, bwd = _perms(lay.nxi, wrap=True)
+    if lay.xi_periodic or lay.nxi > 1:
+        fwd, bwd = _perms(lay.nxi, wrap=lay.xi_periodic)
         BI = f.shape[-1]
         east = lax.slice_in_dim(f, BI - 2 * g, BI - g, axis=-1)
         west = lax.slice_in_dim(f, g, 2 * g, axis=-1)
         from_west = lax.ppermute(east, xi_ax, fwd)
         from_east = lax.ppermute(west, xi_ax, bwd)
+        if not lay.xi_periodic:
+            # wall blocks received zeros on the unlinked side: keep
+            # the old ring (the BC-maintained boundary columns)
+            ib = lax.axis_index(xi_ax)
+            old_w = lax.slice_in_dim(f, 0, g, axis=-1)
+            old_e = lax.slice_in_dim(f, BI - g, BI, axis=-1)
+            from_west = jnp.where(ib == 0, old_w, from_west)
+            from_east = jnp.where(ib == lay.nxi - 1, old_e,
+                                  from_east)
         f = lax.dynamic_update_slice_in_dim(f, from_west, 0,
                                             axis=f.ndim - 1)
         f = lax.dynamic_update_slice_in_dim(f, from_east, BI - g,

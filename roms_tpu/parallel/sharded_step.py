@@ -33,11 +33,13 @@ Instead of duplicating the step, the engine calls the Model's OWN
   * blocked-grid argument — every stencil/boundary primitive consults
     parallel.blockctx and lands wall writes on true domain edges.
 
-Supported class (round 5): EW-periodic, N/S walls, LMD-KPP / GLS /
-MY2.5 / constant / analytic vmix, all prsgrd schemes, column-local
-ecosystem (bio_fn) and sediment (sed_fn) hooks, wet/dry.  Still
-unsupported: open boundaries (obc_fn), climatology nudging, point
-sources, sea ice, WEC, nesting — these raise at construction.
+Supported class (round 5): EW-periodic OR walled xi (closed/
+gradient/clamped W/E, blockctx gcol masks), N/S walls, LMD-KPP /
+GLS / MY2.5 / constant / analytic vmix, all prsgrd schemes,
+column-local ecosystem (bio_fn) and sediment (sed_fn) hooks,
+wet/dry.  Still unsupported: open-boundary radiation/Flather
+(obc_fn), climatology nudging, point sources, sea ice, WEC,
+nesting — these raise at construction.
 Horizontal advection schemes are guarded against the nghost budget
 (`_check_stencil_reach`); wide-stencil schemes (MPDATA/HSIMT/AKIMA4)
 raise instead of silently corrupting interiors.
@@ -63,8 +65,8 @@ from ..core.weights import power_law_weights
 from ..grid.depth import set_depth
 from ..ops.kernel_gate import no_pallas
 from . import blockctx as bctx
-from .blocked import (from_blocks, grow_array, make_layout,
-                      refresh_block, to_blocks)
+from .blocked import (from_blocks, gcol_array, grow_array,
+                      make_layout, refresh_block, to_blocks)
 
 # Horizontal advection schemes whose full-step contamination reach is
 # covered by the validated nghost=14 / refresh_every=2 budget (reach
@@ -114,8 +116,9 @@ class ShardedStep:
                  refresh_every: int = 2,
                  forcing_factory: Optional[Callable] = None):
         cfg = model.cfg
-        if not cfg.bc.ew_periodic or cfg.bc.ns_periodic:
-            raise ValueError("sharded step: EW-periodic/NS-walled only")
+        if cfg.bc.ns_periodic:
+            raise ValueError("sharded step: NS-periodic unsupported "
+                             "(decompose the periodic axis as xi)")
         for hook in ("ice_fn", "wec_fn", "obc_fn", "clm_fn",
                      "bbl_fn", "eq_tide_fn", "pair_fn"):
             if getattr(model, hook, None) is not None:
@@ -148,6 +151,7 @@ class ShardedStep:
 
         self.gridblk = jax.tree_util.tree_map(_blk, model.grid)
         self.grow = grow_array(lay)
+        self.gcol = gcol_array(lay)
         self._blk = _blk
 
         def _spec(x):
@@ -191,13 +195,16 @@ class ShardedStep:
         return out
 
     # -----------------------------------------------------------------
-    def _step_impl_blocked(self, grid, grow, state: State, forcing):
+    def _step_impl_blocked(self, grid, grow, gcol, state: State,
+                           forcing):
         """The per-device step body: R1 halo refresh, then the Model's
         own step_impl with block-local forcing and the halo-refreshing
         fast loop (main3d.F cycle with the mp_exchange discipline
         collapsed into the three aggregated refresh points)."""
         cfg = self.cfg
-        ctx = bctx.BlockCtx(grow=grow, Mm=cfg.Mm)
+        ctx = bctx.BlockCtx(grow=grow, Mm=cfg.Mm, gcol=gcol,
+                            Lm=cfg.Lm,
+                            xi_periodic=self.lay.xi_periodic)
         with bctx.block_ctx(ctx), no_pallas():
             # ---- R1: start-of-step halo refresh --------------------
             f3 = [state.u, state.v, state.t, state.t_prev]
@@ -295,9 +302,11 @@ class ShardedStep:
         state_spec = tm(self._spec, state_blk)
         fspec = tm(self._spec, forcing_blk)
         sm = shard_map(
-            lambda g, gr, s, f: self._step_impl_blocked(g, gr, s, f),
+            lambda g, gr, gc, s, f: self._step_impl_blocked(
+                g, gr, gc, s, f),
             mesh=self.mesh,
-            in_specs=(self._grid_specs, P("eta"), state_spec, fspec),
+            in_specs=(self._grid_specs, P("eta"), P("xi"),
+                      state_spec, fspec),
             out_specs=state_spec)
         return jax.jit(sm)
 
@@ -333,8 +342,8 @@ class ShardedStep:
                 self._blk, self._global_forcing(state_blk))
         if self._step_sm is None:
             self._step_sm = self._build(state_blk, forcing_blk)
-        return self._step_sm(self.gridblk, self.grow, state_blk,
-                             forcing_blk)
+        return self._step_sm(self.gridblk, self.grow, self.gcol,
+                             state_blk, forcing_blk)
 
     def step(self, state: State) -> State:
         return self.unblock_state(
@@ -354,7 +363,7 @@ class ShardedStep:
             def advance(s, n):
                 def body(c, _):
                     return self._step_sm(self.gridblk, self.grow,
-                                         c, ()), None
+                                         self.gcol, c, ()), None
                 s, _ = lax.scan(body, s, None, length=n)
                 return s
             self._scan_fn = jax.jit(advance, static_argnums=1)

@@ -89,7 +89,7 @@ def test_sharded_step_collective_budget():
     fblk = jax.tree_util.tree_map(ss._blk, forcing)
     fn = ss._build(blk, fblk)
     with mesh:
-        hlo = fn.lower(ss.gridblk, ss.grow, blk,
+        hlo = fn.lower(ss.gridblk, ss.grow, ss.gcol, blk,
                        fblk).compile().as_text()
     c = audit_hlo(hlo)
     assert c["collective-permute"] < 120, c
@@ -166,7 +166,8 @@ def test_sharded_step_forcing_in_region():
     blk = ss.block_state(s0)
     fn = ss._build(blk, ())
     with mesh:
-        hlo = fn.lower(ss.gridblk, ss.grow, blk, ()).compile().as_text()
+        hlo = fn.lower(ss.gridblk, ss.grow, ss.gcol, blk,
+                       ()).compile().as_text()
     c = audit_hlo(hlo)
     assert c["collective-permute"] < 120, c
     assert c["all-gather"] == 0, c
@@ -214,3 +215,23 @@ def test_sharded_step_full_reach_pinned():
     reach = max(np.abs(js - jc).max(), np.abs(is_ - ic).max())
     # one full baroclinic step (prep+predictor+fast+correctors)
     assert reach <= 14, reach
+
+
+def test_sharded_step_walled_xi_grav_adj():
+    """Round-5 generalization (c): non-periodic xi — closed-wall
+    gravity adjustment (GRAV_ADJ) decomposed on BOTH axes; wall BCs
+    land on the true W/E domain edges per block (blockctx gcol
+    masks)."""
+    from roms_tpu.functionals import idealized
+    cfg = idealized.grav_adj_config(Lm=64, Mm=16, N=6, dt=10.0,
+                                    ndtfast=10)
+    grid = idealized.grav_adj_grid(cfg)
+    model = Model(cfg, grid, idealized.zero_forcing(cfg))
+    s0 = model.run(idealized.grav_adj_initial(cfg, grid), 2)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(model, mesh, nghost=14, refresh_every=2)
+
+    ref = model.step(model.step(s0))
+    out = ss.step(ss.step(s0))
+    _compare(ref, out, atol_scale=1e-11)

@@ -56,47 +56,86 @@ def run_per_test(path, extra):
     return npass, nfail, ncrash, time.time() - t0
 
 
-def main():
-    extra = sys.argv[1:]
-    files = sorted(glob.glob(os.path.join(ROOT, "tests", "test_*.py")))
-    total_pass = total_fail = 0
-    failures, crashes = [], []
-    for path in files:
-        name = os.path.basename(path)
-        rc, crashed, summary, dt = run_file(path, extra)
+def run_one(path, extra):
+    """Run one test file with crash retry + per-test fallback.
+    Returns a result dict (the JSON artifact row)."""
+    name = os.path.basename(path)
+    rc, crashed, summary, dt = run_file(path, extra)
+    if crashed:
+        rc, crashed, summary, dt2 = run_file(path, extra)
+        dt += dt2
         if crashed:
-            rc, crashed, summary, dt2 = run_file(path, extra)
-            dt += dt2
-            if crashed:
-                npass, nfail, ncrash, dt3 = run_per_test(path, extra)
-                dt += dt3
-                total_pass += npass
-                total_fail += nfail
-                if ncrash:
-                    crashes.append(f"{name} ({ncrash} tests)")
-                if nfail:
-                    failures.append(name)
-                print(f"{name:42s} per-test fallback: {npass} passed,"
-                      f" {nfail} failed, {ncrash} crashed "
-                      f"[{dt:6.1f}s]", flush=True)
-                continue
-        import re
-        m = re.search(r"(\d+) passed", summary)
-        p = int(m.group(1)) if m else 0
-        m = re.search(r"(\d+) failed", summary)
-        f = int(m.group(1)) if m else 0
-        total_pass += p
-        total_fail += f
-        if f or rc not in (0, 5):
-            failures.append(name)
-        print(f"{name:42s} {summary[:60]:60s} [{dt:6.1f}s]",
-              flush=True)
+            npass, nfail, ncrash, dt3 = run_per_test(path, extra)
+            dt += dt3
+            return {"file": name, "passed": npass, "failed": nfail,
+                    "crashed_tests": ncrash, "seconds": round(dt, 1),
+                    "mode": "per-test"}
+    import re
+    m = re.search(r"(\d+) passed", summary)
+    p = int(m.group(1)) if m else 0
+    m = re.search(r"(\d+) failed", summary)
+    f = int(m.group(1)) if m else 0
+    m = re.search(r"(\d+) error", summary)
+    f += int(m.group(1)) if m else 0
+    if f == 0 and p == 0 and rc not in (0, 5):
+        f = 1      # import error etc.
+    return {"file": name, "passed": p, "failed": f,
+            "crashed_tests": 0, "seconds": round(dt, 1),
+            "mode": "file"}
+
+
+def main():
+    args = sys.argv[1:]
+    jobs = 2
+    if "--jobs" in args:
+        k = args.index("--jobs")
+        jobs = int(args[k + 1])
+        del args[k:k + 2]
+    extra = args
+    files = sorted(glob.glob(os.path.join(ROOT, "tests", "test_*.py")))
+    results = []
+    t0 = time.time()
+    if jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(jobs) as ex:
+            futs = {ex.submit(run_one, p, extra): p for p in files}
+            from concurrent.futures import as_completed
+            for fut in as_completed(futs):
+                r = fut.result()
+                results.append(r)
+                print(f"{r['file']:42s} {r['passed']:4d} passed "
+                      f"{r['failed']:3d} failed "
+                      f"{r['crashed_tests']:3d} crashed "
+                      f"[{r['seconds']:7.1f}s {r['mode']}]",
+                      flush=True)
+    else:
+        for p in files:
+            r = run_one(p, extra)
+            results.append(r)
+            print(f"{r['file']:42s} {r['passed']:4d} passed "
+                  f"{r['failed']:3d} failed "
+                  f"{r['crashed_tests']:3d} crashed "
+                  f"[{r['seconds']:7.1f}s {r['mode']}]", flush=True)
+    wall = time.time() - t0
+    total_pass = sum(r["passed"] for r in results)
+    total_fail = sum(r["failed"] for r in results)
+    ncrash = sum(r["crashed_tests"] for r in results)
+    failures = [r["file"] for r in results if r["failed"]]
+    crashes = [r["file"] for r in results if r["crashed_tests"]]
     print(f"\nTOTAL: {total_pass} passed, {total_fail} failed, "
-          f"{len(crashes)} crashed files")
+          f"{ncrash} crashed tests ({wall:.0f}s wall, jobs={jobs})")
     if failures:
         print("failing files:", ", ".join(failures))
     if crashes:
         print("crashed files:", ", ".join(crashes))
+    import json
+    art = {"total_passed": total_pass, "total_failed": total_fail,
+           "crashed_tests": ncrash, "wall_seconds": round(wall, 1),
+           "jobs": jobs,
+           "files": sorted(results, key=lambda r: -r["seconds"])}
+    with open(os.path.join(ROOT, "SUITE_SUMMARY.json"), "w") as f:
+        json.dump(art, f, indent=1)
+    print("summary artifact: SUITE_SUMMARY.json")
     return 1 if (total_fail or crashes) else 0
 
 
