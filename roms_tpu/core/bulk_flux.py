@@ -83,16 +83,18 @@ def _arctan(x):
     return sgn * a
 
 
+from ..ops.fastmath import cbrt_pos as _cbrt, pow14 as _pow14
+
+
 def bulk_psiu(ZoL):
     """Momentum stability function (bulk_flux.F:1465-1528)."""
-    r3 = 1.0 / 3.0
-    x = jnp.maximum(1.0 - 15.0 * ZoL, _EPS) ** 0.25
+    x = _pow14(jnp.maximum(1.0 - 15.0 * ZoL, _EPS))
     psik = (2.0 * jnp.log(0.5 * (1.0 + x))
             + jnp.log(0.5 * (1.0 + x * x))
             - 2.0 * _arctan(x) + 0.5 * _PI)
     s3 = math.sqrt(3.0)
-    y = jnp.maximum(1.0 - 10.15 * ZoL, _EPS) ** r3
-    psic = (1.5 * jnp.log(r3 * (1.0 + y + y * y))
+    y = _cbrt(jnp.maximum(1.0 - 10.15 * ZoL, _EPS))
+    psic = (1.5 * jnp.log((1.0 / 3.0) * (1.0 + y + y * y))
             - s3 * _arctan((1.0 + 2.0 * y) / s3) + _PI / s3)
     Fw = ZoL * ZoL / (1.0 + ZoL * ZoL)
     unstable = (1.0 - Fw) * psik + Fw * psic
@@ -104,17 +106,17 @@ def bulk_psiu(ZoL):
 
 def bulk_psit(ZoL):
     """Scalar stability function (bulk_flux.F:1530-1592)."""
-    r3 = 1.0 / 3.0
     x = jnp.sqrt(jnp.maximum(1.0 - 15.0 * ZoL, _EPS))
     psik = 2.0 * jnp.log(0.5 * (1.0 + x))
     s3 = math.sqrt(3.0)
-    y = jnp.maximum(1.0 - 34.15 * ZoL, _EPS) ** r3
-    psic = (1.5 * jnp.log(r3 * (1.0 + y + y * y))
+    y = _cbrt(jnp.maximum(1.0 - 34.15 * ZoL, _EPS))
+    psic = (1.5 * jnp.log((1.0 / 3.0) * (1.0 + y + y * y))
             - s3 * _arctan((1.0 + 2.0 * y) / s3) + _PI / s3)
     Fw = ZoL * ZoL / (1.0 + ZoL * ZoL)
     unstable = (1.0 - Fw) * psik + Fw * psic
     cff = jnp.minimum(50.0, 0.35 * ZoL)
-    stable = -((1.0 + 2.0 * ZoL) ** 1.5
+    z15 = 1.0 + 2.0 * ZoL
+    stable = -(z15 * jnp.sqrt(jnp.maximum(z15, 0.0))
                + 0.6667 * (ZoL - 14.28) / jnp.exp(cff) + 8.525)
     return jnp.where(ZoL < 0.0, unstable, stable)
 
@@ -248,7 +250,8 @@ def bulk_flux_rho(cfg: ModelConfig, atm: AtmState, sst, sss,
             (jnp.log(BLK_ZQ / ZoQ) - Qpsi)
         Bf = -g / TairK * Wstar * (Tstar + 0.61 * TairK * Qstar)
         Wgus = jnp.where(Bf > 0.0,
-                         BLK_BETA * (Bf * BLK_ZABL) ** (1.0 / 3.0),
+                         BLK_BETA * _cbrt(jnp.maximum(
+                             Bf * BLK_ZABL, _EPS)),
                          0.2)
         delW = jnp.sqrt(Wmag ** 2 + Wgus ** 2)
         if cool_skin:

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from .. import constants
 from ..config import ModelConfig
 from ..grid.grid import Grid
+from ..ops import fastmath
 from ..ops import stencil as st
 from ..ops.tridiag import tridiag_solve
 
@@ -114,20 +115,21 @@ def _alpha_beta(cfg: ModelConfig, t):
 
 def _wscale(Ustar, zetahat, vonKar):
     """Turbulent velocity scales wm/ws from similarity (lmd_skpp.F)."""
+    from ..ops.fastmath import cbrt_pos, pow14
     Ustar3 = Ustar ** 3
     zetapar = zetahat / (Ustar3 + _SMALL)
-    r3 = 1.0 / 3.0
     wm_stab = vonKar * Ustar / (1.0 + 5.0 * zetapar)
     wm_uns = jnp.where(
         zetapar > LMD_ZETAM,
-        vonKar * Ustar * jnp.maximum(1.0 - 16.0 * zetapar, 0.0) ** 0.25,
-        vonKar * jnp.maximum(LMD_AM * Ustar3 - LMD_CM * zetahat,
-                             0.0) ** r3)
+        vonKar * Ustar * pow14(jnp.maximum(1.0 - 16.0 * zetapar,
+                                           0.0)),
+        vonKar * cbrt_pos(jnp.maximum(
+            LMD_AM * Ustar3 - LMD_CM * zetahat, 0.0)))
     ws_uns = jnp.where(
         zetapar > LMD_ZETAS,
         vonKar * Ustar * jnp.sqrt(jnp.maximum(1.0 - 16.0 * zetapar, 0.0)),
-        vonKar * jnp.maximum(LMD_AS * Ustar3 - LMD_CS * zetahat,
-                             0.0) ** r3)
+        vonKar * cbrt_pos(jnp.maximum(
+            LMD_AS * Ustar3 - LMD_CS * zetahat, 0.0)))
     stable = zetahat >= 0.0
     wm = jnp.where(stable, wm_stab, wm_uns)
     ws = jnp.where(stable, wm_stab, ws_uns)
@@ -240,7 +242,7 @@ def lmd_skpp(cfg: ModelConfig, grid: Grid, t, u, v, pden, bvf, Hz,
     stflx, srflx = forcing.stflx, forcing.srflx
     taux_r = 0.5 * (sustr + st.ip1(sustr))
     tauy_r = 0.5 * (svstr + st.jp1(svstr))
-    Ustar = (taux_r ** 2 + tauy_r ** 2) ** 0.25
+    Ustar = fastmath.pow14(taux_r ** 2 + tauy_r ** 2)
 
     alpha, beta = _alpha_beta(cfg, t)
     if cfg.NT > 1:
@@ -426,7 +428,7 @@ def lmd_bkpp(cfg: ModelConfig, grid: Grid, t, u, v, pden, bvf, Hz,
 
     taux_r = 0.5 * (bustr + st.ip1(bustr))
     tauy_r = 0.5 * (bvstr + st.jp1(bvstr))
-    Ustar = (taux_r ** 2 + tauy_r ** 2) ** 0.25
+    Ustar = fastmath.pow14(taux_r ** 2 + tauy_r ** 2)
 
     alpha, beta = _alpha_beta(cfg, t)
     btflx = forcing.btflx

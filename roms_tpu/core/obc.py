@@ -25,9 +25,112 @@ import jax.numpy as jnp
 
 from .. import constants
 from ..config import (LBC, ModelConfig, CHAPMAN_EXPLICIT, CHAPMAN_IMPLICIT,
-                      CLAMPED, FLATHER, GRADIENT, RADIATION, SHCHEPETKIN)
+                      CLAMPED, FLATHER, GRADIENT, RADIATION, REDUCED,
+                      SHCHEPETKIN)
 
 _EPS = 1.0e-20
+
+
+# ---------------------------------------------------------------------------
+# Blocked (shard_map) open-boundary machinery: the same edge formulas
+# evaluated with rolls + (grow, gcol) masked writes so each device
+# applies only the edges it owns (parallel.blockctx; round-5 engine
+# phase (b)).  The oriented-kernel path below stays the single-chip
+# implementation; every public function dispatches on the active ctx.
+# ---------------------------------------------------------------------------
+
+class _Side:
+    """Roll toolkit for one edge under a BlockCtx."""
+
+    def __init__(self, ctx, side):
+        self.ctx = ctx
+        self.side = side
+        self.xi = side in ("west", "east")
+        self.ax = -1 if self.xi else -2
+        self.sgn = -1 if side in ("west", "south") else +1
+
+    def inw(self, a, k=1):
+        """Value k cells INWARD of the current position."""
+        return jnp.roll(a, self.sgn * k, axis=self.ax)
+
+    def tan_m(self, a):
+        return jnp.roll(a, 1, axis=(-2 if self.xi else -1))
+
+    def tan_p(self, a):
+        return jnp.roll(a, -1, axis=(-2 if self.xi else -1))
+
+    def gidx(self, offset=0):
+        """Global index of the ghost line (+offset cells inward)."""
+        if self.side in ("west", "south"):
+            return offset
+        n = self.ctx.Lm if self.xi else self.ctx.Mm
+        return n + 1 - offset
+
+    def setg(self, f, value, offset=0):
+        from ..parallel import blockctx as bx
+        g = self.gidx(offset)
+        if self.xi:
+            return bx._set_col(f, self.ctx, g, value)
+        return bx._set_row(f, self.ctx, g, value)
+
+    def zero_tan_ends(self, gm, gp):
+        """Zero the tangential gradients beyond the domain ends
+        (the oriented kernel's zl padding)."""
+        ctx = self.ctx
+        if self.xi:
+            gm = jnp.where((ctx.grow == 0)[:, None], 0.0, gm)
+            gp = jnp.where((ctx.grow == ctx.Mm + 1)[:, None], 0.0, gp)
+        else:
+            if not ctx.xi_periodic:
+                gm = jnp.where(ctx.gcol == 0, 0.0, gm)
+                gp = jnp.where(ctx.gcol == ctx.Lm + 1, 0.0, gp)
+        return gm, gp
+
+
+def _radiation_blocked(sd: _Side, new, old, tau_in=0.0, tau_out=0.0,
+                       data=None, radiation_2d=False, dt=None):
+    """_radiation_line evaluated IN PLACE at every point; the caller
+    mask-writes the result at the boundary position (ghost, or the
+    wall point for the u-west/v-south staggers) where the inward
+    rolls line up exactly with the oriented kernel's columns."""
+    o_b = old
+    o1 = sd.inw(old, 1)
+    n1 = sd.inw(new, 1)
+    n2 = sd.inw(new, 2)
+    dZdt = o1 - n1
+    dZdx = n1 - n2
+    gb_m = o1 - sd.tan_m(o1)
+    gb_p = sd.tan_p(o1) - o1
+    gg_m = o_b - sd.tan_m(o_b)
+    gg_p = sd.tan_p(o_b) - o_b
+    gb_m, gb_p = sd.zero_tan_ends(gb_m, gb_p)
+    gg_m, gg_p = sd.zero_tan_ends(gg_m, gg_p)
+    inflow = dZdt * dZdx < 0.0
+    dZdt = jnp.where(inflow, 0.0, dZdt)
+    dZde = jnp.where(dZdt * (gb_m + gb_p) > 0.0, gb_m, gb_p)
+    cff = jnp.maximum(dZdx * dZdx + dZde * dZde, _EPS)
+    Cx = dZdt * dZdx
+    if radiation_2d:
+        Ce = jnp.clip(dZdt * dZde, -cff, cff)
+    else:
+        Ce = jnp.zeros_like(Cx)
+    ghost = (cff * o_b + Cx * n1
+             - jnp.maximum(Ce, 0.0) * gg_m
+             - jnp.minimum(Ce, 0.0) * gg_p) / (cff + Cx)
+    if data is not None and (tau_in or tau_out):
+        tau = jnp.where(inflow, tau_in, tau_out) * dt
+        ghost = ghost + tau * (_edge_data_blocked(sd, data) - o_b)
+    return ghost
+
+
+def _edge_data_blocked(sd: _Side, val):
+    """Align a blocked boundary LINE with the field's 2-D block: W/E
+    lines are (..., rows) -> add a trailing axis."""
+    if val is None:
+        return None
+    if hasattr(val, "ndim") and sd.xi:
+        return val[..., :, None]
+    return val
 
 
 def _orient(f, side):
@@ -92,12 +195,52 @@ def _radiation_line(new, old, tau_in=0.0, tau_out=0.0, data=None,
     return ghost
 
 
+def _zetabc_blocked(cfg, grid, z_new, z_old, dt2d, data, ctx):
+    """zetabc under a BlockCtx: same per-edge formulas via inward
+    rolls + masked ghost writes (zetabc.F:205-260)."""
+    g = cfg.g
+    for side in ("west", "south", "east", "north"):
+        kind = getattr(cfg.bc.zeta, side)
+        if kind not in (CHAPMAN_IMPLICIT, CHAPMAN_EXPLICIT, RADIATION,
+                        CLAMPED):
+            continue
+        sd = _Side(ctx, side)
+        if kind == CLAMPED and side in data:
+            ghost = _edge_data_blocked(sd, data[side])
+            ghost = jnp.broadcast_to(ghost, z_new.shape)
+        elif kind == RADIATION:
+            tin = tout = 0.0
+            if side in cfg.bc.zeta.nudge:
+                tout = cfg.nudg.znudg
+                tin = cfg.nudg.obcfac * cfg.nudg.znudg
+            ghost = _radiation_blocked(sd, z_new, z_old, tau_in=tin,
+                                       tau_out=tout,
+                                       data=data.get(side), dt=dt2d)
+        else:
+            pm_ = grid.pm if sd.xi else grid.pn
+            cffp = dt2d * sd.inw(pm_, 1)
+            cff1 = jnp.sqrt(g * (sd.inw(grid.h, 1)
+                                 + sd.inw(z_old, 1)))
+            Cx = cffp * cff1
+            if kind == CHAPMAN_IMPLICIT:
+                ghost = (z_old + Cx * sd.inw(z_new, 1)) / (1.0 + Cx)
+            else:
+                ghost = (1.0 - Cx) * z_old + Cx * sd.inw(z_old, 1)
+        z_new = sd.setg(z_new, ghost)
+    return z_new
+
+
 def zetabc(cfg: ModelConfig, grid, z_new, z_old, dt2d, obc=None):
     """Open-boundary updates for the free surface applied AFTER the
     closed/gradient/periodic pass of boundary.bc_rho.  Handles
     Chapman implicit/explicit, clamped-with-data, radiation."""
     data = (obc or {}).get("zeta", {})
     g = cfg.g
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return _zetabc_blocked(cfg, grid, z_new, z_old, dt2d, data,
+                               ctx)
     for side in ("west", "south", "east", "north"):
         kind = getattr(cfg.bc.zeta, side)
         if kind not in (CHAPMAN_IMPLICIT, CHAPMAN_EXPLICIT, RADIATION,
@@ -131,15 +274,103 @@ def zetabc(cfg: ModelConfig, grid, z_new, z_old, dt2d, obc=None):
     return z_new
 
 
+def _u2dbc_flather_blocked(cfg, grid, ubar_new, vbar_new, z_old,
+                           obc, ctx, ub_old=None, vb_old=None,
+                           dt2d=None):
+    """Flather under a BlockCtx (u2dbc_im.F:224-292).  The W/E normal
+    velocity boundary point is global col 1 / Lm+1; the value is also
+    copied into the dead west ghost col 0 (reference ghost fill)."""
+    g = cfg.g
+    zdat = obc.get("zeta", {})
+    udat = obc.get("ubar", {})
+    vdat = obc.get("vbar", {})
+    for side in ("west", "east"):
+        if getattr(cfg.bc.ubar, side) != FLATHER:
+            continue
+        sd = _Side(ctx, side)
+        sign = +1.0 if side == "east" else -1.0
+        D = 0.5 * (grid.h + z_old + sd.inw(grid.h, 1)
+                   + sd.inw(z_old, 1))
+        Cx = jnp.sqrt(g / D)
+        zavg = 0.5 * (z_old + sd.inw(z_old, 1))
+        zd = _edge_data_blocked(sd, zdat.get(side, 0.0))
+        ud = _edge_data_blocked(sd, udat.get(side, 0.0))
+        ghost = ud + sign * Cx * (zavg - zd)
+        if side == "west":
+            # the oriented kernel evaluates at the ghost position
+            # (rho-stagger D/z use cols 0,1) then copies that value
+            # into the wall U-point: write col 1 with the value
+            # evaluated one cell OUTWARD, and col 0 in place
+            ubar_new = sd.setg(ubar_new, sd.inw(ghost, -1), offset=1)
+            ubar_new = sd.setg(ubar_new, ghost, offset=0)
+        else:
+            ubar_new = sd.setg(ubar_new, ghost)
+    for side in ("south", "north"):
+        if getattr(cfg.bc.vbar, side) != FLATHER:
+            continue
+        sd = _Side(ctx, side)
+        sign = +1.0 if side == "north" else -1.0
+        D = 0.5 * (grid.h + z_old + sd.inw(grid.h, 1)
+                   + sd.inw(z_old, 1))
+        Cx = jnp.sqrt(g / D)
+        zavg = 0.5 * (z_old + sd.inw(z_old, 1))
+        zd = _edge_data_blocked(sd, zdat.get(side, 0.0))
+        vd = _edge_data_blocked(sd, vdat.get(side, 0.0))
+        ghost = vd + sign * Cx * (zavg - zd)
+        if side == "south":
+            vbar_new = sd.setg(vbar_new, sd.inw(ghost, -1), offset=1)
+            vbar_new = sd.setg(vbar_new, ghost, offset=0)
+        else:
+            vbar_new = sd.setg(vbar_new, ghost)
+
+    # tangential Chapman at Flather-family edges (v2dbc_im.F:985-1005)
+    if dt2d is not None:
+        fam = (FLATHER, SHCHEPETKIN, REDUCED)
+        hz = grid.h + z_old
+        for side in ("west", "east"):
+            if getattr(cfg.bc.vbar, side) not in fam:
+                continue
+            sd = _Side(ctx, side)
+            pm_v = 0.5 * (grid.pm + jnp.roll(grid.pm, 1, axis=-2))
+            hz_v = 0.5 * (hz + jnp.roll(hz, 1, axis=-2))
+            Cx = dt2d * sd.inw(pm_v, 1) * \
+                jnp.sqrt(g * jnp.maximum(sd.inw(hz_v, 1), _EPS))
+            vbar_new = sd.setg(
+                vbar_new,
+                (vb_old + Cx * sd.inw(vbar_new, 1)) / (1.0 + Cx))
+        for side in ("south", "north"):
+            if getattr(cfg.bc.ubar, side) not in fam:
+                continue
+            sd = _Side(ctx, side)
+            pn_u = 0.5 * (grid.pn + jnp.roll(grid.pn, 1, axis=-1))
+            hz_u = 0.5 * (hz + jnp.roll(hz, 1, axis=-1))
+            Cx = dt2d * sd.inw(pn_u, 1) * \
+                jnp.sqrt(g * jnp.maximum(sd.inw(hz_u, 1), _EPS))
+            ubar_new = sd.setg(
+                ubar_new,
+                (ub_old + Cx * sd.inw(ubar_new, 1)) / (1.0 + Cx))
+    return ubar_new, vbar_new
+
+
 def u2dbc_flather(cfg: ModelConfig, grid, ubar_new, vbar_new,
-                  z_old, ub_old, vb_old, obc=None):
+                  z_old, ub_old, vb_old, obc=None, dt2d=None):
     """Flather radiation for the normal barotropic velocity
     (u2dbc_im.F:224-292 and v2dbc counterpart, no-tides branch):
 
         u_b = u_data -/+ sqrt(g/D) * (zeta_avg - zeta_data)
+
+    Tangential components at a Flather/Shchepetkin/reduced edge take
+    the Chapman-implicit propagation condition (v2dbc_im.F:985-1005
+    western-edge branch and mirrors) when dt2d is provided.
     """
     obc = obc or {}
     g = cfg.g
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return _u2dbc_flather_blocked(cfg, grid, ubar_new, vbar_new,
+                                      z_old, obc, ctx, ub_old, vb_old,
+                                      dt2d)
 
     def edge(f, vel_data, z_data, side, sign):
         fo = _orient(f, side)
@@ -173,6 +404,36 @@ def u2dbc_flather(cfg: ModelConfig, grid, ubar_new, vbar_new,
                             zdat.get(side, 0.0), side, sign)
             if side == "south":
                 vbar_new = vbar_new.at[..., 1, :].set(vbar_new[..., 0, :])
+
+    # tangential Chapman at Flather-family edges (v2dbc_im.F:985-1005)
+    if dt2d is not None:
+        from ..ops import stencil as st
+        fam = (FLATHER, SHCHEPETKIN, REDUCED)
+        hz = grid.h + z_old
+        for side in ("west", "east"):
+            if getattr(cfg.bc.vbar, side) not in fam:
+                continue
+            pm_v = 0.5 * (grid.pm + st.jm1(grid.pm))
+            hz_v = 0.5 * (hz + st.jm1(hz))
+            col = 1 if side == "west" else -2
+            at = 0 if side == "west" else -1
+            Cx = dt2d * pm_v[..., :, col] * \
+                jnp.sqrt(g * jnp.maximum(hz_v[..., :, col], _EPS))
+            vbar_new = vbar_new.at[..., :, at].set(
+                (vb_old[..., :, at] + Cx * vbar_new[..., :, col])
+                / (1.0 + Cx))
+        for side in ("south", "north"):
+            if getattr(cfg.bc.ubar, side) not in fam:
+                continue
+            pn_u = 0.5 * (grid.pn + st.im1(grid.pn))
+            hz_u = 0.5 * (hz + st.im1(hz))
+            row = 1 if side == "south" else -2
+            at = 0 if side == "south" else -1
+            Cx = dt2d * pn_u[..., row, :] * \
+                jnp.sqrt(g * jnp.maximum(hz_u[..., row, :], _EPS))
+            ubar_new = ubar_new.at[..., at, :].set(
+                (ub_old[..., at, :] + Cx * ubar_new[..., row, :])
+                / (1.0 + Cx))
     return ubar_new, vbar_new
 
 
@@ -232,6 +493,30 @@ def u2dbc_shchepetkin(cfg: ModelConfig, grid, ubar_new, vbar_new,
     return ubar_new, vbar_new
 
 
+def _radiation_3d_blocked(cfg, lbc, f_new, f_old, dt, data,
+                          stagger, tau_in, tau_out, ctx):
+    """radiation_3d under a BlockCtx: the u-west/v-south wall point
+    (global index 1) hosts the radiation value, duplicated into the
+    ghost (the oriented kernel's drop+copy)."""
+    for side in ("west", "south", "east", "north"):
+        if getattr(lbc, side) != RADIATION:
+            continue
+        nud = side in lbc.nudge
+        drop = (stagger == "u" and side == "west") or \
+               (stagger == "v" and side == "south")
+        sd = _Side(ctx, side)
+        ghost = _radiation_blocked(
+            sd, f_new, f_old, data=data.get(side), dt=dt,
+            tau_in=tau_in if nud else 0.0,
+            tau_out=tau_out if nud else 0.0)
+        if drop:
+            f_new = sd.setg(f_new, ghost, offset=1)
+            f_new = sd.setg(f_new, sd.inw(ghost, 1), offset=0)
+        else:
+            f_new = sd.setg(f_new, ghost)
+    return f_new
+
+
 def radiation_3d(cfg: ModelConfig, lbc: LBC, f_new, f_old, dt=None,
                  data=None, stagger: str = "r", tau_in: float = 0.0,
                  tau_out: float = 0.0):
@@ -248,6 +533,12 @@ def radiation_3d(cfg: ModelConfig, lbc: LBC, f_new, f_old, dt=None,
     u3dbc_im.F / t3dbc_im.F nudging branches).
     """
     data = data or {}
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return _radiation_3d_blocked(cfg, lbc, f_new, f_old, dt,
+                                     data, stagger, tau_in, tau_out,
+                                     ctx)
     for side in ("west", "south", "east", "north"):
         if getattr(lbc, side) != RADIATION:
             continue

@@ -325,7 +325,7 @@ def _uv_bc(cfg, grid, u, v, z_old=None, ub_old=None, vb_old=None,
     if z_old is not None and (_has_open(cfg.bc.ubar)
                               or _has_open(cfg.bc.vbar)):
         u, v = obc_mod.u2dbc_flather(cfg, grid, u, v, z_old, ub_old,
-                                     vb_old, obc)
+                                     vb_old, obc, dt2d=dt2d)
         from ..config import SHCHEPETKIN
         sides = [getattr(cfg.bc.ubar, s) for s in
                  ("west", "east")] + \

@@ -1,0 +1,35 @@
+"""Cheap exact-enough replacements for general `pow` on the TPU VPU.
+
+XLA lowers ``x ** p`` (fractional p) to ``exp(p * log(x))`` — two
+transcendental expansions per element.  The hot KPP/COARE chains only
+need x**0.25 and x**(1/3) on non-negative arguments, which hardware
+square roots + a few Newton steps deliver at full f32 accuracy for a
+fraction of the cost (round-5 perf lever (a), BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pow14(x):
+    """x**0.25 for x >= 0 as two hardware square roots."""
+    return jnp.sqrt(jnp.sqrt(x))
+
+
+def cbrt_pos(x, newton: int = 3):
+    """x**(1/3) for x >= 0.
+
+    Seed with the sqrt-chain x**(0.25 + 1/16 + 1/64) = x**0.328125
+    (6 square roots), then `newton` Newton steps
+    y <- 2y/3 + x/(3 y^2).  Relative error < 1e-7 over
+    x in [1e-12, 1e6] at newton=3; exactly 0 at x = 0.
+    """
+    x4 = jnp.sqrt(jnp.sqrt(x))           # x**(1/4)
+    x16 = jnp.sqrt(jnp.sqrt(x4))         # x**(1/16)
+    x64 = jnp.sqrt(jnp.sqrt(x16))        # x**(1/64)
+    y = x4 * x16 * x64                   # x**0.328125
+    safe = jnp.maximum(y, 1.0e-30)
+    for _ in range(newton):
+        safe = (2.0 / 3.0) * safe + x / (3.0 * safe * safe)
+    return jnp.where(y > 0.0, safe, 0.0)

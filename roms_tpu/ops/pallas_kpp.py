@@ -343,7 +343,8 @@ def lmd_kpp_fused(cfg, grid, t, u, v, pden, bvf, Hz, z_r, z_w, forcing,
     sustr, svstr = forcing.sustr, forcing.svstr
     taux_r = 0.5 * (sustr + st.ip1(sustr))
     tauy_r = 0.5 * (svstr + st.jp1(svstr))
-    Ustar = (taux_r ** 2 + tauy_r ** 2) ** 0.25
+    from .fastmath import pow14
+    Ustar = pow14(taux_r ** 2 + tauy_r ** 2)
     alpha, beta = _alpha_beta(cfg, t)
     stflx, srflx = forcing.stflx, forcing.srflx
     if cfg.NT > 1:

@@ -110,6 +110,20 @@ def gcol_array(lay: BlockLayout) -> jnp.ndarray:
     return jnp.asarray(_xi_index(lay), jnp.int32)
 
 
+def to_blocks_line_xi(f, lay: BlockLayout):
+    """Block a boundary LINE along xi (south/north obc data,
+    (..., Li) -> (..., nxi*BI))."""
+    return jnp.take(jnp.asarray(f), jnp.asarray(_xi_index(lay)),
+                    axis=-1)
+
+
+def to_blocks_line_eta(f, lay: BlockLayout):
+    """Block a boundary LINE along eta (west/east obc data,
+    (..., Mj) -> (..., neta*BJ))."""
+    return jnp.take(jnp.asarray(f), jnp.asarray(_eta_index(lay)),
+                    axis=-1)
+
+
 def to_blocks(f, lay: BlockLayout):
     """(..., Mj, Li) -> blocked (..., neta*BJ, nxi*BI); pure gathers,
     jit-safe, device-resident."""

@@ -119,10 +119,20 @@ class ShardedStep:
         if cfg.bc.ns_periodic:
             raise ValueError("sharded step: NS-periodic unsupported "
                              "(decompose the periodic axis as xi)")
-        for hook in ("ice_fn", "wec_fn", "obc_fn", "clm_fn",
+        for hook in ("ice_fn", "wec_fn", "clm_fn",
                      "bbl_fn", "eq_tide_fn", "pair_fn"):
             if getattr(model, hook, None) is not None:
                 raise ValueError(f"sharded step: {hook} unsupported")
+        from ..config import REDUCED, SHCHEPETKIN
+        if cfg.bc.volcons:
+            raise ValueError("sharded step: VolCons unsupported")
+        for lbc in (cfg.bc.zeta, cfg.bc.ubar, cfg.bc.vbar, cfg.bc.u,
+                    cfg.bc.v, cfg.bc.t):
+            for side in ("west", "east", "south", "north"):
+                if getattr(lbc, side) in (SHCHEPETKIN, REDUCED):
+                    raise ValueError(
+                        "sharded step: Shchepetkin/reduced open "
+                        "boundaries not blocked yet")
         if model.sources is not None:
             raise ValueError("sharded step: point sources unsupported")
         if cfg.omega_implicit:
@@ -159,6 +169,14 @@ class ShardedStep:
                     x.shape[-2:] == (lay.neta * lay.BJ,
                                      lay.nxi * lay.BI):
                 return P(*([None] * (x.ndim - 2) + ["eta", "xi"]))
+            # blocked boundary LINES (obc data): sharded on their
+            # tangent axis
+            if hasattr(x, "ndim") and x.ndim >= 1 and \
+                    x.shape[-1] == lay.nxi * lay.BI:
+                return P(*([None] * (x.ndim - 1) + ["xi"]))
+            if hasattr(x, "ndim") and x.ndim >= 1 and \
+                    x.shape[-1] == lay.neta * lay.BJ:
+                return P(*([None] * (x.ndim - 1) + ["eta"]))
             return P(*([None] * getattr(x, "ndim", 0)))
 
         self._spec = _spec
@@ -196,7 +214,7 @@ class ShardedStep:
 
     # -----------------------------------------------------------------
     def _step_impl_blocked(self, grid, grow, gcol, state: State,
-                           forcing):
+                           forcing, obc=None):
         """The per-device step body: R1 halo refresh, then the Model's
         own step_impl with block-local forcing and the halo-refreshing
         fast loop (main3d.F cycle with the mp_exchange discipline
@@ -235,7 +253,7 @@ class ShardedStep:
 
             return self.model.step_impl(
                 state, grid=grid, forcing_fn=forcing_fn,
-                fast_loop=self._fast_loop_blocked)
+                fast_loop=self._fast_loop_blocked, obc_data=obc)
 
     def _fast_loop_blocked(self, grid, zeta0, ubar0, vbar0, rufrc,
                            rvfrc, rhoS, rhoA, ru0_prev, rv0_prev,
@@ -297,16 +315,18 @@ class ShardedStep:
         return avg, rufrc_eff, rvfrc_eff, zf, uf, vf
 
     # -----------------------------------------------------------------
-    def _build(self, state_blk, forcing_blk):
+    def _build(self, state_blk, forcing_blk, obc_blk=None):
         tm = jax.tree_util.tree_map
         state_spec = tm(self._spec, state_blk)
         fspec = tm(self._spec, forcing_blk)
+        ospec = tm(self._spec, obc_blk) if obc_blk is not None \
+            else None
         sm = shard_map(
-            lambda g, gr, gc, s, f: self._step_impl_blocked(
-                g, gr, gc, s, f),
+            lambda g, gr, gc, s, f, o: self._step_impl_blocked(
+                g, gr, gc, s, f, o),
             mesh=self.mesh,
             in_specs=(self._grid_specs, P("eta"), P("xi"),
-                      state_spec, fspec),
+                      state_spec, fspec, ospec),
             out_specs=state_spec)
         return jax.jit(sm)
 
@@ -331,6 +351,27 @@ class ShardedStep:
                         from_blocks(state_blk.z_w, lay))[0]
         return m.forcing_fn(state_blk.time, sst, sss, rho_s[-1])
 
+    def _block_obc(self, obc):
+        """Block an obc data pytree: boundary lines gather onto the
+        blocked tangent coordinate (with halos) so every device slices
+        its own piece under the P('eta'/'xi') line specs."""
+        from .blocked import to_blocks_line_eta, to_blocks_line_xi
+        lay = self.lay
+
+        def walk(node):
+            if isinstance(node, dict):
+                out = {}
+                for k, v in node.items():
+                    if k in ("west", "east"):
+                        out[k] = to_blocks_line_eta(v, lay)
+                    elif k in ("south", "north"):
+                        out[k] = to_blocks_line_xi(v, lay)
+                    else:
+                        out[k] = walk(v)
+                return out
+            return node
+        return walk(obc)
+
     def step_blocked(self, state_blk: State) -> State:
         """One step on BLOCKED state (the production loop shape)."""
         if self.forcing_factory is not None:
@@ -340,10 +381,15 @@ class ShardedStep:
         else:
             forcing_blk = jax.tree_util.tree_map(
                 self._blk, self._global_forcing(state_blk))
+        obc_blk = None
+        if self.model.obc_fn is not None:
+            obc_blk = self._block_obc(
+                self.model.obc_fn(state_blk.time))
         if self._step_sm is None:
-            self._step_sm = self._build(state_blk, forcing_blk)
+            self._step_sm = self._build(state_blk, forcing_blk,
+                                        obc_blk)
         return self._step_sm(self.gridblk, self.grow, self.gcol,
-                             state_blk, forcing_blk)
+                             state_blk, forcing_blk, obc_blk)
 
     def step(self, state: State) -> State:
         return self.unblock_state(
@@ -352,18 +398,24 @@ class ShardedStep:
     def run_blocked(self, state_blk: State, nsteps: int) -> State:
         """Advance nsteps with NO per-step block/unblock round trips
         (one jitted lax.scan when the forcing lives in-region)."""
+        if self.model.obc_fn is not None:
+            # boundary data is produced by a host-side hook per step
+            for _ in range(nsteps):
+                state_blk = self.step_blocked(state_blk)
+            return state_blk
         if self.forcing_factory is None:
             for _ in range(nsteps):
                 state_blk = self.step_blocked(state_blk)
             return state_blk
         if getattr(self, "_scan_fn", None) is None:
             if self._step_sm is None:
-                self._step_sm = self._build(state_blk, ())
+                self._step_sm = self._build(state_blk, (), None)
 
             def advance(s, n):
                 def body(c, _):
                     return self._step_sm(self.gridblk, self.grow,
-                                         self.gcol, c, ()), None
+                                         self.gcol, c, (),
+                                         None), None
                 s, _ = lax.scan(body, s, None, length=n)
                 return s
             self._scan_fn = jax.jit(advance, static_argnums=1)
