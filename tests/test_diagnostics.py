@@ -64,3 +64,33 @@ class TestDiagnostics:
         assert Ts.shape == cfg.shape2d
         assert np.allclose(Ts, np.asarray(s0.t[0][-1]), atol=1e-5)
         f.close()
+
+
+def test_dia_window_average(tmp_path):
+    """NDIA>1 writes the WINDOW-AVERAGED budget (set_diags.F
+    accumulation), not the last instantaneous step (round-4 ADVICE)."""
+    from roms_tpu.io.output import OutputManager
+    cfg = upwelling.make_config(Lm=10, Mm=12, N=4, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    m = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+              vmix_fn=upwelling.make_vmix_fn(cfg))
+    params = {"NDIA": 2, "Dout(iTrate)": [True, True],
+              "DIANAME": "dia.nc"}
+    om = OutputManager(cfg, grid, params, outdir=str(tmp_path),
+                      initial_state=s0, model=m)
+    assert om.wants_diag
+    s, dias = s0, []
+    for _ in range(2):
+        s, dia = m.step_diag(s)
+        dias.append(dia)
+        om.step(s, diag=dia)
+    om.close()
+    from scipy.io import netcdf_file
+    f = netcdf_file(str(tmp_path / "dia.nc"), "r", mmap=False)
+    got = np.asarray(f.variables["temp_rate"][0])
+    f.close()
+    want = 0.5 * (np.asarray(dias[0]["rate"][0])
+                  + np.asarray(dias[1]["rate"][0]))
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=2e-6, atol=1e-12)
