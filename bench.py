@@ -166,6 +166,64 @@ def _run_size(jax, size, steps, warmup, dtype, variant):
     return "error" not in rec
 
 
+def _run_size_mesh(jax, size, steps, warmup, dtype, variant, mesh_s):
+    """Multi-chip path: the explicit-halo ShardedStep engine over an
+    ExX device mesh, forcing computed in-region, advanced with the
+    blocked lax.scan (no per-step block/unblock round trips)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from roms_tpu.core.stepping import Model
+    from roms_tpu.functionals import benchmark
+    from roms_tpu.parallel.sharded_step import ShardedStep
+
+    neta, nxi = (int(x) for x in mesh_s.lower().split("x"))
+    devs = jax.devices()
+    if len(devs) < neta * nxi:
+        _emit_error(size, variant, "insufficient_devices",
+                    f"{mesh_s} needs {neta * nxi}, have {len(devs)}")
+        return False
+    mesh = Mesh(np.asarray(devs[:neta * nxi]).reshape(neta, nxi),
+                ("eta", "xi"))
+    Lm = 512 * (2 ** (size - 1))
+    Mm = 64 * (2 ** (size - 1))
+    N = 30
+    full = variant == "full"
+    cfg = benchmark.make_config(Lm=Lm, Mm=Mm, N=N, dtype=dtype,
+                                full_physics=full)
+    grid = benchmark.make_grid(cfg)
+    state = benchmark.make_initial(cfg, grid)
+    forcing_fn = (benchmark.make_bulk_forcing_fn(cfg, grid) if full
+                  else benchmark.make_forcing_fn(cfg, grid))
+    model = Model(cfg, grid, forcing_fn)
+    factory = benchmark.make_bulk_forcing_fn if full else None
+    ss = ShardedStep(model, mesh, forcing_factory=factory)
+    blk = ss.block_state(state)
+    blk = ss.run_blocked(blk, max(warmup, 1))
+    jax.block_until_ready(blk.zeta)
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        blk = ss.run_blocked(blk, steps)
+        jax.block_until_ready(blk.zeta)
+        wall = min(wall, time.perf_counter() - t0)
+    zsum = float(np.asarray(ss.unblock_state(blk).zeta).sum())
+    points = Lm * Mm * N
+    value = points * steps / wall
+    rec = {
+        "metric": _metric_name(size, variant) + f"_mesh{mesh_s}",
+        "value": round(value, 1),
+        "unit": "gridpoint-steps/s",
+        "vs_baseline": None,
+        "ms_per_step": round(wall / steps * 1e3, 2),
+        "n_devices": neta * nxi,
+        "zeta_sum": zsum,
+    }
+    if not np.isfinite(zsum):
+        rec["error"] = "non_finite_state"
+    print(json.dumps(rec), flush=True)
+    return "error" not in rec
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=3, choices=[1, 2, 3],
@@ -182,7 +240,17 @@ def main():
                         "size-3 line printed last)")
     p.add_argument("--no-retry", action="store_true",
                    help="internal: disable the fresh-subprocess retry")
+    p.add_argument("--mesh", default="",
+                   help="ExX device mesh: measure the explicit-halo "
+                        "ShardedStep engine instead of the single-"
+                        "chip step (needs E*X devices)")
     args = p.parse_args()
+
+    if args.mesh:
+        jax, devs = _init_backend(args)
+        ok = _run_size_mesh(jax, args.size, args.steps, args.warmup,
+                            args.dtype, args.variant, args.mesh)
+        sys.exit(0 if ok else 1)
 
     if not args.no_retry and not args.ladder:
         # Outer retry shell: a tunnel INTERNAL error mid-measurement
