@@ -56,8 +56,46 @@ def run_per_test(path, extra):
     return npass, nfail, ncrash, time.time() - t0
 
 
+def run_half(path, extra, tests):
+    """Run an explicit list of test node ids in one process."""
+    cmd = [sys.executable, "-m", "pytest", *tests, "-q",
+           "--no-header", *extra]
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
+    dt = time.time() - t0
+    tail = (r.stdout or "").strip().splitlines()
+    summary = tail[-1] if tail else ""
+    crashed = r.returncode in (-11, -6, 134, 139) or \
+        "Segmentation fault" in (r.stderr or "") or \
+        "Fatal Python error" in (r.stderr or "")
+    return r.returncode, crashed, summary, dt
+
+
+def run_bisect(path, extra, tests, depth=0):
+    """Crash fallback: bisect the file's tests into halves instead of
+    one process per test (the XLA:CPU segfault is cumulative-state
+    dependent; halves usually pass, and each split costs one jit
+    warmup instead of len(tests))."""
+    import re
+    if not tests:
+        return 0, 0, 0, 0.0
+    rc, crashed, summary, dt = run_half(path, extra, tests)
+    if not crashed:
+        m = re.search(r"(\d+) passed", summary)
+        p_ = int(m.group(1)) if m else 0
+        m = re.search(r"(\d+) failed", summary)
+        f_ = int(m.group(1)) if m else 0
+        return p_, f_, 0, dt
+    if len(tests) == 1:
+        return 0, 0, 1, dt
+    mid = len(tests) // 2
+    p1, f1, c1, d1 = run_bisect(path, extra, tests[:mid], depth + 1)
+    p2, f2, c2, d2 = run_bisect(path, extra, tests[mid:], depth + 1)
+    return p1 + p2, f1 + f2, c1 + c2, dt + d1 + d2
+
+
 def run_one(path, extra):
-    """Run one test file with crash retry + per-test fallback.
+    """Run one test file with crash retry + bisect fallback.
     Returns a result dict (the JSON artifact row)."""
     name = os.path.basename(path)
     rc, crashed, summary, dt = run_file(path, extra)
@@ -65,11 +103,12 @@ def run_one(path, extra):
         rc, crashed, summary, dt2 = run_file(path, extra)
         dt += dt2
         if crashed:
-            npass, nfail, ncrash, dt3 = run_per_test(path, extra)
+            tests = collect_tests(path)
+            npass, nfail, ncrash, dt3 = run_bisect(path, extra, tests)
             dt += dt3
             return {"file": name, "passed": npass, "failed": nfail,
                     "crashed_tests": ncrash, "seconds": round(dt, 1),
-                    "mode": "per-test"}
+                    "mode": "bisect"}
     import re
     m = re.search(r"(\d+) passed", summary)
     p = int(m.group(1)) if m else 0
