@@ -126,20 +126,28 @@ def make_atm_fn(cfg: ModelConfig, grid: Grid):
     # is shape-agnostic: called with the global grid it reproduces
     # ana_grid.h lat/lon; called with a per-shard BLOCK grid (inside
     # parallel.sharded_step's shard_map region) it yields block-local
-    # forcing with no global arrays (bulk_flux.F per-tile semantics)
+    # forcing with no global arrays (bulk_flux.F per-tile semantics).
+    # With a CONCRETE grid the static fields fold to numpy constants
+    # exactly as before round 5 (identical HLO for the single-chip
+    # step); the traced-array path only activates under shard_map.
     d2r = constants.deg2rad
     Er = constants.Eradius
-    lat = grid.yr / (Er * d2r)
-    lon = grid.xr / (Er * d2r * jnp.cos(lat * d2r))
+    import jax as _jax
+    traced = isinstance(grid.yr, _jax.core.Tracer)
+    xp = jnp if traced else np
+    yr = grid.yr if traced else np.asarray(grid.yr, np.float64)
+    xr_ = grid.xr if traced else np.asarray(grid.xr, np.float64)
+    lat = yr / (Er * d2r)
+    lon = xr_ / (Er * d2r * xp.cos(lat * d2r))
     cffw = 0.2 * (60.0 + lat)
-    Uwind = (15.0 * jnp.exp(-cffw * cffw)).astype(dtype)
+    Uwind = jnp.asarray(15.0 * xp.exp(-cffw * cffw), dtype)
     zeros = jnp.zeros_like(Uwind)
     Tair = jnp.full_like(Uwind, 4.0)
     Pair = jnp.full_like(Uwind, 1025.0)
     Hair = jnp.full_like(Uwind, 0.8)
     cloud = jnp.full_like(Uwind, 0.6)
-    latr = (lat * d2r).astype(dtype)
-    lonr = (lon * d2r).astype(dtype)
+    latr = jnp.asarray(lat * d2r, dtype)
+    lonr = jnp.asarray(lon * d2r, dtype)
     Rsolar = 1353.0 / (cfg.rho0 * constants.Cp)
     alb_w = 0.06
 
