@@ -9,11 +9,21 @@ fraction of the cost (round-5 perf lever (a), BASELINE.md).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+
+def _enabled() -> bool:
+    """Trace-time gate (ROMS_TPU_FASTMATH=0 restores the XLA pow
+    lowering for A/B runs)."""
+    return os.environ.get("ROMS_TPU_FASTMATH", "") != "0"
 
 
 def pow14(x):
     """x**0.25 for x >= 0 as two hardware square roots."""
+    if not _enabled():
+        return x ** 0.25
     return jnp.sqrt(jnp.sqrt(x))
 
 
@@ -25,6 +35,8 @@ def cbrt_pos(x, newton: int = 3):
     y <- 2y/3 + x/(3 y^2).  Relative error < 1e-7 over
     x in [1e-12, 1e6] at newton=3; exactly 0 at x = 0.
     """
+    if not _enabled():
+        return x ** (1.0 / 3.0)
     x4 = jnp.sqrt(jnp.sqrt(x))           # x**(1/4)
     x16 = jnp.sqrt(jnp.sqrt(x4))         # x**(1/16)
     x64 = jnp.sqrt(jnp.sqrt(x16))        # x**(1/64)

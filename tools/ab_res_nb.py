@@ -70,6 +70,10 @@ def main():
             measure("baseline(default NB)", {})
         elif a == "off":
             measure("resident OFF", {"ROMS_TPU_FASTLOOP_RES": "0"})
+        elif a == "fastmath-off":
+            measure("fastmath OFF", {"ROMS_TPU_FASTMATH": "0"})
+        elif a == "fastmath-on":
+            measure("fastmath ON", {})
         else:
             measure(f"NB={a}", {"ROMS_TPU_FASTLOOP_RES_NB": a})
 
