@@ -1,10 +1,14 @@
-"""Cheap exact-enough replacements for general `pow` on the TPU VPU.
+"""sqrt-chain replacements for general `pow` — MEASURED SLOWER, off
+by default.
 
-XLA lowers ``x ** p`` (fractional p) to ``exp(p * log(x))`` — two
-transcendental expansions per element.  The hot KPP/COARE chains only
-need x**0.25 and x**(1/3) on non-negative arguments, which hardware
-square roots + a few Newton steps deliver at full f32 accuracy for a
-fraction of the cost (round-5 perf lever (a), BASELINE.md).
+Hypothesis (round-5 perf lever (a)): XLA lowers ``x ** p`` to
+``exp(p * log(x))``, so hardware square roots + Newton steps should
+beat it for x**0.25 / x**(1/3).  The same-session BENCHMARK3 A/B
+said otherwise: sqrt+Newton ON measured 45.5 ms/step vs 43.2 OFF —
+the VPU's divide in the Newton step costs more than the fused
+exp/log pair the compiler emits.  Default is therefore the XLA pow
+path; set ROMS_TPU_FASTMATH=1 to re-enable the sqrt chains for
+future hardware where the trade flips.  (BASELINE.md round-5.)
 """
 
 from __future__ import annotations
@@ -15,9 +19,9 @@ import jax.numpy as jnp
 
 
 def _enabled() -> bool:
-    """Trace-time gate (ROMS_TPU_FASTMATH=0 restores the XLA pow
-    lowering for A/B runs)."""
-    return os.environ.get("ROMS_TPU_FASTMATH", "") != "0"
+    """Trace-time gate — DEFAULT OFF (the A/B above); set
+    ROMS_TPU_FASTMATH=1 to enable the sqrt chains."""
+    return os.environ.get("ROMS_TPU_FASTMATH", "") == "1"
 
 
 def pow14(x):
