@@ -276,3 +276,21 @@ def test_sharded_step_gls_plus_obc():
     ref = model.step(model.step(s0))
     out = ss.step(ss.step(s0))
     _compare(ref, out, atol_scale=1e-11)
+
+
+def test_sharded_step_wetdry():
+    """WET_DRY gating inside the engine (step3d_uv.F WET_DRY masks
+    computed from the filtered free surface per block)."""
+    from roms_tpu.functionals import idealized
+    cfg = idealized.grav_adj_config(Lm=64, Mm=16, N=4, dt=10.0,
+                                    ndtfast=10)
+    cfg = cfg.replace(wetdry=True, Dcrit=0.10)
+    grid = idealized.grav_adj_grid(cfg)
+    model = Model(cfg, grid, idealized.zero_forcing(cfg))
+    s0 = model.run(idealized.grav_adj_initial(cfg, grid), 2)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(model, mesh, nghost=14, refresh_every=2)
+    ref = model.step(model.step(s0))
+    out = ss.step(ss.step(s0))
+    _compare(ref, out, atol_scale=1e-11)
