@@ -128,13 +128,32 @@ def _run_size(jax, size, steps, warmup, dtype, variant):
             s = step(s, grid)
         jax.block_until_ready(s)
         wall = min(wall, time.perf_counter() - t0)
-    s = run_jit(s, grid, 1)          # compile the scan mode
-    jax.block_until_ready(s)
-    for _ in range(3):
-        t0 = time.perf_counter()
-        s = run_jit(s, grid, steps)
+    # Scan mode under a watchdog: BM3-size scan compiles through the
+    # tunnel can wedge indefinitely (round-5 incident log in
+    # BASELINE.md); the per-step timing above is already a valid
+    # measurement (within ~5% of the scan at every size), so a hung
+    # scan compile must not sink the whole bench.
+    def _scan_alarm(signum, frame):
+        raise TimeoutError("scan-mode compile watchdog")
+
+    old_h = signal.signal(signal.SIGALRM, _scan_alarm)
+    signal.alarm(int(os.environ.get("ROMS_TPU_SCAN_WATCHDOG",
+                                    "900")))
+    try:
+        s = run_jit(s, grid, 1)      # compile the scan mode
         jax.block_until_ready(s)
-        wall = min(wall, time.perf_counter() - t0)
+        signal.alarm(0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = run_jit(s, grid, steps)
+            jax.block_until_ready(s)
+            wall = min(wall, time.perf_counter() - t0)
+    except TimeoutError:
+        print("# scan-mode compile watchdog fired; reporting the "
+              "per-step measurement", file=sys.stderr, flush=True)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_h)
 
     # Force a real device->host readback: a wedged backend can make
     # block_until_ready return instantly on bogus buffers (observed as
