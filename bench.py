@@ -280,15 +280,26 @@ def main():
                "--size", str(args.size), "--steps", str(args.steps),
                "--warmup", str(args.warmup), "--dtype", args.dtype,
                "--variant", args.variant, "--no-retry"]
+        rc = 1
         for attempt in (1, 2):
-            r = subprocess.run(cmd, timeout=2400)
-            if r.returncode == 0:
+            try:
+                r = subprocess.run(cmd, timeout=2400)
+                rc = r.returncode
+            except subprocess.TimeoutExpired:
+                # tunnel hang (BASELINE.md round-5 wedge log): the
+                # child never printed; emit a structured error line
+                # so the driver records a diagnosis, not a traceback
+                rc = 124
+            if rc == 0:
                 sys.exit(0)
             if attempt == 1:
-                print(f"# bench attempt 1 failed (rc={r.returncode}); "
+                print(f"# bench attempt 1 failed (rc={rc}); "
                       "retrying in a fresh process", file=sys.stderr,
                       flush=True)
-        sys.exit(r.returncode)
+        _emit_error(args.size, args.variant, "tunnel_hang_or_error",
+                    f"both attempts failed (last rc={rc}); see "
+                    "BASELINE.md round-5 tunnel-wedge notes")
+        sys.exit(1)
 
     if args.ladder:
         # One fresh subprocess per rung: a backend INTERNAL error
