@@ -37,9 +37,11 @@ Supported class (round 5): EW-periodic OR walled xi (closed/
 gradient/clamped W/E, blockctx gcol masks), N/S walls, LMD-KPP /
 GLS / MY2.5 / constant / analytic vmix, all prsgrd schemes,
 column-local ecosystem (bio_fn) and sediment (sed_fn) hooks,
-wet/dry.  Still unsupported: open-boundary radiation/Flather
-(obc_fn), climatology nudging, point sources, sea ice, WEC,
-nesting — these raise at construction.
+wet/dry, open boundaries (radiation/Chapman/Flather/clamped via
+blocked gcol/grow masks), and climatology nudging (clm_fn data
+blocked per step).  Still unsupported: Shchepetkin/reduced OBCs,
+VolCons, point sources, sea ice, WEC, BBL, nesting — these raise
+at construction.
 Horizontal advection schemes are guarded against the nghost budget
 (`_check_stencil_reach`); wide-stencil schemes (MPDATA/HSIMT/AKIMA4)
 raise instead of silently corrupting interiors.
@@ -119,7 +121,7 @@ class ShardedStep:
         if cfg.bc.ns_periodic:
             raise ValueError("sharded step: NS-periodic unsupported "
                              "(decompose the periodic axis as xi)")
-        for hook in ("ice_fn", "wec_fn", "clm_fn",
+        for hook in ("ice_fn", "wec_fn",
                      "bbl_fn", "eq_tide_fn", "pair_fn"):
             if getattr(model, hook, None) is not None:
                 raise ValueError(f"sharded step: {hook} unsupported")
@@ -214,7 +216,7 @@ class ShardedStep:
 
     # -----------------------------------------------------------------
     def _step_impl_blocked(self, grid, grow, gcol, state: State,
-                           forcing, obc=None):
+                           forcing, aux=None):
         """The per-device step body: R1 halo refresh, then the Model's
         own step_impl with block-local forcing and the halo-refreshing
         fast loop (main3d.F cycle with the mp_exchange discipline
@@ -251,9 +253,11 @@ class ShardedStep:
             else:
                 forcing_fn = lambda *a: forcing  # noqa: E731
 
+            aux = aux or {}
             return self.model.step_impl(
                 state, grid=grid, forcing_fn=forcing_fn,
-                fast_loop=self._fast_loop_blocked, obc_data=obc)
+                fast_loop=self._fast_loop_blocked,
+                obc_data=aux.get("obc"), clm_data=aux.get("clm"))
 
     def _fast_loop_blocked(self, grid, zeta0, ubar0, vbar0, rufrc,
                            rvfrc, rhoS, rhoA, ru0_prev, rv0_prev,
@@ -315,11 +319,11 @@ class ShardedStep:
         return avg, rufrc_eff, rvfrc_eff, zf, uf, vf
 
     # -----------------------------------------------------------------
-    def _build(self, state_blk, forcing_blk, obc_blk=None):
+    def _build(self, state_blk, forcing_blk, aux_blk=None):
         tm = jax.tree_util.tree_map
         state_spec = tm(self._spec, state_blk)
         fspec = tm(self._spec, forcing_blk)
-        ospec = tm(self._spec, obc_blk) if obc_blk is not None \
+        ospec = tm(self._spec, aux_blk) if aux_blk is not None \
             else None
         sm = shard_map(
             lambda g, gr, gc, s, f, o: self._step_impl_blocked(
@@ -381,15 +385,21 @@ class ShardedStep:
         else:
             forcing_blk = jax.tree_util.tree_map(
                 self._blk, self._global_forcing(state_blk))
-        obc_blk = None
-        if self.model.obc_fn is not None:
-            obc_blk = self._block_obc(
-                self.model.obc_fn(state_blk.time))
+        aux_blk = None
+        if self.model.obc_fn is not None or \
+                self.model.clm_fn is not None:
+            aux_blk = {}
+            if self.model.obc_fn is not None:
+                aux_blk["obc"] = self._block_obc(
+                    self.model.obc_fn(state_blk.time))
+            if self.model.clm_fn is not None:
+                aux_blk["clm"] = jax.tree_util.tree_map(
+                    self._blk, self.model.clm_fn(state_blk.time))
         if self._step_sm is None:
             self._step_sm = self._build(state_blk, forcing_blk,
-                                        obc_blk)
+                                        aux_blk)
         return self._step_sm(self.gridblk, self.grow, self.gcol,
-                             state_blk, forcing_blk, obc_blk)
+                             state_blk, forcing_blk, aux_blk)
 
     def step(self, state: State) -> State:
         return self.unblock_state(
@@ -398,8 +408,10 @@ class ShardedStep:
     def run_blocked(self, state_blk: State, nsteps: int) -> State:
         """Advance nsteps with NO per-step block/unblock round trips
         (one jitted lax.scan when the forcing lives in-region)."""
-        if self.model.obc_fn is not None:
-            # boundary data is produced by a host-side hook per step
+        if self.model.obc_fn is not None or \
+                self.model.clm_fn is not None:
+            # boundary/climatology data comes from host-side hooks
+            # per step
             for _ in range(nsteps):
                 state_blk = self.step_blocked(state_blk)
             return state_blk

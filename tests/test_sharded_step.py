@@ -294,3 +294,37 @@ def test_sharded_step_wetdry():
     ref = model.step(model.step(s0))
     out = ss.step(ss.step(s0))
     _compare(ref, out, atol_scale=1e-11)
+
+
+def test_sharded_step_clm_nudging():
+    """Climatology nudging through the engine (clm_fn data blocked
+    per step; step3d_t.F:1860-1880 + rhs3d.F:662-698 terms)."""
+    import jax.numpy as jnp
+    cfg = upwelling.make_config(Lm=64, Mm=32, N=6, dt=120.0,
+                                ndtfast=10, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    tclm = jnp.asarray(np.asarray(s0.t) + 0.5)
+    coef = jnp.full(cfg.shape2d, 1.0 / 86400.0)
+
+    def clm_fn(time):
+        return {"tclm": tclm, "Tnudgcof": coef,
+                "uclm": jnp.zeros_like(s0.u),
+                "vclm": jnp.zeros_like(s0.v),
+                "M3nudgcof": coef}
+
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg), clm_fn=clm_fn)
+    s0 = model.run(s0, 2)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(model, mesh, nghost=14, refresh_every=2)
+    ref = model.step(model.step(s0))
+    out = ss.step(ss.step(s0))
+    # extra reduction-order ulps from the nudge-coefficient averaging
+    _compare(ref, out, atol_scale=1e-10)
+    # the nudging is actually active (tracers pulled toward tclm)
+    plain = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg))
+    base = plain.step(plain.step(s0))
+    assert np.abs(np.asarray(ref.t) - np.asarray(base.t)).max() > 1e-8
