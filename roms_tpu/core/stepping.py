@@ -138,7 +138,7 @@ class Model:
                   wave_override=None, collect_diag_uv: bool = False,
                   forcing_fn=None, fast_loop=None, clm_data=None,
                   eqt_data=None, pair_data=None,
-                  collect_tfx: bool = False):
+                  collect_tfx: bool = False, sources_data=None):
         """One baroclinic step (main3d.F:216-1130).
 
         The trailing keyword hooks let a wrapper re-enter the SAME
@@ -152,14 +152,16 @@ class Model:
         grid = self.grid if grid is None else grid
         forcing_fn = forcing_fn or self.forcing_fn
         fast_loop = fast_loop or self.fast_loop
+        sources = sources_data if sources_data is not None \
+            else self.sources
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
         iic = state.iic
 
         # ---- prep: fluxes, EOS, forcing, closures (main3d.F:348-535) ----
         from ..ops import pallas_flux
         fused_flux = (pallas_flux.use_pallas_flux(cfg)
-                      and (self.sources is None
-                           or self.sources.qsrc_u is None))
+                      and (sources is None
+                           or sources.qsrc_u is None))
         if fused_flux:
             # fused set_massflux + omega kernel (ops/pallas_flux.py);
             # W is produced here and reused below
@@ -168,12 +170,12 @@ class Model:
                 interpret=pallas_flux._interp())
         else:
             Huon, Hvom = set_massflux(grid, state.u, state.v, Hz)
-            if self.sources is not None and \
-                    self.sources.qsrc_u is not None:
+            if sources is not None and \
+                    sources.qsrc_u is not None:
                 # LuvSrc per-layer river flux through the faces feeds
                 # continuity (omega) and advection (step3d LuvSrc block)
-                Huon = Huon + self.sources.qsrc_u
-                Hvom = Hvom + self.sources.qsrc_v
+                Huon = Huon + sources.qsrc_u
+                Hvom = Hvom + sources.qsrc_v
             if cfg.bc.ew_periodic:
                 Huon, Hvom = st.periodic_x(Huon), st.periodic_x(Hvom)
             if cfg.bc.ns_periodic:
@@ -379,19 +381,19 @@ class Model:
             sed_inc, sed_new = self.sed_fn(state.t, state.sed, Hz,
                                            bustr, bvstr)
             t_part = t_part + Hz[None] * sed_inc
-        if self.sources is not None and self.sources.qsrc is not None:
+        if sources is not None and sources.qsrc is not None:
             # LwSrc tracer mass injection (step3d_t.F:1500-1520)
             pmn_ = grid.pm * grid.pn
             t_part = t_part + cfg.dt * pmn_[None, None] * \
-                self.sources.qsrc[None] * self.sources.tsrc
-        if self.sources is not None and self.sources.qsrc_u is not None:
+                sources.qsrc[None] * sources.tsrc
+        if sources is not None and sources.qsrc_u is not None:
             # LuvSrc tracer input: correct the face-advected tracer to
             # the riverine concentration (advection carried ~t_cell
             # through the face; net input must be q*Tsrc)
             pmn_ = grid.pm * grid.pn
-            qface = self.sources.qsrc_u + self.sources.qsrc_v
+            qface = sources.qsrc_u + sources.qsrc_v
             t_part = t_part + cfg.dt * pmn_[None, None] * \
-                qface[None] * (self.sources.tsrc - state.t)
+                qface[None] * (sources.tsrc - state.t)
         if collect_diag_uv:
             # DIAGNOSTICS_UV decomposition (set_diags.F): accumulate
             # the RHS in the same order as rhs3d_momentum so the sum
@@ -475,7 +477,7 @@ class Model:
             rhoS, rhoA,
             state.ru0_prev, state.rv0_prev,
             state.ru0_prev2, state.rv0_prev2, iic, obc,
-            self.sources, stokes2d)
+            sources, stokes2d)
 
         # ---- new depths from the filtered free surface (main3d.F:963) ---
         z_r2, z_w2, Hz2 = set_depth(grid, avg.Zt_avg1)

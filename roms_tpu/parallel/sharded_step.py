@@ -39,9 +39,10 @@ GLS / MY2.5 / constant / analytic vmix, all prsgrd schemes,
 column-local ecosystem (bio_fn) and sediment (sed_fn) hooks,
 wet/dry, open boundaries (radiation/Chapman/Flather/clamped via
 blocked gcol/grow masks), and climatology nudging (clm_fn data
-blocked per step).  Still unsupported: Shchepetkin/reduced OBCs,
-VolCons, point sources, sea ice, WEC, BBL, nesting — these raise
-at construction.
+blocked per step), climatology nudging (clm_fn data blocked per
+step), and LuvSrc/LwSrc point sources (blocked once — static
+fields).  Still unsupported: Shchepetkin/reduced OBCs, VolCons,
+sea ice, WEC, BBL, nesting — these raise at construction.
 Horizontal advection schemes are guarded against the nghost budget
 (`_check_stencil_reach`); wide-stencil schemes (MPDATA/HSIMT/AKIMA4)
 raise instead of silently corrupting interiors.
@@ -135,8 +136,6 @@ class ShardedStep:
                     raise ValueError(
                         "sharded step: Shchepetkin/reduced open "
                         "boundaries not blocked yet")
-        if model.sources is not None:
-            raise ValueError("sharded step: point sources unsupported")
         if cfg.omega_implicit:
             raise ValueError("sharded step: OMEGA_IMPLICIT unsupported")
         _check_stencil_reach(cfg, nghost)
@@ -257,7 +256,8 @@ class ShardedStep:
             return self.model.step_impl(
                 state, grid=grid, forcing_fn=forcing_fn,
                 fast_loop=self._fast_loop_blocked,
-                obc_data=aux.get("obc"), clm_data=aux.get("clm"))
+                obc_data=aux.get("obc"), clm_data=aux.get("clm"),
+                sources_data=aux.get("sources"))
 
     def _fast_loop_blocked(self, grid, zeta0, ubar0, vbar0, rufrc,
                            rvfrc, rhoS, rhoA, ru0_prev, rv0_prev,
@@ -387,7 +387,8 @@ class ShardedStep:
                 self._blk, self._global_forcing(state_blk))
         aux_blk = None
         if self.model.obc_fn is not None or \
-                self.model.clm_fn is not None:
+                self.model.clm_fn is not None or \
+                self.model.sources is not None:
             aux_blk = {}
             if self.model.obc_fn is not None:
                 aux_blk["obc"] = self._block_obc(
@@ -395,6 +396,11 @@ class ShardedStep:
             if self.model.clm_fn is not None:
                 aux_blk["clm"] = jax.tree_util.tree_map(
                     self._blk, self.model.clm_fn(state_blk.time))
+            if self.model.sources is not None:
+                # LuvSrc/LwSrc river fields are time-independent:
+                # blocked once, sharded like any field pytree
+                aux_blk["sources"] = jax.tree_util.tree_map(
+                    self._blk, self.model.sources)
         if self._step_sm is None:
             self._step_sm = self._build(state_blk, forcing_blk,
                                         aux_blk)
@@ -409,9 +415,10 @@ class ShardedStep:
         """Advance nsteps with NO per-step block/unblock round trips
         (one jitted lax.scan when the forcing lives in-region)."""
         if self.model.obc_fn is not None or \
-                self.model.clm_fn is not None:
+                self.model.clm_fn is not None or \
+                self.model.sources is not None:
             # boundary/climatology data comes from host-side hooks
-            # per step
+            # per step (sources are static but ride the same path)
             for _ in range(nsteps):
                 state_blk = self.step_blocked(state_blk)
             return state_blk

@@ -328,3 +328,26 @@ def test_sharded_step_clm_nudging():
                   vmix_fn=upwelling.make_vmix_fn(cfg))
     base = plain.step(plain.step(s0))
     assert np.abs(np.asarray(ref.t) - np.asarray(base.t)).max() > 1e-8
+
+
+def test_sharded_step_point_sources():
+    """LuvSrc/LwSrc river sources through the engine (blocked static
+    fields; step2d qbar injection + step3d_t mass/tracer input)."""
+    from roms_tpu.core.sources import make_point_sources
+    cfg = upwelling.make_config(Lm=64, Mm=32, N=6, dt=120.0,
+                                ndtfast=10, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    src = make_point_sources(
+        cfg, [(20, 16), (8, 40)], [300.0, 200.0],
+        tsrc_values=[(10.0, 2.0), (12.0, 1.0)],
+        directions=["v", "w"])
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg), sources=src)
+    s0 = model.run(s0, 2)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(model, mesh, nghost=14, refresh_every=2)
+    ref = model.step(model.step(s0))
+    out = ss.step(ss.step(s0))
+    _compare(ref, out, atol_scale=1e-10)
