@@ -149,9 +149,19 @@ def vadv_uv(cfg: ModelConfig, u, v, W):
     if cfg.bc.ns_periodic:
         W = st.periodic_y(W)
 
-    # wide horizontal averages of W at U and V points
-    Wu = c1 * (W + st.im1(W)) - c2 * (st.ip1(W) + st.im1(st.im1(W)))
-    Wv = c1 * (W + st.jm1(W)) - c2 * (st.jp1(W) + st.jm1(st.jm1(W)))
+    # wide horizontal averages of W at U and V points.  The reach-2
+    # arm must re-wrap the intermediate shift on a periodic axis: the
+    # 1-point ghost ring has period Lm+2, not Lm, so a composite
+    # roll-by-2 lands on the wrong column at the seam (same staged
+    # re-wrap discipline as the UP3 curvature arrays above).
+    Wm = st.im1(W)
+    if cfg.bc.ew_periodic:
+        Wm = st.periodic_x(Wm)
+    Wjm = st.jm1(W)
+    if cfg.bc.ns_periodic:
+        Wjm = st.periodic_y(Wjm)
+    Wu = c1 * (W + Wm) - c2 * (st.ip1(W) + st.im1(Wm))
+    Wv = c1 * (W + Wjm) - c2 * (st.jp1(W) + st.jm1(Wjm))
 
     def flux(q, Wq):
         # interior interfaces k=2..N-2 (1-based)

@@ -136,6 +136,15 @@ def step3d_uv(cfg: ModelConfig, grid: Grid, u_part, v_part, ru, rv,
     # (interior is already exact; step3d_uv.F:1390-1470).
     un = correct_u(un)
     vn = correct_v(vn)
+    # The reference halo-exchanges AFTER this correction
+    # (step3d_uv.F:1766-1783); the correction uses the roll-artifact
+    # Hz_u at the west ghost column, so re-wrap the periodic ring or
+    # the ghost goes stale (caught by the sharded-engine equality test
+    # with a zonally-varying Pair field).
+    if cfg.bc.ew_periodic:
+        un, vn = st.periodic_x(un), st.periodic_x(vn)
+    if cfg.bc.ns_periodic:
+        un, vn = st.periodic_y(un), st.periodic_y(vn)
 
     ubar = avg.DU_avg1 / (D_u * grid.on_u) * grid.umask
     vbar = avg.DV_avg1 / (D_v * grid.om_v) * grid.vmask
@@ -195,6 +204,11 @@ def _step3d_uv_pallas(cfg, grid, u_part, v_part, ru, rv, Hz, Akv,
         cfg, grid, un, vn, Hz, Huon_old, Hvom_old,
         avg.DU_avg1, avg.DV_avg1, avg.DU_avg2, avg.DV_avg2,
         interpret=interp)
+    # same post-correction ghost-ring re-wrap as the jnp path
+    if cfg.bc.ew_periodic:
+        un, vn = st.periodic_x(un), st.periodic_x(vn)
+    if cfg.bc.ns_periodic:
+        un, vn = st.periodic_y(un), st.periodic_y(vn)
     ubar = boundary.bc_u(ubar, cfg.bc.ubar, cfg.gamma2,
                          bdata=(obc or {}).get("ubar"))
     vbar = boundary.bc_v(vbar, cfg.bc.vbar, cfg.gamma2,

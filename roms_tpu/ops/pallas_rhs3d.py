@@ -294,7 +294,13 @@ def _kernel(Li, Mj, BJ, ew, uv_cor, curv, uv_adv, N, k0, k1, ka,
         if ew:
             Wc, Wm, Wp, Wm2 = (_perx(Wc, Li), _perx(Wm, Li),
                                _perx(Wp, Li), _perx(Wm2, Li))
-        Wu = c1 * (Wc + _im1(Wc)) - c2 * (_ip1(Wc) + _roll(Wc, 2))
+        # reach-2 arm: re-wrap the intermediate shift on the periodic
+        # lane ring (core.rhs3d.vadv_uv staged re-wrap — a plain
+        # roll-by-2 is off by two columns at the torus seam)
+        Wmx = _im1(Wc)
+        if ew:
+            Wmx = _perx(Wmx, Li)
+        Wu = c1 * (Wc + Wmx) - c2 * (_ip1(Wc) + _im1(Wmx))
         Wv = c1 * (Wc + Wm) - c2 * (Wp + Wm2)
 
         def flux(q, Wq):
