@@ -138,7 +138,8 @@ class Model:
                   wave_override=None, collect_diag_uv: bool = False,
                   forcing_fn=None, fast_loop=None, clm_data=None,
                   eqt_data=None, pair_data=None,
-                  collect_tfx: bool = False, sources_data=None):
+                  collect_tfx: bool = False, sources_data=None,
+                  bbl_fn=None, wec_fn=None):
         """One baroclinic step (main3d.F:216-1130).
 
         The trailing keyword hooks let a wrapper re-enter the SAME
@@ -152,6 +153,8 @@ class Model:
         grid = self.grid if grid is None else grid
         forcing_fn = forcing_fn or self.forcing_fn
         fast_loop = fast_loop or self.fast_loop
+        bbl_fn = bbl_fn or self.bbl_fn
+        wec_fn = wec_fn or self.wec_fn
         sources = sources_data if sources_data is not None \
             else self.sources
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
@@ -180,21 +183,35 @@ class Model:
                 Huon, Hvom = st.periodic_x(Huon), st.periodic_x(Hvom)
             if cfg.bc.ns_periodic:
                 Huon, Hvom = st.periodic_y(Huon), st.periodic_y(Hvom)
-        from ..ops import pallas_rho
-        if pallas_rho.use_pallas_rho(cfg):
+        from ..ops import pallas_prep, pallas_rho
+        # Fused prep chain (ops/pallas_prep.py): rho_eos and KPP share
+        # ONE launch; pden/bvf never round-trip through HBM.  The bulk
+        # fluxes sit between them in dataflow, so the surface rho level
+        # is computed standalone for the forcing call.
+        use_prep = (pallas_prep.use_pallas_prep(cfg)
+                    and cfg.mixing.vmix == "lmd"
+                    and not cfg.mixing.bkpp and not cfg.mixing.ddmix
+                    and bbl_fn is None)
+        if use_prep:
+            rho = pden = rhoA = rhoS = bvf = None
+            rho_surf = pallas_prep.surface_rho(cfg, state.t, z_r)
+        elif pallas_rho.use_pallas_rho(cfg):
             # fused column EOS kernel (ops/pallas_rho.py)
             import os as _os
             rho, pden, rhoA, rhoS, bvf = pallas_rho.rho_eos_pallas(
                 cfg, state.t, z_r, Hz, z_w,
                 interpret=bool(_os.environ.get(
                     "ROMS_TPU_PALLAS_KPP_INTERPRET")))
+            rho_surf = rho[-1]
         else:
             rho, pden, rhoA, rhoS, bvf = rho_eos(cfg, state.t, z_r, Hz,
                                                  z_w)
+            rho_surf = rho[-1]
         if self._forcing_takes_state:
-            sss = state.t[1][-1] if cfg.NT > 1 else jnp.zeros_like(rho[-1])
+            sss = state.t[1][-1] if cfg.NT > 1 \
+                else jnp.zeros_like(rho_surf)
             forcing = forcing_fn(state.time, state.t[0][-1], sss,
-                                 rho[-1])
+                                 rho_surf)
         else:
             forcing = forcing_fn(state.time)
         if forcing_override is not None:
@@ -242,14 +259,21 @@ class Model:
             # thermo; here only stress/salt feedback is applied
             forcing = forcing._replace(sustr=tox, svstr=toy,
                                        stflx=stflx)
-        if self.bbl_fn is not None:
+        if getattr(grid, "zice", None) is not None:
+            # ICESHELF cavities: zero surface fluxes and replace wind
+            # stress with ice-cavity friction under the shelf
+            # (set_vbc.F:423-560)
+            forcing = set_vbc.apply_iceshelf(cfg, grid, state.u,
+                                             state.v, z_r, z_w,
+                                             forcing)
+        if bbl_fn is not None:
             # wave-current BBL closure replaces the plain drag law
             # (bbl.F dispatch; mb_bbl.h)
             bbl_kw = {"waves": wave_override} \
                 if (self._bbl_takes_waves and wave_override is not None) \
                 else {}
-            bblout = self.bbl_fn(state.time, state.bbl, state.u,
-                                 state.v, rho[0], z_r, z_w, **bbl_kw)
+            bblout = bbl_fn(state.time, state.bbl, state.u,
+                            state.v, rho[0], z_r, z_w, **bbl_kw)
             bustr, bvstr = bblout.bustr, bblout.bvstr
             bbl_new = bblout.state
         else:
@@ -264,7 +288,15 @@ class Model:
             # LMD-KPP (main3d.F:525-529): interior Ri mixing + surface
             # boundary layer, diagnostic from the time-n state.
             from ..ops import pallas_kpp
-            if (not cfg.mixing.bkpp and not cfg.mixing.ddmix
+            if use_prep:
+                import os as _os
+                (rho, pden, rhoA, rhoS, Akv, Akt, ghats,
+                 hsbl) = pallas_prep.prep_fused(
+                    cfg, grid, state.t, state.u, state.v, Hz, z_r, z_w,
+                    forcing,
+                    interpret=bool(_os.environ.get(
+                        "ROMS_TPU_PALLAS_KPP_INTERPRET")))
+            elif (not cfg.mixing.bkpp and not cfg.mixing.ddmix
                     and pallas_kpp.use_pallas_kpp(cfg)):
                 # fused single-pass Pallas kernel (~40x less HBM
                 # traffic than the whole-array path; see
@@ -339,8 +371,9 @@ class Model:
                                      eq_tide=eqt, Pair=pair)
         else:
             from ..ops import pallas_prsgrd
-            if pallas_prsgrd.use_pallas_prsgrd(cfg) and not (
-                    eqt is not None and pair is not None):
+            if (pallas_prsgrd.use_pallas_prsgrd(cfg)
+                    and getattr(grid, "zice", None) is None
+                    and not (eqt is not None and pair is not None)):
                 # fused splines density-Jacobian kernel
                 # (ops/pallas_prsgrd.py; one VMEM pass, no HBM
                 # intermediates)
@@ -423,24 +456,24 @@ class Model:
             ru, rv = rhs3d.rhs3d_momentum(cfg, grid, state.u, state.v,
                                           Hz, Huon, Hvom, W, ru, rv)
         stokes2d = None
-        if self.wec_fn is not None and hasattr(self.wec_fn, "stokes"):
+        if wec_fn is not None and hasattr(wec_fn, "stokes"):
             # full Lagrangian WEC coupling: Stokes transports enter the
             # barotropic continuity and the 3D mass fluxes
             wec_kw = {"waves": wave_override} \
                 if (self._wec_takes_waves and wave_override is not None) \
                 else {}
-            DU_st, DV_st, Huon_st, Hvom_st = self.wec_fn.stokes(
+            DU_st, DV_st, Huon_st, Hvom_st = wec_fn.stokes(
                 state.time, Hz, z_r, z_w, **wec_kw)
             stokes2d = (DU_st, DV_st)
             Huon = Huon + Huon_st
             Hvom = Hvom + Hvom_st
-        if self.wec_fn is not None:
+        if wec_fn is not None:
             # wave-effect-on-currents vortex force (rhs3d.F:534-562)
             wec_kw = {"waves": wave_override} \
                 if (self._wec_takes_waves and wave_override is not None) \
                 else {}
-            ru, rv = self.wec_fn(state.time, state.u, state.v, Hz,
-                                 z_r, z_w, ru, rv, **wec_kw)
+            ru, rv = wec_fn(state.time, state.u, state.v, Hz,
+                            z_r, z_w, ru, rv, **wec_kw)
         ru, rv = clm_mod.nudge_momentum_rhs(cfg, grid, clm, state.u,
                                             state.v, Hz, ru, rv)
         if collect_diag_uv:
