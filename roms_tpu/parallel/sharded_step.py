@@ -38,11 +38,16 @@ gradient/clamped W/E, blockctx gcol masks), N/S walls, LMD-KPP /
 GLS / MY2.5 / constant / analytic vmix, all prsgrd schemes,
 column-local ecosystem (bio_fn) and sediment (sed_fn) hooks,
 wet/dry, open boundaries (radiation/Chapman/Flather/clamped via
-blocked gcol/grow masks), and climatology nudging (clm_fn data
-blocked per step), climatology nudging (clm_fn data blocked per
-step), and LuvSrc/LwSrc point sources (blocked once — static
-fields).  Still unsupported: Shchepetkin/reduced OBCs, VolCons,
-sea ice, WEC, BBL, nesting — these raise at construction.
+blocked gcol/grow masks), climatology nudging (clm_fn data blocked
+per step), LuvSrc/LwSrc point sources (blocked once — static
+fields), equilibrium tide + inverse-barometer pressure (eqt/pair
+aux blocked per step), the MB/SSW/SG wave-current BBL via a
+``bbl_factory(cfg, grid_block)`` rebuilt in-region (BBLState rides
+the state pytree), and WEC vortex-force/Stokes-coupling via a
+``wec_factory(cfg, grid_block)`` (stokes2d enters the blocked fast
+loop like the unsharded one).  Still unsupported: Shchepetkin/
+reduced OBCs, VolCons, sea ice, nesting, coupled wave imports —
+these raise at construction.
 Horizontal advection schemes are guarded against the nghost budget
 (`_check_stencil_reach`); wide-stencil schemes (MPDATA/HSIMT/AKIMA4)
 raise instead of silently corrupting interiors.
@@ -117,15 +122,27 @@ class ShardedStep:
 
     def __init__(self, model, mesh: Mesh, nghost: int = 14,
                  refresh_every: int = 2,
-                 forcing_factory: Optional[Callable] = None):
+                 forcing_factory: Optional[Callable] = None,
+                 bbl_factory: Optional[Callable] = None,
+                 wec_factory: Optional[Callable] = None):
         cfg = model.cfg
         if cfg.bc.ns_periodic:
             raise ValueError("sharded step: NS-periodic unsupported "
                              "(decompose the periodic axis as xi)")
-        for hook in ("ice_fn", "wec_fn",
-                     "bbl_fn", "eq_tide_fn", "pair_fn"):
-            if getattr(model, hook, None) is not None:
-                raise ValueError(f"sharded step: {hook} unsupported")
+        if model.ice_fn is not None:
+            raise ValueError("sharded step: ice_fn unsupported")
+        if model.bbl_fn is not None and bbl_factory is None:
+            raise ValueError(
+                "sharded step: a model with bbl_fn needs a "
+                "bbl_factory(cfg, grid_block) so the wave-current "
+                "closure is rebuilt block-locally (it closes over "
+                "grid.h/angler; the reference computes bblm per tile)")
+        if model.wec_fn is not None and wec_factory is None:
+            raise ValueError(
+                "sharded step: a model with wec_fn needs a "
+                "wec_factory(cfg, grid_block) (stokes drift / vortex "
+                "force close over the grid; wec_vf is per-tile in the "
+                "reference)")
         from ..config import REDUCED, SHCHEPETKIN
         if cfg.bc.volcons:
             raise ValueError("sharded step: VolCons unsupported")
@@ -145,6 +162,8 @@ class ShardedStep:
         self.lay = make_layout(cfg, mesh, nghost)
         self.refresh_every = refresh_every
         self.forcing_factory = forcing_factory
+        self.bbl_factory = bbl_factory
+        self.wec_factory = wec_factory
         self._use_gls = cfg.mixing.vmix in ("gls", "my25")
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         dtype = jnp.dtype(cfg.dtype)
@@ -253,11 +272,17 @@ class ShardedStep:
                 forcing_fn = lambda *a: forcing  # noqa: E731
 
             aux = aux or {}
+            bbl_fn = (self.bbl_factory(cfg, grid)
+                      if self.bbl_factory is not None else None)
+            wec_fn = (self.wec_factory(cfg, grid)
+                      if self.wec_factory is not None else None)
             return self.model.step_impl(
                 state, grid=grid, forcing_fn=forcing_fn,
                 fast_loop=self._fast_loop_blocked,
                 obc_data=aux.get("obc"), clm_data=aux.get("clm"),
-                sources_data=aux.get("sources"))
+                sources_data=aux.get("sources"),
+                eqt_data=aux.get("eqt"), pair_data=aux.get("pair"),
+                bbl_fn=bbl_fn, wec_fn=wec_fn)
 
     def _fast_loop_blocked(self, grid, zeta0, ubar0, vbar0, rufrc,
                            rvfrc, rhoS, rhoA, ru0_prev, rv0_prev,
@@ -386,9 +411,7 @@ class ShardedStep:
             forcing_blk = jax.tree_util.tree_map(
                 self._blk, self._global_forcing(state_blk))
         aux_blk = None
-        if self.model.obc_fn is not None or \
-                self.model.clm_fn is not None or \
-                self.model.sources is not None:
+        if self._has_aux_hooks():
             aux_blk = {}
             if self.model.obc_fn is not None:
                 aux_blk["obc"] = self._block_obc(
@@ -401,6 +424,17 @@ class ShardedStep:
                 # blocked once, sharded like any field pytree
                 aux_blk["sources"] = jax.tree_util.tree_map(
                     self._blk, self.model.sources)
+            if self.model.eq_tide_fn is not None:
+                # equilibrium-tide surface (set_tides.F POT_TIDES):
+                # a 2-D rho field; to_blocks fills its halo ring from
+                # the global array so the prsgrd stencil sees correct
+                # neighbor values without a refresh
+                aux_blk["eqt"] = self._blk(
+                    self.model.eq_tide_fn(state_blk.time))
+            if self.model.pair_fn is not None:
+                # inverse-barometer surface pressure (ATM_PRESS)
+                aux_blk["pair"] = self._blk(
+                    self.model.pair_fn(state_blk.time))
         if self._step_sm is None:
             self._step_sm = self._build(state_blk, forcing_blk,
                                         aux_blk)
@@ -411,12 +445,16 @@ class ShardedStep:
         return self.unblock_state(
             self.step_blocked(self.block_state(state)))
 
+    def _has_aux_hooks(self) -> bool:
+        m = self.model
+        return (m.obc_fn is not None or m.clm_fn is not None
+                or m.sources is not None or m.eq_tide_fn is not None
+                or m.pair_fn is not None)
+
     def run_blocked(self, state_blk: State, nsteps: int) -> State:
         """Advance nsteps with NO per-step block/unblock round trips
         (one jitted lax.scan when the forcing lives in-region)."""
-        if self.model.obc_fn is not None or \
-                self.model.clm_fn is not None or \
-                self.model.sources is not None:
+        if self._has_aux_hooks():
             # boundary/climatology data comes from host-side hooks
             # per step (sources are static but ride the same path)
             for _ in range(nsteps):

@@ -351,3 +351,129 @@ def test_sharded_step_point_sources():
     ref = model.step(model.step(s0))
     out = ss.step(ss.step(s0))
     _compare(ref, out, atol_scale=1e-10)
+
+
+def test_sharded_step_eq_tide_and_pair():
+    """Equilibrium-tide surface (POT_TIDES) and inverse-barometer
+    pressure (ATM_PRESS) through the engine: both are 2-D aux fields
+    blocked per step (prsgrd surface-term stencils read the to_blocks
+    halo ring)."""
+    cfg = upwelling.make_config(Lm=64, Mm=32, N=6, dt=120.0,
+                                ndtfast=10, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    # periodic-consistent in xi: ghost columns follow the same wave
+    # formula so the global ghost values equal the torus wrap
+    xr = 2 * np.pi * (np.arange(cfg.shape2d[1]) - 1.0) / cfg.Lm
+    yr = np.linspace(0.0, np.pi, cfg.shape2d[0])
+    # wall ghost rows carry the gradient-BC clamp (bc_2d semantics),
+    # matching the blocked layout's clamped halo at true walls
+    yr[0], yr[-1] = yr[1], yr[-2]
+    X = jnp.broadcast_to(jnp.asarray(xr)[None, :], cfg.shape2d)
+    Y = jnp.broadcast_to(jnp.asarray(yr)[:, None], cfg.shape2d)
+
+    def eq_tide_fn(time):
+        return 0.05 * jnp.cos(X) * jnp.sin(Y) * \
+            jnp.cos(2 * jnp.pi * time / 44712.0)
+
+    def pair_fn(time):
+        return 1013.0 + 8.0 * jnp.sin(X + 0.3) * jnp.cos(Y) * \
+            jnp.cos(2 * jnp.pi * time / 86400.0)
+
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg),
+                  eq_tide_fn=eq_tide_fn, pair_fn=pair_fn)
+    s0 = model.run(s0, 2)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(model, mesh, nghost=14, refresh_every=2)
+    ref = model.step(model.step(s0))
+    out = ss.step(ss.step(s0))
+    _compare(ref, out, atol_scale=1e-10)
+    # both terms actually change the dynamics
+    plain = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg))
+    base = plain.step(plain.step(s0))
+    assert np.abs(np.asarray(ref.ubar)
+                  - np.asarray(base.ubar)).max() > 1e-10
+
+
+def test_sharded_step_bbl():
+    """MB wave-current BBL closure through the engine: the bottom
+    stress hook is rebuilt block-locally (bbl_factory) like bulk
+    forcing; BBLState rides the state pytree (mb_bbl.h per-tile)."""
+    from roms_tpu.core import bbl as bbl_mod
+    cfg = upwelling.make_config(Lm=64, Mm=32, N=6, dt=120.0,
+                                ndtfast=10, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)._replace(
+        bbl=bbl_mod.initial_bbl(cfg))
+    bblc = bbl_mod.BBLConfig()
+
+    def mk_bbl(c, g):
+        def wave_fn(t):
+            # wave field derived from the (block) grid so it is
+            # computed in-region with the right shapes
+            Hw = 1.0 + 0.01 * g.h
+            return (Hw, jnp.zeros_like(g.h),
+                    8.0 + jnp.zeros_like(g.h))
+        return bbl_mod.make_bbl_fn(c, bblc, g, wave_fn)
+
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg),
+                  bbl_fn=mk_bbl(cfg, grid))
+    s0 = model.run(s0, 2)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(model, mesh, nghost=14, refresh_every=2,
+                     bbl_factory=mk_bbl)
+    ref = model.step(model.step(s0))
+    out = ss.step(ss.step(s0))
+    _compare(ref, out, atol_scale=1e-10)
+    for f in ("rlen", "rhgt"):
+        a = _interior(getattr(ref.bbl, f))
+        b = _interior(getattr(out.bbl, f))
+        assert np.abs(a - b).max() < 1e-10, f
+    # the closure actually matters (different from plain drag)
+    plain = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg))
+    base = plain.step(plain.step(s0))
+    assert np.abs(np.asarray(ref.u) - np.asarray(base.u)).max() > 1e-10
+
+
+def test_sharded_step_wec():
+    """WEC vortex force + Stokes transport coupling through the
+    engine (wec_factory rebuilt in-region; stokes2d enters the
+    blocked fast loop; wec_vf.F per-tile role)."""
+    from roms_tpu.core import wec as wec_mod
+    cfg = upwelling.make_config(Lm=64, Mm=32, N=6, dt=120.0,
+                                ndtfast=10, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+
+    def mk_wec(c, g):
+        def wave_fn(t):
+            # grid-derived wave field (in-region block shapes)
+            Hw = 0.5 + 0.005 * g.h
+            Dw = jnp.full_like(g.h, 0.3)
+            Lw = jnp.full_like(g.h, 80.0)
+            return Hw, Dw, Lw
+        return wec_mod.make_wec_fn(c, g, wave_fn,
+                                   stokes_coupling=True)
+
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg),
+                  wec_fn=mk_wec(cfg, grid))
+    s0 = model.run(s0, 2)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(model, mesh, nghost=14, refresh_every=2,
+                     wec_factory=mk_wec)
+    ref = model.step(model.step(s0))
+    out = ss.step(ss.step(s0))
+    _compare(ref, out, atol_scale=1e-10)
+    # WEC actually matters
+    plain = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg))
+    base = plain.step(plain.step(s0))
+    assert np.abs(np.asarray(ref.u) - np.asarray(base.u)).max() > 1e-10
