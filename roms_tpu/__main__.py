@@ -108,6 +108,21 @@ def _app_module(name: str):
                       lambda cfg, grid: idealized.zero_forcing(cfg),
                       None, idealized.shoreface_extras),
         "CHANNEL_NECK": None,   # file-based (grid NetCDF), generic path
+        "BIO_TOY": (idealized.bio_toy_config, idealized.bio_toy_grid,
+                    idealized.bio_toy_initial,
+                    idealized.bio_toy_forcing_fn, None),
+        "WEDDELL": (idealized.weddell_config, idealized.weddell_grid,
+                    idealized.weddell_initial,
+                    lambda cfg, grid: idealized.zero_forcing(cfg),
+                    None,
+                    lambda cfg, grid: {
+                        "obc_fn": idealized.weddell_obc_fn(cfg,
+                                                           grid)}),
+        "COUPLING_TEST": (idealized.coupling_test_config,
+                          idealized.coupling_test_grid,
+                          idealized.coupling_test_initial,
+                          lambda cfg, grid: idealized.zero_forcing(cfg),
+                          None),
         "TEST_CHAN": (idealized.test_chan_config,
                       idealized.test_chan_grid,
                       idealized.test_chan_initial,
@@ -395,7 +410,8 @@ def main(argv=None):
     elif mk_cfg is not None and any(k in app.upper() for k in
              ("CANYON", "OVERFLOW", "LAKE_SIGNELL", "ESTUARY_TEST",
               "RIVERPLUME", "WINDBASIN", "LMD_TEST", "MIXED_LAYER",
-              "SED_TOY", "TEST_CHAN", "SED_TEST1", "CHANNEL")):
+              "SED_TOY", "TEST_CHAN", "SED_TEST1", "CHANNEL",
+              "BIO_TOY", "WEDDELL", "COUPLING_TEST")):
         # same header-physics merge for the newer analytical apps:
         # the factory carries the .h file's compile-time selections
         # (mixing closure, rotated diffusion, drag law, EOS, LBC set)
@@ -414,6 +430,29 @@ def main(argv=None):
         vs = v if isinstance(v, list) else [v]
         return [s for s in vs
                 if isinstance(s, str) and os.path.isfile(s)]
+
+    # ---- BPARNAM ecosystem deck (inp_par.F:168 read_BioPar chain) ------
+    bio_deck = None
+    bpar = deck_files("BPARNAM")
+    if bpar:
+        from .io.bio_in import load_bio_deck
+        up = app.upper()
+        bio_deck = load_bio_deck(
+            bpar[0],
+            carbon="CARBON" in up, oxygen="OXYGEN" in up)
+        cfg = cfg.replace(NT=cfg.NAT + bio_deck.nbio)
+        print(f"biology from {bpar[0]}: {bio_deck.model} "
+              f"(+{bio_deck.nbio} tracers, NT={cfg.NT})")
+
+    # ---- SPARNAM sediment deck (read_sedpar chain) ---------------------
+    sed_deck = None
+    spar = deck_files("SPARNAM")
+    if spar:
+        from .io.sed_in import load_sed_deck
+        sed_deck = load_sed_deck(spar[0])
+        cfg = cfg.replace(NT=cfg.NT + sed_deck.nsed)
+        print(f"sediment from {spar[0]}: {sed_deck.nsed} classes "
+              f"({', '.join(sed_deck.names)}, NT={cfg.NT})")
 
     grd = deck_files("GRDNAME")
     if grd:
@@ -465,6 +504,27 @@ def main(argv=None):
         print(f"initial state from file: {ini[0]}")
     else:
         state = mk_init(cfg, grid)
+
+    if (bio_deck is not None or sed_deck is not None) and \
+            state.t.shape[0] < cfg.NT:
+        # extend the tracer block: BioIni constants (ana_biology.h /
+        # read_BioPar defaults) then sediment CSED concentrations
+        import jax.numpy as _jnp
+        inivals = []
+        if bio_deck is not None:
+            inivals += [bio_deck.bio_ini.get(sl, 0.1)
+                        for sl in range(bio_deck.nbio)]
+        if sed_deck is not None:
+            inivals += list(sed_deck.csed)
+        need = cfg.NT - state.t.shape[0]
+        pads = [_jnp.full((1,) + state.t.shape[1:], v, state.t.dtype)
+                for v in inivals[-need:]]
+        t_ext = _jnp.concatenate([state.t] + pads, axis=0)
+        state = state._replace(t=t_ext, t_prev=t_ext)
+    if sed_deck is not None:
+        from .core.sediment import initial_sed
+        state = state._replace(
+            sed=initial_sed(cfg, sed_deck.config))
 
     obc_fn = None
     bry = deck_files("BRYNAME")
@@ -525,6 +585,12 @@ def main(argv=None):
     extras = mk_extras(cfg, grid) if mk_extras else {}
     if obc_fn is not None:
         extras["obc_fn"] = obc_fn       # file data overrides analytic
+    if bio_deck is not None:
+        extras["bio_fn"] = bio_deck.make_hook(cfg, grid)
+    if sed_deck is not None:
+        extras["sed_fn"] = sed_deck.make_hook(
+            cfg, grid,
+            offset=bio_deck.nbio if bio_deck is not None else 0)
     model = stepping.Model(
         cfg, grid, forcing_fn=forcing_fn,
         vmix_fn=mk_vmix(cfg) if mk_vmix else None,

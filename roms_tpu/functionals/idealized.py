@@ -1458,3 +1458,236 @@ def lab_canyon_initial(cfg: ModelConfig, grid: Grid) -> State:
     T = jnp.full((cfg.N, Mj, Li), 14.0, cfg.dtype)
     S = jnp.full_like(T, 35.0)
     return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+# ---------------------------------------------------------------------------
+# BIO_TOY — one-dimensional (vertical) biology toy (bio_toy.h):
+# LMD-KPP (RIMIX+CONVEC+SKPP+BKPP+NONLOCAL), COARE bulk fluxes with
+# longwave, solar source, DJ_GRADPS, nonlinear EOS + salinity.  The
+# reference drives it from roms_test NetCDF files (4x4x30 box); the
+# analytical fallback here is the same flat box with a stratified
+# profile so the deck runs self-contained.
+# ---------------------------------------------------------------------------
+
+def bio_toy_config(Lm: int = 4, Mm: int = 4, N: int = 30,
+                   dt: float = 1800.0, ndtfast: int = 30,
+                   dtype: str = "float64") -> ModelConfig:
+    from ..config import PERIODIC
+    per = LBC(west=PERIODIC, east=PERIODIC, south=PERIODIC,
+              north=PERIODIC)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=4,
+                                 theta_s=5.0, theta_b=0.4,
+                                 Tcline=50.0),
+        eos=EOSConfig(),                       # NONLIN_EOS + SALINITY
+        mixing=MixingConfig(vmix="lmd", bkpp=True,
+                            solar_source=True),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig.uniform(per),
+        rho0=1025.0, gamma2=1.0, dtype=dtype,
+    )
+
+
+def bio_toy_grid(cfg: ModelConfig) -> Grid:
+    return _plane_grid(cfg, 10.0e3, 10.0e3, 200.0, f0=8.0e-5)
+
+
+def bio_toy_initial(cfg: ModelConfig, grid: Grid) -> State:
+    from ..grid.depth import set_depth
+    zeta = jnp.zeros(cfg.shape2d, cfg.dtype)
+    z_r, _, _ = set_depth(grid, zeta)
+    T = 14.0 + 8.0 * jnp.exp(z_r / 50.0)
+    S = 35.0 - 0.5 * jnp.exp(z_r / 80.0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def bio_toy_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """BULK_FLUXES + LONGWAVE (bio_toy.h:40-43) with the bl_test
+    analytic atmosphere at a gentler 5 m/s wind."""
+    import jax.numpy as _j
+    from ..core.bulk_flux import AtmState, make_bulk_forcing
+    base_atm = bl_test_atm_fn(cfg, grid)
+
+    def atm(time):
+        a = base_atm(time)
+        return a._replace(Vwind=0.5 * a.Vwind)
+    return make_bulk_forcing(cfg, atm)
+
+
+# ---------------------------------------------------------------------------
+# WEDDELL — idealized Weddell Sea shelf with an ICE SHELF cavity
+# (weddell.h): NS-periodic strip, W/E open with M2 tidal boundary data
+# (ana_fsobc.h:155-176, ana_m2obc.h:300-345), piecewise shelf-slope
+# bathymetry and a 340 m ice draft over the western 20 columns
+# (ana_grid.h:1084-1111,1168-1181), angler = 90 deg, latitude-dependent
+# f starting at 79S (ana_grid.h:877-884), rest initial state at
+# T0=-0.2775 C / S0=34.6489 (roms_weddell.in:459-460).
+# ---------------------------------------------------------------------------
+
+def weddell_config(Lm: int = 300, Mm: int = 10, N: int = 30,
+                   dt: float = 50.0, ndtfast: int = 20,
+                   dtype: str = "float64") -> ModelConfig:
+    from ..config import (CHAPMAN_IMPLICIT, FLATHER, GRADIENT,
+                          PERIODIC, RADIATION)
+    def lbc(we):
+        return LBC(west=we, east=we, south=PERIODIC, north=PERIODIC)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=3.0, theta_b=0.0,
+                                 Tcline=50.0),
+        eos=EOSConfig(),
+        mixing=MixingConfig(vmix="constant", visc2=50.0,
+                            tnu2=(10.0, 10.0)),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig(
+            zeta=lbc(CHAPMAN_IMPLICIT), ubar=lbc(FLATHER),
+            vbar=lbc(FLATHER), u=lbc(RADIATION), v=lbc(RADIATION),
+            t=lbc(RADIATION), tke=lbc(GRADIENT)),
+        rho0=1025.0, gamma2=1.0, dtype=dtype, curvgrid=True,
+    )
+
+
+def _weddell_h_table():
+    """The 237-knot shelf/slope profile (ana_grid.h:1084-1101)."""
+    val1, val2 = 98.80, 0.8270
+    ks = np.arange(-1, 236)
+    xw = np.empty(ks.shape)
+    hw = np.empty(ks.shape)
+    for n, k in enumerate(ks):
+        if k <= 26:
+            xw[n] = (k - 1) * 15.0e3
+            hw[n] = 375.0
+        elif k <= 232:
+            zwrk = -2.0 + (k - 1) * 0.020
+            xw[n] = (520.0 + val1 + zwrk * val1
+                     + val1 * val2 * np.log(np.cosh(zwrk))) * 1.0e3
+            hw[n] = -75.0 + 2198.0 * (1.0 + val2 * np.tanh(zwrk))
+        else:
+            xw[n] = (850.0 + (k - 228) * 50.0) * 1.0e3
+            hw[n] = 4000.0
+    return xw, hw
+
+
+def weddell_grid(cfg: ModelConfig) -> Grid:
+    Mj, Li = cfg.shape2d
+    dx = dy = 4000.0
+    i = np.arange(Li)
+    j = np.arange(Mj)
+    xr1 = (i - 0.5) * dx
+    xr = np.broadcast_to(xr1[None, :], (Mj, Li)).copy()
+    yr = np.broadcast_to(((j - 0.5) * dy)[:, None], (Mj, Li)).copy()
+    xw, hw = _weddell_h_table()
+    h1 = np.interp(xr1, xw, hw, left=375.0, right=4000.0)
+    h = np.broadcast_to(h1[None, :], (Mj, Li)).copy()
+    # f from latitude -79 + (i-1)*10.4/Lm degrees (ana_grid.h:877-884)
+    lat = -79.0 + (i - 1.0) * 10.4 / cfg.Lm
+    f1 = 2.0 * 7.2e-5 * np.sin(np.deg2rad(lat))
+    f = np.broadcast_to(f1[None, :], (Mj, Li)).copy()
+    # ice shelf: -340 m for i<=4, ramp to 0 at i=20 (ana_grid.h:
+    # 1168-1181; reference i is 1-based interior = our column index)
+    val1, val2 = 340.0, 340.0 / 16.0
+    zice1 = np.where(i > 20, 0.0,
+                     np.where(i > 4, -val1 + (i - 1.0) * val2, -val1))
+    zice = np.broadcast_to(zice1[None, :], (Mj, Li)).copy()
+    pm = np.full((Mj, Li), 1.0 / dx)
+    pn = np.full((Mj, Li), 1.0 / dy)
+    return build_grid(cfg, h=h, pm=pm, pn=pn, f=f, xr=xr, yr=yr,
+                      angler=np.full((Mj, Li), 0.5 * np.pi),
+                      zice=zice)
+
+
+def weddell_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    T = jnp.full((cfg.N, Mj, Li), -0.2775, cfg.dtype)
+    S = jnp.full_like(T, 34.6489)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def weddell_obc_fn(cfg: ModelConfig, grid: Grid):
+    """M2 tidal boundary data at the W/E edges (ana_fsobc.h:155-176,
+    ana_m2obc.h:300-345): tanh spin-up ramp, amplitude/phase linearly
+    extrapolated across the domain, tidal ellipse rotated by the
+    local angler (= 90 deg)."""
+    Mj = cfg.shape2d[0]
+    Li = cfg.shape2d[1]
+    deg2rad = np.pi / 180.0
+    zeros_col = jnp.zeros((Mj,), cfg.dtype)
+    Tm2 = 12.42 * 3600.0
+    ang = 0.5 * np.pi                         # angler everywhere
+
+    def edge(frac):
+        # frac=1/(Iend+1) for west, 1 for east (reference expressions)
+        val = 0.53 + (0.53 - 0.48) * frac
+        phase = (277.0 + (277.0 - 240.0) * frac) * deg2rad
+        minor = 0.0143 + (0.0143 + 0.010) * frac
+        major = 0.1144 + (0.1144 - 0.013) * frac
+        mphase = (318.0 + (318.0 - 355.0) * frac) * deg2rad
+        mangle = (125.0 + (125.0 - 25.0) * frac) * deg2rad
+        return val, phase, minor, major, mphase, mangle
+
+    west = edge(1.0 / Li)
+    east = edge(1.0)
+
+    def obc(time):
+        fac = jnp.tanh(time / 86400.0)
+        om = 2.0 * jnp.pi * time / Tm2
+        out = {"zeta": {}, "ubar": {}, "vbar": {}}
+        for side, (val, phase, minor, major, mphase, mangle) in (
+                ("west", west), ("east", east)):
+            out["zeta"][side] = fac * val * jnp.cos(om - phase) \
+                + zeros_col
+            ub = fac * (major * jnp.cos(mangle - ang)
+                        * jnp.cos(om - mphase)
+                        - minor * jnp.sin(mangle - ang)
+                        * jnp.sin(om - mphase))
+            vb = fac * (major * jnp.sin(mangle - ang)
+                        * jnp.cos(om - mphase)
+                        - minor * jnp.sin(mangle - ang)
+                        * jnp.cos(om - mphase))
+            out["ubar"][side] = ub + zeros_col
+            out["vbar"][side] = vb + zeros_col
+        return out
+
+    return obc
+
+
+# ---------------------------------------------------------------------------
+# COUPLING_TEST — atmosphere-ocean coupling benchmark box
+# (coupling_test.h): flat 1500 m f-plane box, ana_vmix, stratified
+# initial temperature (ana_initial.h:617-630); the coupled forcing
+# normally arrives through the ESMF/NUOPC seam (core/coupling.py
+# import overrides), standalone it runs with zero analytic forcing.
+# ---------------------------------------------------------------------------
+
+def coupling_test_config(Lm: int = 24, Mm: int = 24, N: int = 16,
+                         dt: float = 300.0, ndtfast: int = 30,
+                         dtype: str = "float64") -> ModelConfig:
+    closed = LBC()
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=5.0, theta_b=0.4,
+                                 Tcline=50.0),
+        eos=EOSConfig(linear=True),
+        mixing=MixingConfig(vmix="ana"),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig.uniform(closed),
+        rho0=1025.0, gamma2=1.0, dtype=dtype,
+    )
+
+
+def coupling_test_grid(cfg: ModelConfig) -> Grid:
+    return _plane_grid(cfg, 6000.0 * cfg.Lm, 6000.0 * cfg.Mm,
+                       1500.0, f0=5.0e-5)
+
+
+def coupling_test_initial(cfg: ModelConfig, grid: Grid) -> State:
+    from ..grid.depth import set_depth
+    zeta = jnp.zeros(cfg.shape2d, cfg.dtype)
+    z_r, _, _ = set_depth(grid, zeta)
+    T = 40.0 * jnp.exp(z_r / 800.0) * \
+        (0.6 - 0.4 * jnp.tanh(z_r / 800.0)) + 1.5
+    S = jnp.full_like(T, 35.0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))

@@ -150,7 +150,12 @@ class OutputManager:
 
         nbed = 0
         if initial_state is not None and initial_state.sed is not None:
-            nbed = int(initial_state.sed.thick.shape[0])
+            # multi-layer bed stratigraphy (sed_bed.BedState) carries
+            # .thick; the single-pool SedState (bed_mass only) has no
+            # bed-layer output dimension
+            thick = getattr(initial_state.sed, "thick", None)
+            if thick is not None:
+                nbed = int(thick.shape[0])
 
         default_fields = tuple(his_fields or
                                ("zeta", "ubar", "vbar", "u", "v",
