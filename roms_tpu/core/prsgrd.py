@@ -63,6 +63,19 @@ def prsgrd32(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
     cff2 = 0.5 * (rho[-1] - rho[-2]) * (z_w[-1] - z_r[-1]) * cff1
     P_top = g * (1.0 - cfg.sal_scalar) * z_w[-1] \
         + GRho * (rho[-1] + cff2) * (z_w[-1] - z_r[-1])
+    zice = getattr(grid, "zice", None)
+    if zice is not None:
+        # ICESHELF hydrostatic ice load: a floating shelf presses with
+        # the weight of the displaced water column — background
+        # (g*|zice|) plus its density anomaly, approximated with the
+        # ice-base in-situ value, so the surface-potential deficit of
+        # z_w(N)=zeta-|zice| cancels and a resting stratified cavity
+        # stays balanced (exactly for uniform anomaly; to the
+        # compressibility gradient otherwise).  The reference's
+        # prsgrd32.h:276 carries no such term, which leaves an
+        # O(g grad|zice|) spurious force at the ice front from rest.
+        draft = jnp.abs(zice)
+        P_top = P_top + (g + GRho * (rho[-1] + cff2)) * draft
     if eq_tide is not None:
         # tide generating body force enters as a surface pressure
         # deficit (TIDE_GENERATING_FORCES, prsgrd32.h:286)
@@ -190,6 +203,9 @@ def prsgrd31(cfg: ModelConfig, grid: Grid, rho, z_r, z_w, Hz,
     g = cfg.g
     fac1 = 0.5 * g / cfg.rho0
     fac3 = 0.25 * g / cfg.rho0
+    if getattr(grid, "zice", None) is not None:
+        raise NotImplementedError(
+            "ICESHELF ice-load closure lives in prsgrd32 (djs)")
 
     def one_dir(shift_m):
         drho = rho - shift_m(rho)                # at u/v points, all k
@@ -293,6 +309,11 @@ def _p_and_surface(cfg, grid, rho, Hz, eq_tide, Pair):
         P_top = P_top + (100.0 / g) * (Pair - 1013.25)
     if eq_tide is not None:
         P_top = P_top - g * eq_tide
+    if getattr(grid, "zice", None) is not None:
+        raise NotImplementedError(
+            "ICESHELF ice-load closure is implemented for the splines "
+            "density-Jacobian scheme (prsgrd32) only; use cfg.prsgrd="
+            "'djs' for ice-shelf cavities")
     rhoHz = Hz * rho
     below = jnp.cumsum(rhoHz[::-1], axis=0)[::-1]
     return jnp.concatenate([P_top[None] + below, P_top[None]], axis=0)

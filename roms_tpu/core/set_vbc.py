@@ -57,3 +57,56 @@ def bottom_drag(cfg: ModelConfig, grid, u, v, Hz, z_r=None, z_w=None):
     bvstr = jnp.sign(bvstr) * jnp.minimum(jnp.abs(bvstr),
                                           jnp.abs(vb) * cff * Hz_v)
     return bustr, bvstr
+
+
+def apply_iceshelf(cfg: ModelConfig, grid, u, v, z_r, z_w, forcing):
+    """ICESHELF surface boundary conditions (set_vbc.F:423-560).
+
+    Under the shelf (zice != 0): surface tracer fluxes and shortwave
+    are zeroed, and the wind stress is replaced by the ice-cavity
+    friction on the TOP level velocity — quadratic/linear per the
+    drag configuration, a log-layer Cd for kind='log', stress zeroed
+    otherwise.  Returns the modified Forcing."""
+    zice = grid.zice
+    under = zice != 0.0
+    under_u = under & st.im1(under)       # zice(i)*zice(i-1) != 0
+    under_v = under & st.jm1(under)
+
+    stflx = jnp.where(under[None], 0.0, forcing.stflx)
+    srflx = jnp.where(under, 0.0, forcing.srflx)
+
+    ut, vt = u[-1], v[-1]
+    kind = cfg.drag.kind
+    if kind == "log":
+        # log-layer Cd from the TOP-level height above the ice base
+        # (set_vbc.F:455-461 with ZoBot)
+        cff1 = 1.0 / jnp.log((z_w[-1] - z_r[-1]) / cfg.drag.Zob)
+        cd = jnp.clip(constants.vonKar ** 2 * cff1 * cff1,
+                      cfg.drag.Cdb_min, cfg.drag.Cdb_max)
+        v_at_u = 0.25 * (vt + st.jp1(vt) + st.im1(vt)
+                         + st.im1(st.jp1(vt)))
+        u_at_v = 0.25 * (ut + st.ip1(ut) + st.jm1(ut)
+                         + st.jm1(st.ip1(ut)))
+        sustr_i = -0.5 * (st.im1(cd) + cd) * ut * \
+            jnp.sqrt(ut * ut + v_at_u * v_at_u)
+        svstr_i = -0.5 * (st.jm1(cd) + cd) * vt * \
+            jnp.sqrt(u_at_v * u_at_v + vt * vt)
+    elif kind == "quadratic":
+        r2 = cfg.drag.rdrg2
+        v_at_u = 0.25 * (vt + st.jp1(vt) + st.im1(vt)
+                         + st.im1(st.jp1(vt)))
+        u_at_v = 0.25 * (ut + st.ip1(ut) + st.jm1(ut)
+                         + st.jm1(st.ip1(ut)))
+        sustr_i = -r2 * ut * jnp.sqrt(ut * ut + v_at_u * v_at_u)
+        svstr_i = -r2 * vt * jnp.sqrt(u_at_v * u_at_v + vt * vt)
+    elif kind == "linear":
+        sustr_i = -cfg.drag.rdrg * ut
+        svstr_i = -cfg.drag.rdrg * vt
+    else:
+        sustr_i = jnp.zeros_like(ut)
+        svstr_i = jnp.zeros_like(vt)
+
+    sustr = jnp.where(under_u, sustr_i, forcing.sustr)
+    svstr = jnp.where(under_v, svstr_i, forcing.svstr)
+    return forcing._replace(sustr=sustr, svstr=svstr, stflx=stflx,
+                            srflx=srflx)

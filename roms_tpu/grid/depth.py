@@ -28,18 +28,31 @@ def set_depth(grid: Grid, zeta):
     Cs_w = grid.Cs_w[1:, None, None]
 
     vtransform = grid.Vtransform
+    zice = getattr(grid, "zice", None)
+    if zice is not None:
+        # ICESHELF: the water column spans h - |zice|; stretch over it
+        # and depress every level by the ice draft
+        # (set_depth.F:161-178,205-226 zice branches)
+        draft = jnp.abs(zice)
+        hwater = h - draft
+    else:
+        hwater = h
 
     if vtransform == 1:
-        z_w0 = hc * (sc_w - Cs_w) + Cs_w * h[None]
-        z_r0 = hc * (sc_r - Cs_r) + Cs_r * h[None]
-        z_w_up = z_w0 + zeta[None] * (1.0 + z_w0 / h[None])
-        z_r = z_r0 + zeta[None] * (1.0 + z_r0 / h[None])
+        z_w0 = hc * (sc_w - Cs_w) + Cs_w * hwater[None]
+        z_r0 = hc * (sc_r - Cs_r) + Cs_r * hwater[None]
+        z_w_up = z_w0 + zeta[None] * (1.0 + z_w0 / hwater[None])
+        z_r = z_r0 + zeta[None] * (1.0 + z_r0 / hwater[None])
     else:
-        hinv = 1.0 / (hc + h)[None]
-        zo_w = (hc * sc_w + Cs_w * h[None]) * hinv
-        zo_r = (hc * sc_r + Cs_r * h[None]) * hinv
-        z_w_up = zeta[None] + (zeta + h)[None] * zo_w
-        z_r = zeta[None] + (zeta + h)[None] * zo_r
+        hinv = 1.0 / (hc + hwater)[None]
+        zo_w = (hc * sc_w + Cs_w * hwater[None]) * hinv
+        zo_r = (hc * sc_r + Cs_r * hwater[None]) * hinv
+        z_w_up = zeta[None] + (zeta + hwater)[None] * zo_w
+        z_r = zeta[None] + (zeta + hwater)[None] * zo_r
+
+    if zice is not None:
+        z_w_up = z_w_up - draft[None]
+        z_r = z_r - draft[None]
 
     z_w = jnp.concatenate([-h[None], z_w_up], axis=0)
     Hz = z_w[1:] - z_w[:-1]

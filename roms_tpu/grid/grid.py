@@ -45,6 +45,9 @@ class Grid:
         "sc_r", "Cs_r", "sc_w", "Cs_w",
         "visc2_r", "visc2_p", "diff2",
         "visc4_r", "visc4_p", "diff4",
+        # ICESHELF draft (m, nonzero under ice; None on shelf-free
+        # grids — None is an empty pytree leaf, so it costs nothing)
+        "zice",
     )
     AUX = ("hc", "Lm", "Mm", "N", "spherical", "Vtransform")
 
@@ -88,7 +91,7 @@ def _avg_p(a):
 def build_grid(cfg: ModelConfig, *, h, pm, pn, f,
                xr=None, yr=None, xu=None, yu=None, xv=None, yv=None,
                angler=None, rmask=None, dndx=None, dmde=None,
-               spherical: bool = False) -> Grid:
+               spherical: bool = False, zice=None) -> Grid:
     """Assemble a Grid from rho-point primary fields.
 
     All inputs are (Mm+2, Lm+2) arrays at RHO points (boundary ring
@@ -203,6 +206,8 @@ def build_grid(cfg: ModelConfig, *, h, pm, pn, f,
         sc_w=jnp.asarray(sc_w_, dtype), Cs_w=jnp.asarray(Cs_w_, dtype),
         visc2_r=visc2_r, visc2_p=visc2_p, diff2=diff2,
         visc4_r=visc4_r, visc4_p=visc4_p, diff4=diff4,
+        zice=(None if zice is None
+              else jnp.asarray(zice, dtype=dtype)),
         hc=hc, Lm=cfg.Lm, Mm=cfg.Mm, N=cfg.N, spherical=spherical,
         Vtransform=cfg.vert.Vtransform,
     )
