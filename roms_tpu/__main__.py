@@ -123,6 +123,16 @@ def _app_module(name: str):
                           idealized.coupling_test_initial,
                           lambda cfg, grid: idealized.zero_forcing(cfg),
                           None),
+        "LAKE_JERSEY": (idealized.lake_jersey_config,
+                        idealized.lake_jersey_grid,
+                        idealized.lake_jersey_initial,
+                        idealized.lake_jersey_forcing_fn, None,
+                        idealized.lake_jersey_extras),
+        "TEST_HEAD": (idealized.test_head_config,
+                      idealized.test_head_grid,
+                      idealized.test_head_initial,
+                      lambda cfg, grid: idealized.zero_forcing(cfg),
+                      None, idealized.test_head_extras),
         "TEST_CHAN": (idealized.test_chan_config,
                       idealized.test_chan_grid,
                       idealized.test_chan_initial,
@@ -411,14 +421,17 @@ def main(argv=None):
              ("CANYON", "OVERFLOW", "LAKE_SIGNELL", "ESTUARY_TEST",
               "RIVERPLUME", "WINDBASIN", "LMD_TEST", "MIXED_LAYER",
               "SED_TOY", "TEST_CHAN", "SED_TEST1", "CHANNEL",
-              "BIO_TOY", "WEDDELL", "COUPLING_TEST")):
+              "BIO_TOY", "WEDDELL", "COUPLING_TEST", "LAKE_JERSEY",
+              "TEST_HEAD")):
         # same header-physics merge for the newer analytical apps:
         # the factory carries the .h file's compile-time selections
-        # (mixing closure, rotated diffusion, drag law, EOS, LBC set)
+        # (mixing closure, rotated diffusion, drag law, EOS, LBC set,
+        # wet/dry)
         hdr = mk_cfg()
         cfg = cfg.replace(mixing=hdr.mixing, drag=hdr.drag,
                           eos=hdr.eos, bc=hdr.bc,
-                          uv_cor=hdr.uv_cor)
+                          uv_cor=hdr.uv_cor, wetdry=hdr.wetdry,
+                          Dcrit=hdr.Dcrit)
 
     # ---- file-based data path (realistic applications) -----------------
     # GRDNAME/ININAME/BRYNAME/CLMNAME/FRCNAME/NUDNAME deck keywords select
@@ -591,6 +604,26 @@ def main(argv=None):
         extras["sed_fn"] = sed_deck.make_hook(
             cfg, grid,
             offset=bio_deck.nbio if bio_deck is not None else 0)
+    if frc:
+        # surface wave data (get_data.F wave branch): rebind the app's
+        # wave-driven hooks onto the file wave fields
+        from .io.forcing import has_wave_fields, make_file_wave_fn
+        if has_wave_fields(ffields):
+            if "wec_fn" in extras:
+                from .core.wec import make_wec_fn
+                extras["wec_fn"] = make_wec_fn(
+                    cfg, grid, make_file_wave_fn(cfg, ffields, "wec"),
+                    stokes_coupling=True)
+                print(f"WEC wave field from: {', '.join(frc)}")
+            else:
+                from .core.bbl import BBLConfig, make_ssw_bbl_fn
+                extras["bbl_fn"] = make_ssw_bbl_fn(
+                    cfg, BBLConfig(), grid,
+                    make_file_wave_fn(cfg, ffields, "bbl"))
+                print(f"SSW-BBL wave field from: {', '.join(frc)}")
+    if extras.get("bbl_fn") is not None and state.bbl is None:
+        from .core.bbl import initial_bbl
+        state = state._replace(bbl=initial_bbl(cfg))
     model = stepping.Model(
         cfg, grid, forcing_fn=forcing_fn,
         vmix_fn=mk_vmix(cfg) if mk_vmix else None,

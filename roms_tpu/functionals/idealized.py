@@ -1691,3 +1691,177 @@ def coupling_test_initial(cfg: ModelConfig, grid: Grid) -> State:
         (0.6 - 0.4 * jnp.tanh(z_r / 800.0)) + 1.5
     S = jnp.full_like(T, 35.0)
     return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+# ---------------------------------------------------------------------------
+# LAKE_JERSEY — wave-current BBL + sediment lake (lake_jersey.h):
+# SSW_BBL with analytic waves (ANA_WWAVE generic branch: Hwave 0.5 m,
+# Pwave 10 s), suspended+Soulsby-bedload sediment (ANA_SEDIMENT),
+# MASKING, nonlinear EOS.  The reference drives it from roms_test
+# grid files; the analytical fallback is an elliptic masked lake.
+# ---------------------------------------------------------------------------
+
+def lake_jersey_config(Lm: int = 40, Mm: int = 24, N: int = 8,
+                       dt: float = 30.0, ndtfast: int = 10,
+                       dtype: str = "float64") -> ModelConfig:
+    closed = LBC()
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=4,
+                                 theta_s=3.0, theta_b=0.7,
+                                 Tcline=5.0),
+        eos=EOSConfig(),
+        mixing=MixingConfig(vmix="gls"),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig.uniform(closed),
+        rho0=1000.0, gamma2=1.0, dtype=dtype,
+    )
+
+
+def lake_jersey_grid(cfg: ModelConfig) -> Grid:
+    Mj, Li = cfg.shape2d
+    dx, dy = 200.0, 200.0
+    i = np.arange(Li)
+    j = np.arange(Mj)
+    X, Y = np.meshgrid((i - 0.5) * dx, (j - 0.5) * dy)
+    x0, y0 = 0.5 * cfg.Lm * dx, 0.5 * cfg.Mm * dy
+    r = np.sqrt(((X - x0) / (0.45 * cfg.Lm * dx)) ** 2
+                + ((Y - y0) / (0.45 * cfg.Mm * dy)) ** 2)
+    rmask = (r < 1.0).astype(np.float64)
+    h = np.maximum(2.0, 12.0 * (1.0 - r * r))
+    pm = np.full((Mj, Li), 1.0 / dx)
+    pn = np.full((Mj, Li), 1.0 / dy)
+    return build_grid(cfg, h=h, pm=pm, pn=pn,
+                      f=np.full((Mj, Li), 9.37e-5), xr=X, yr=Y,
+                      rmask=rmask)
+
+
+def lake_jersey_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    T = jnp.full((cfg.N, Mj, Li), 20.0, cfg.dtype)
+    S = jnp.full_like(T, 0.05)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def lake_jersey_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """Steady 0.1 N/m2 along-lake wind (ana_smflux-style)."""
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    zerosT = jnp.zeros((cfg.NT, Mj, Li), dtype)
+    amp = 0.1 / cfg.rho0
+
+    def forcing(time):
+        return Forcing(sustr=amp + zeros, svstr=zeros, stflx=zerosT,
+                       btflx=zerosT, srflx=zeros)
+    return forcing
+
+
+def lake_jersey_extras(cfg: ModelConfig, grid: Grid):
+    """SSW BBL with analytic waves (ana_wwave generic branch: Hwave
+    0.5 m, Pwave_bot 10 s); sediment classes arrive via the deck's
+    SPARNAM keyword (sediment_lake_jersey.in)."""
+    from ..core.bbl import BBLConfig, make_ssw_bbl_fn
+    Mj, Li = cfg.shape2d
+    Hw = jnp.full((Mj, Li), 0.5, cfg.dtype)
+    Dw = jnp.zeros((Mj, Li), cfg.dtype)
+    Pw = jnp.full((Mj, Li), 10.0, cfg.dtype)
+
+    def wave_fn(time):
+        return Hw, Dw, Pw
+
+    return {"bbl_fn": make_ssw_bbl_fn(cfg, BBLConfig(), grid,
+                                      wave_fn)}
+
+
+# ---------------------------------------------------------------------------
+# TEST_HEAD — tidal inlet with waves (test_head.h): WET_DRY, WEC_VF,
+# SSH/UV tides through the reduced FSOBC (FSOBC_REDUCED + ANA_FSOBC/
+# ANA_M2OBC), UV_LOGDRAG, MY25 mixing, sediment via SPARNAM
+# (sediment_test_head.in).  The reference couples to SWAN for the wave
+# field; standalone the waves come from an FRCNAME wave file
+# (io/forcing.py WAVE branch) or the analytic default here.
+# ---------------------------------------------------------------------------
+
+def test_head_config(Lm: int = 56, Mm: int = 40, N: int = 8,
+                     dt: float = 20.0, ndtfast: int = 10,
+                     dtype: str = "float64") -> ModelConfig:
+    from ..config import GRADIENT, REDUCED
+    closed = LBC()
+    south_open = LBC(south=REDUCED)
+    south_grad = LBC(south=GRADIENT)
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=4,
+                                 theta_s=3.0, theta_b=0.7,
+                                 Tcline=5.0),
+        eos=EOSConfig(linear=True),
+        mixing=MixingConfig(vmix="my25"),
+        drag=BottomDragConfig(kind="log", Zob=0.005),
+        bc=BoundaryConfig(
+            zeta=south_open, ubar=south_open, vbar=south_open,
+            u=south_grad, v=south_grad, t=south_grad,
+            tke=south_grad),
+        rho0=1025.0, gamma2=1.0, dtype=dtype, wetdry=True,
+        Dcrit=0.1,
+    )
+
+
+def test_head_grid(cfg: ModelConfig) -> Grid:
+    """Inlet geometry: open sea strip at the south, a narrow inlet
+    through a barrier row, and a shallow back-bay with drying flats
+    (the inlet_test/test_head planform)."""
+    Mj, Li = cfg.shape2d
+    dx = dy = 100.0
+    i = np.arange(Li)
+    j = np.arange(Mj)
+    X, Y = np.meshgrid((i - 0.5) * dx, (j - 0.5) * dy)
+    jbar = Mj // 3
+    h = np.where(Y < jbar * dy, 8.0,
+                 np.maximum(0.5, 3.0 - 2.5 * (Y - jbar * dy)
+                            / ((Mj - jbar) * dy)))
+    rmask = np.ones((Mj, Li))
+    inlet_lo, inlet_hi = Li // 2 - 3, Li // 2 + 3
+    barrier = (np.abs(j[:, None] - jbar) <= 1) & \
+        ((i[None, :] < inlet_lo) | (i[None, :] > inlet_hi))
+    rmask[barrier] = 0.0
+    pm = np.full((Mj, Li), 1.0 / dx)
+    pn = np.full((Mj, Li), 1.0 / dy)
+    return build_grid(cfg, h=h, pm=pm, pn=pn,
+                      f=np.full((Mj, Li), 9.0e-5), xr=X, yr=Y,
+                      rmask=rmask)
+
+
+def test_head_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    T = jnp.full((cfg.N, Mj, Li), 15.0, cfg.dtype)
+    S = jnp.full_like(T, 32.0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def test_head_obc_fn(cfg: ModelConfig, grid: Grid):
+    """M2 tide at the southern sea boundary (ana_fsobc.h
+    FSOBC_REDUCED pattern: zeta data only; the reduced-physics
+    ubar/vbar follow from the surface slope)."""
+    Li = cfg.shape2d[1]
+    zeros_row = jnp.zeros((Li,), cfg.dtype)
+
+    def obc(time):
+        zs = 0.5 * jnp.sin(2.0 * jnp.pi * time / (12.42 * 3600.0))
+        return {"zeta": {"south": zs + zeros_row}}
+    return obc
+
+
+def test_head_extras(cfg: ModelConfig, grid: Grid):
+    from ..core.wec import make_wec_fn
+    Mj, Li = cfg.shape2d
+    Hw = jnp.full((Mj, Li), 0.4, cfg.dtype)
+    Dw = jnp.full((Mj, Li), 0.5 * jnp.pi, cfg.dtype)
+    Lw = jnp.full((Mj, Li), 50.0, cfg.dtype)
+
+    def wave_fn(time):
+        return Hw, Dw, Lw
+
+    return {"wec_fn": make_wec_fn(cfg, grid, wave_fn,
+                                  stokes_coupling=True),
+            "obc_fn": test_head_obc_fn(cfg, grid)}

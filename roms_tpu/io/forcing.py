@@ -96,6 +96,11 @@ FORCING_VARS = {
     "Tair": ("tair_time",), "Pair": ("pair_time",),
     "Qair": ("qair_time",), "cloud": ("cloud_time",),
     "rain": ("rain_time",),
+    # surface wave fields (get_data.F WAVE_DATA branch; drive the
+    # BBL closures and WEC when no wave model is coupled)
+    "Hwave": ("wave_time",), "Dwave": ("wave_time",),
+    "Lwave": ("wave_time",), "Pwave_top": ("wave_time",),
+    "Pwave_bot": ("wave_time",), "Uwave_rms": ("wave_time",),
 }
 _FRC_FALLBACK_TIMES = ("frc_time", "ocean_time", "time")
 
@@ -215,3 +220,40 @@ def make_file_forcing_fn(cfg: ModelConfig, fields: Dict[str,
                        srflx=srf)
 
     return forcing
+
+
+def has_wave_fields(fields: Dict) -> bool:
+    """True when the loaded forcing set carries surface wave data
+    (FRCNAME wave branch of get_data.F)."""
+    return "Hwave" in fields and "Dwave" in fields
+
+
+def make_file_wave_fn(cfg: ModelConfig,
+                      fields: Dict[str, TimeSeriesField],
+                      kind: str = "bbl"):
+    """wave_fn(time) from file fields.
+
+    kind='bbl': returns (Hwave, Dwave, Pwave_bot) for the wave-current
+    bottom boundary layer closures (mb/ssw/sg; Pwave_top is the
+    fallback period).  kind='wec': returns (Hwave, Dwave, Lwave) for
+    the vortex-force/Stokes coupling."""
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+
+    def get(name, default, alt=None):
+        fld = fields.get(name) or (fields.get(alt) if alt else None)
+        dflt = jnp.full((Mj, Li), default, dtype)
+        return (lambda t: fld.at(t).astype(dtype)) if fld else \
+            (lambda t: dflt)
+
+    f_h = get("Hwave", 0.0)
+    f_d = get("Dwave", 0.0)
+    if kind == "wec":
+        f_3 = get("Lwave", 100.0)
+    else:
+        f_3 = get("Pwave_bot", 8.0, alt="Pwave_top")
+
+    def wave(time):
+        return f_h(time), f_d(time), f_3(time)
+
+    return wave

@@ -119,12 +119,17 @@ def load_grid_netcdf(path: str, cfg: ModelConfig) -> Grid:
 
     xu, yu = pad_u(xu), pad_u(yu)
     xv, yv = pad_v(xv), pad_v(yv)
+    # ICESHELF draft (get_grid.F zice branch); all-zero fields are
+    # treated as shelf-free so the hot path stays untouched
+    zice = _get(f, "zice")
+    if zice is not None and not np.any(zice):
+        zice = None
     f.close()
 
     return build_grid(cfg, h=h, pm=pm, pn=pn, f=fcor, xr=xr, yr=yr,
                       xu=xu, yu=yu, xv=xv, yv=yv, angler=angler,
                       rmask=rmask, dndx=dndx, dmde=dmde,
-                      spherical=spherical)
+                      spherical=spherical, zice=zice)
 
 
 def write_grid_netcdf(path: str, cfg: ModelConfig, grid: Grid,
@@ -160,6 +165,9 @@ def write_grid_netcdf(path: str, cfg: ModelConfig, grid: Grid,
     put("mask_rho", grid.rmask)
     put("dndx", grid.dndx, "meter")
     put("dmde", grid.dmde, "meter")
+    if getattr(grid, "zice", None) is not None:
+        put("zice", grid.zice, "meter",
+            "depth of ice shelf cavity (negative) at RHO-points")
     if grid.spherical:
         put("lon_rho", grid.xr, "degree_east")
         put("lat_rho", grid.yr, "degree_north")

@@ -110,3 +110,25 @@ def test_coupling_test_runs():
     assert np.isfinite(np.asarray(s2.t)).all()
     # stratification preserved at rest
     assert np.asarray(s2.t)[0, -1].mean() > np.asarray(s2.t)[0, 0].mean()
+
+
+def test_weddell_grid_file_roundtrip(tmp_path):
+    """zice survives the grid NetCDF writer/loader (get_grid.F zice
+    branch), so file-driven ice-shelf decks work."""
+    from roms_tpu.io.grid_nc import load_grid_netcdf, write_grid_netcdf
+    cfg = idealized.weddell_config(Lm=60, Mm=8, N=8)
+    grid = idealized.weddell_grid(cfg)
+    p = str(tmp_path / "weddell_grd.nc")
+    write_grid_netcdf(p, cfg, grid)
+    g2 = load_grid_netcdf(p, cfg)
+    np.testing.assert_allclose(np.asarray(g2.zice),
+                               np.asarray(grid.zice), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g2.h), np.asarray(grid.h),
+                               rtol=1e-12)
+    # shelf-free grids keep zice None through the roundtrip
+    from roms_tpu.functionals import upwelling
+    cfg2 = upwelling.make_config(Lm=16, Mm=8, N=6, dtype="float64")
+    gu = upwelling.make_grid(cfg2)
+    p2 = str(tmp_path / "upw_grd.nc")
+    write_grid_netcdf(p2, cfg2, gu)
+    assert load_grid_netcdf(p2, cfg2).zice is None
