@@ -164,6 +164,10 @@ def _app_module(name: str):
         "DOGBONE": (idealized.dogbone_config, None, None,
                     lambda cfg, grid: idealized.zero_forcing(cfg),
                     None),
+        # data-driven basin: header physics only, grid/ini from files
+        "DAMEE_4": (idealized.damee4_config, None, None,
+                    lambda cfg, grid: idealized.zero_forcing(cfg),
+                    None),
     }
     # Longest key first so e.g. "LAB_CANYON" matches its own entry,
     # not the shorter "CANYON" substring.
@@ -422,7 +426,7 @@ def main(argv=None):
               "RIVERPLUME", "WINDBASIN", "LMD_TEST", "MIXED_LAYER",
               "SED_TOY", "TEST_CHAN", "SED_TEST1", "CHANNEL",
               "BIO_TOY", "WEDDELL", "COUPLING_TEST", "LAKE_JERSEY",
-              "TEST_HEAD")):
+              "TEST_HEAD", "DAMEE_4")):
         # same header-physics merge for the newer analytical apps:
         # the factory carries the .h file's compile-time selections
         # (mixing closure, rotated diffusion, drag law, EOS, LBC set,
@@ -515,8 +519,12 @@ def main(argv=None):
         state = read_state_netcdf(ini[0], cfg, grid,
                                   rec=nrrec - 1 if nrrec > 0 else -1)
         print(f"initial state from file: {ini[0]}")
-    else:
+    elif mk_init is not None:
         state = mk_init(cfg, grid)
+    else:
+        # data-driven app without ININAME: start from rest
+        from .core.state import initial_state
+        state = initial_state(cfg, grid)
 
     if (bio_deck is not None or sed_deck is not None) and \
             state.t.shape[0] < cfg.NT:
@@ -621,6 +629,23 @@ def main(argv=None):
                     cfg, BBLConfig(), grid,
                     make_file_wave_fn(cfg, ffields, "bbl"))
                 print(f"SSW-BBL wave field from: {', '.join(frc)}")
+    if frc:
+        # QCORRECTION / SRELAXATION data (set_vbc.F:313-395): SST +
+        # dQdSST heat-flux correction, SSS salt relaxation with the
+        # deck's salinity TNUDG scale
+        if "SST" in ffields or "SSS" in ffields:
+            from .core.set_vbc import make_flux_correction
+            tn = params.get("TNUDG", 0.0)
+            tn = tn if isinstance(tn, list) else [tn]
+            tnudg_s = float(tn[1] if len(tn) > 1 else tn[0] or 0.0)
+            extras["flux_corr_fn"] = make_flux_correction(
+                cfg, sst_fld=ffields.get("SST"),
+                dqdt_fld=ffields.get("dQdSST"),
+                sss_fld=ffields.get("SSS"), tnudg_s_days=tnudg_s,
+                salt_mode=("srelaxation" if "SSS" in ffields
+                           else "none"))
+            print("surface flux corrections active "
+                  f"(SST={'SST' in ffields}, SSS={'SSS' in ffields})")
     if extras.get("bbl_fn") is not None and state.bbl is None:
         from .core.bbl import initial_bbl
         state = state._replace(bbl=initial_bbl(cfg))

@@ -110,3 +110,42 @@ def apply_iceshelf(cfg: ModelConfig, grid, u, v, z_r, z_w, forcing):
     svstr = jnp.where(under_v, svstr_i, forcing.svstr)
     return forcing._replace(sustr=sustr, svstr=svstr, stflx=stflx,
                             srflx=srflx)
+
+
+def make_flux_correction(cfg: ModelConfig, sst_fld=None, dqdt_fld=None,
+                         sss_fld=None, tnudg_s_days: float = 0.0,
+                         salt_mode: str = "none"):
+    """Surface-flux corrections (set_vbc.F:313-395).
+
+    QCORRECTION (when sst_fld+dqdt_fld given):
+        stflx[T] += dqdt * (SST_model - SST_data)      [dqdt < 0]
+    salt_mode='scorrection' (SCORRECTION):
+        stflx[S] = EmP*S_model - Tnudg*Hz_N*(S_model - SSS_data)
+    salt_mode='srelaxation' (SRELAXATION):
+        stflx[S] = -Tnudg*Hz_N*(S_model - SSS_data)
+
+    The returned hook(time, t, Hz, forcing) -> forcing runs inside the
+    step after the forcing function (Model flux_corr_fn).  Note the
+    un-corrected salinity branch (stflx[S] = EmP*S_model) is handled
+    by the forcing functions themselves; this hook only REPLACES the
+    salt flux when a correction mode is active."""
+    tnudg_s = (1.0 / (tnudg_s_days * 86400.0)) \
+        if tnudg_s_days > 0.0 else 0.0
+
+    def hook(time, t, Hz, forcing):
+        stflx = forcing.stflx
+        if sst_fld is not None and dqdt_fld is not None:
+            sst_d = sst_fld.at(time).astype(stflx.dtype)
+            dqdt = dqdt_fld.at(time).astype(stflx.dtype)
+            stflx = stflx.at[0].add(dqdt * (t[0, -1] - sst_d))
+        if cfg.NT > 1 and sss_fld is not None and \
+                salt_mode in ("scorrection", "srelaxation"):
+            sss_d = sss_fld.at(time).astype(stflx.dtype)
+            relax = -tnudg_s * Hz[-1] * (t[1, -1] - sss_d)
+            if salt_mode == "scorrection":
+                stflx = stflx.at[1].set(stflx[1] + relax)
+            else:
+                stflx = stflx.at[1].set(relax)
+        return forcing._replace(stflx=stflx)
+
+    return hook

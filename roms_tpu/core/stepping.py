@@ -90,7 +90,8 @@ class Model:
                  eq_tide_fn: Optional[Callable] = None,
                  ice_fn: Optional[Callable] = None,
                  wec_fn: Optional[Callable] = None,
-                 pair_fn: Optional[Callable] = None):
+                 pair_fn: Optional[Callable] = None,
+                 flux_corr_fn: Optional[Callable] = None):
         self.cfg = cfg
         self.grid = grid
         self.forcing_fn = forcing_fn
@@ -106,6 +107,7 @@ class Model:
         self.sed_fn = sed_fn
         self.bbl_fn = bbl_fn
         self.eq_tide_fn = eq_tide_fn
+        self.flux_corr_fn = flux_corr_fn
         self.ice_fn = ice_fn
         self.wec_fn = wec_fn
         self.pair_fn = pair_fn
@@ -259,6 +261,12 @@ class Model:
             # thermo; here only stress/salt feedback is applied
             forcing = forcing._replace(sustr=tox, svstr=toy,
                                        stflx=stflx)
+        if self.flux_corr_fn is not None:
+            # QCORRECTION / SCORRECTION / SRELAXATION flux corrections
+            # (set_vbc.F:313-395): applied to the assembled stflx with
+            # the model's own surface state
+            forcing = self.flux_corr_fn(state.time, state.t, Hz,
+                                        forcing)
         if getattr(grid, "zice", None) is not None:
             # ICESHELF cavities: zero surface fluxes and replace wind
             # stress with ice-cavity friction under the shelf

@@ -1865,3 +1865,29 @@ def test_head_extras(cfg: ModelConfig, grid: Grid):
     return {"wec_fn": make_wec_fn(cfg, grid, wave_fn,
                                   stokes_coupling=True),
             "obc_fn": test_head_obc_fn(cfg, grid)}
+
+
+# ---------------------------------------------------------------------------
+# DAMEE_4 — North Atlantic DAMEE #4 (damee_4.h): data-driven spherical
+# grid (GRDNAME/ININAME from roms_test), LMD-KPP
+# (RIMIX+CONVEC+SKPP+NONLOCAL), nonlinear EOS, MASKING/CURVGRID,
+# QCORRECTION + SRELAXATION from FRCNAME SST/dQdSST/SSS data.  This
+# factory carries only the header physics; grids come from files.
+# ---------------------------------------------------------------------------
+
+def damee4_config(Lm: int = 128, Mm: int = 128, N: int = 20,
+                  dt: float = 1800.0, ndtfast: int = 45,
+                  dtype: str = "float64") -> ModelConfig:
+    closed = LBC()
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=2, Vstretching=2,
+                                 theta_s=7.0, theta_b=0.1,
+                                 Tcline=200.0),
+        eos=EOSConfig(),
+        mixing=MixingConfig(vmix="lmd", tnu2=(100.0, 100.0),
+                            visc2=0.0),
+        drag=BottomDragConfig(kind="linear", rdrg=3.0e-4),
+        bc=BoundaryConfig.uniform(closed),
+        rho0=1025.0, gamma2=1.0, dtype=dtype, curvgrid=True,
+    )

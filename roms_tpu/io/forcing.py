@@ -101,6 +101,10 @@ FORCING_VARS = {
     "Hwave": ("wave_time",), "Dwave": ("wave_time",),
     "Lwave": ("wave_time",), "Pwave_top": ("wave_time",),
     "Pwave_bot": ("wave_time",), "Uwave_rms": ("wave_time",),
+    # flux-correction data (QCORRECTION/SCORRECTION/SRELAXATION,
+    # set_vbc.F:313-395)
+    "SST": ("sst_time",), "dQdSST": ("sst_time",),
+    "SSS": ("sss_time",),
 }
 _FRC_FALLBACK_TIMES = ("frc_time", "ocean_time", "time")
 
