@@ -164,10 +164,13 @@ def _app_module(name: str):
         "DOGBONE": (idealized.dogbone_config, None, None,
                     lambda cfg, grid: idealized.zero_forcing(cfg),
                     None),
-        # data-driven basin: header physics only, grid/ini from files
+        # data-driven basins: header physics only, grid/ini from files
         "DAMEE_4": (idealized.damee4_config, None, None,
                     lambda cfg, grid: idealized.zero_forcing(cfg),
                     None),
+        "WC13": (idealized.wc13_config, None, None,
+                 lambda cfg, grid: idealized.zero_forcing(cfg),
+                 None),
     }
     # Longest key first so e.g. "LAB_CANYON" matches its own entry,
     # not the shorter "CANYON" substring.
@@ -426,7 +429,7 @@ def main(argv=None):
               "RIVERPLUME", "WINDBASIN", "LMD_TEST", "MIXED_LAYER",
               "SED_TOY", "TEST_CHAN", "SED_TEST1", "CHANNEL",
               "BIO_TOY", "WEDDELL", "COUPLING_TEST", "LAKE_JERSEY",
-              "TEST_HEAD", "DAMEE_4")):
+              "TEST_HEAD", "DAMEE_4", "WC13")):
         # same header-physics merge for the newer analytical apps:
         # the factory carries the .h file's compile-time selections
         # (mixing closure, rotated diffusion, drag law, EOS, LBC set,

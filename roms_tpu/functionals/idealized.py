@@ -1891,3 +1891,31 @@ def damee4_config(Lm: int = 128, Mm: int = 128, N: int = 20,
         bc=BoundaryConfig.uniform(closed),
         rho0=1025.0, gamma2=1.0, dtype=dtype, curvgrid=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# WC13 — California Current 4D-Var tutorial (wc13.h): data-driven
+# spherical grid (roms_test files); header physics: GLS mixing,
+# COARE bulk fluxes with diurnal shortwave + EminusP, MIX_GEO_TS,
+# harmonic mixing, quadratic drag, nonlinear EOS.  The 4D-Var drivers
+# themselves are the assim library (assim/i4dvar.py, rbl4dvar,
+# r4dvar, controls, split); this factory carries the nonlinear basic
+# state's physics for GRDNAME/ININAME/FRCNAME decks.
+# ---------------------------------------------------------------------------
+
+def wc13_config(Lm: int = 72, Mm: int = 48, N: int = 30,
+                dt: float = 3600.0, ndtfast: int = 60,
+                dtype: str = "float64") -> ModelConfig:
+    closed = LBC()
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=6.5, theta_b=1.5,
+                                 Tcline=100.0),
+        eos=EOSConfig(),
+        mixing=MixingConfig(vmix="gls", visc2=4.0, tnu2=(5.0, 5.0),
+                            mix_geo_ts=True, solar_source=True),
+        drag=BottomDragConfig(kind="quadratic", rdrg2=3.0e-3),
+        bc=BoundaryConfig.uniform(closed),
+        rho0=1025.0, gamma2=1.0, dtype=dtype, curvgrid=True,
+    )

@@ -163,3 +163,45 @@ NINFO == 0
     out = capsys.readouterr().out
     assert "surface flux corrections active" in out
     assert "grid from file" in out
+
+
+def test_wc13_deck_end_to_end(capsys, tmp_path):
+    """WC13-class deck: generated spherical grid, GLS+bulk header
+    physics, runs from rest (the 4D-Var drivers sit in assim/)."""
+    from roms_tpu.__main__ import main
+    from roms_tpu.functionals import idealized
+    from roms_tpu.grid.grid import build_grid
+    from roms_tpu.io.grid_nc import write_grid_netcdf
+    cfg = idealized.wc13_config(Lm=20, Mm=16, N=6)
+    Mj, Li = cfg.shape2d
+    lon = np.linspace(-134.0, -118.0, Li)
+    lat = np.linspace(30.0, 41.0, Mj)
+    LON, LAT = np.meshgrid(lon, lat)
+    dlat = (lat[1] - lat[0]) * 111.1e3
+    dlon = (lon[1] - lon[0]) * 111.1e3 * np.cos(np.deg2rad(LAT))
+    grid = build_grid(cfg, h=np.full((Mj, Li), 2000.0),
+                      pm=1.0 / dlon, pn=np.full((Mj, Li), 1.0 / dlat),
+                      f=2 * 7.2921e-5 * np.sin(np.deg2rad(LAT)),
+                      xr=LON, yr=LAT, spherical=True)
+    gpath = str(tmp_path / "wc13_grd.nc")
+    write_grid_netcdf(gpath, cfg, grid)
+    deck = str(tmp_path / "roms_wc13.in")
+    with open(deck, "w") as fh:
+        fh.write(f"""
+TITLE = WC13 reduced
+MyAppCPP == WC13
+Lm == 20
+Mm == 16
+N == 6
+NTIMES == 2
+DT == 600.0d0
+NDTFAST == 15
+NRREC == 0
+GRDNAME == {gpath}
+NHIS == 0
+NRST == 0
+NINFO == 0
+""")
+    rc = main([deck, "--outdir", str(tmp_path), "--dtype", "float64"])
+    assert rc == 0
+    assert "grid from file" in capsys.readouterr().out
