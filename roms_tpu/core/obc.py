@@ -576,6 +576,11 @@ def obc_volcons(cfg: ModelConfig, grid, zeta, ubar, vbar, Drhs,
     edges = cfg.bc.volcons
     if not edges:
         return DUon, DVom
+    from ..parallel import blockctx
+    ctx = blockctx.current()
+    if ctx is not None:
+        return _obc_volcons_blocked(cfg, grid, ctx, zeta, ubar, vbar,
+                                    Drhs, DUon, DVom)
     area = 0.0
     flux = 0.0
     h = grid.h
@@ -714,3 +719,104 @@ def u2dbc_reduced(cfg: ModelConfig, grid, ubar_new, vbar_new,
                                + dt2d * (pgr + cor + strs))
                               * grid.vmask[-1, :])
     return ub, vb
+
+
+def _obc_volcons_blocked(cfg: ModelConfig, grid, ctx, zeta, ubar,
+                         vbar, Drhs, DUon, DVom):
+    """Blocked-engine volume conservation: the boundary-flux and
+    boundary-area integrals are local masked sums reduced with a
+    SCALAR lax.psum over the (eta, xi) mesh — the TPU analog of
+    obc_volcons.F's mp_reduce — and the edge rewrites land through the
+    blockctx global-row/column masks on the blocks that own the true
+    domain edges."""
+    import jax
+    from ..ops import stencil as st
+    edges = cfg.bc.volcons
+    h = grid.h
+    if ctx.nghost is None:
+        raise ValueError(
+            "blocked obc_volcons needs BlockCtx.nghost to mask each "
+            "block's OWNED cells out of the halo-duplicated ring")
+    ng = ctx.nghost
+    nr, nc = zeta.shape[-2:]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nr, nc), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nr, nc), 1)
+    grow = ctx.grow[:, None]
+    # each block OWNS its center cells plus — for wall blocks — the
+    # domain-ghost line sitting in the first halo ring (from_blocks
+    # reconstructs global ghosts from exactly those positions), so
+    # halo duplicates never enter the psum twice
+    owned_r = ((ri >= ng) & (ri < nr - ng)) \
+        | ((ri == ng - 1) & (grow == 0)) \
+        | ((ri == nr - ng) & (grow == ctx.Mm + 1))
+    if ctx.gcol is not None:
+        gcol = ctx.gcol[None, :]
+        owned_c = ((ci >= ng) & (ci < nc - ng)) \
+            | ((ci == ng - 1) & (gcol == 0)) \
+            | ((ci == nc - ng) & (gcol == ctx.Lm + 1))
+    else:
+        gcol = None
+        owned_c = (ci >= ng) & (ci < nc - ng)
+    owned = owned_r & owned_c
+    interior_row = owned & (grow >= 1) & (grow <= ctx.Mm)
+    interior_col = owned if gcol is None else \
+        owned & (gcol >= 1) & (gcol <= ctx.Lm)
+    if ("west" in edges or "east" in edges) and gcol is None:
+        raise ValueError(
+            "VolCons on W/E edges needs a walled-xi block layout")
+
+    zero = jnp.zeros_like(zeta)
+    area_l = jnp.zeros((), zeta.dtype)
+    flux_l = jnp.zeros((), zeta.dtype)
+    if "west" in edges:
+        # u-point column 1: cff from rho cols 0|1 (im1 within block)
+        cff = 0.5 * (zeta + h + st.im1(zeta + h)) * grid.on_u \
+            * grid.umask
+        m = interior_row & (gcol == 1)
+        area_l += jnp.sum(jnp.where(m, cff, zero))
+        flux_l += jnp.sum(jnp.where(m, cff * ubar, zero))
+    if "east" in edges:
+        m = interior_row & (gcol == ctx.Lm + 1)
+        cff = 0.5 * (zeta + h + st.im1(zeta + h)) * grid.on_u \
+            * grid.umask
+        area_l += jnp.sum(jnp.where(m, cff, zero))
+        flux_l -= jnp.sum(jnp.where(m, cff * ubar, zero))
+    if "south" in edges:
+        m = (grow == 1) & interior_col
+        cff = 0.5 * (zeta + h + st.jm1(zeta + h)) * grid.om_v \
+            * grid.vmask
+        area_l += jnp.sum(jnp.where(m, cff, zero))
+        flux_l += jnp.sum(jnp.where(m, cff * vbar, zero))
+    if "north" in edges:
+        m = (grow == ctx.Mm + 1) & interior_col
+        cff = 0.5 * (zeta + h + st.jm1(zeta + h)) * grid.om_v \
+            * grid.vmask
+        area_l += jnp.sum(jnp.where(m, cff, zero))
+        flux_l -= jnp.sum(jnp.where(m, cff * vbar, zero))
+    area = jax.lax.psum(area_l, axis_name=("eta", "xi"))
+    flux = jax.lax.psum(flux_l, axis_name=("eta", "xi"))
+    xs = flux / area
+
+    # WRITE masks are id-only (no ownership restriction): every halo
+    # copy of an edge cell receives the same corrected value, so no
+    # refresh is needed after the rewrite
+    irow = (grow >= 1) & (grow <= ctx.Mm)
+    if "west" in edges:
+        m = irow & (gcol == 1)
+        expr = 0.5 * (Drhs + st.im1(Drhs)) * (ubar - xs) * grid.on_u
+        DUon = jnp.where(m, expr, DUon)
+    if "east" in edges:
+        m = irow & (gcol == ctx.Lm + 1)
+        expr = 0.5 * (Drhs + st.im1(Drhs)) * (ubar + xs) * grid.on_u
+        DUon = jnp.where(m, expr, DUon)
+    icol = jnp.ones_like(zeta, bool) if gcol is None else \
+        (gcol >= 1) & (gcol <= ctx.Lm)
+    if "south" in edges:
+        m = (grow == 1) & icol
+        expr = 0.5 * (Drhs + st.jm1(Drhs)) * (vbar - xs) * grid.om_v
+        DVom = jnp.where(m, expr, DVom)
+    if "north" in edges:
+        m = (grow == ctx.Mm + 1) & icol
+        expr = 0.5 * (Drhs + st.jm1(Drhs)) * (vbar + xs) * grid.om_v
+        DVom = jnp.where(m, expr, DVom)
+    return DUon, DVom

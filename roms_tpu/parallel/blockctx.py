@@ -46,6 +46,10 @@ class BlockCtx(NamedTuple):
     gcol: jnp.ndarray = None
     Lm: int = 0
     xi_periodic: bool = True
+    # halo-ring width of the block layout; lets ctx-aware REDUCTIONS
+    # (obc_volcons) mask each block to its OWNED center cells so halo
+    # copies are not double-counted in psums.  None = unknown.
+    nghost: Optional[int] = None
 
 
 def current() -> Optional[BlockCtx]:

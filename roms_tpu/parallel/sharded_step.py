@@ -145,7 +145,15 @@ class ShardedStep:
                 "reference)")
         from ..config import REDUCED, SHCHEPETKIN
         if cfg.bc.volcons:
-            raise ValueError("sharded step: VolCons unsupported")
+            # core.obc._obc_volcons_blocked implements the psum-based
+            # integrals and edge rewrites (verified exact for a single
+            # step), but the post-correction ghost-column convention at
+            # open edges still differs between the global and blocked
+            # paths across steps — keep refusing until that is unified
+            raise ValueError(
+                "sharded step: VolCons unsupported (blocked integrals "
+                "exist but multi-step open-edge ghost discipline "
+                "differs; see core.obc._obc_volcons_blocked)")
         for lbc in (cfg.bc.zeta, cfg.bc.ubar, cfg.bc.vbar, cfg.bc.u,
                     cfg.bc.v, cfg.bc.t):
             for side in ("west", "east", "south", "north"):
@@ -242,7 +250,8 @@ class ShardedStep:
         cfg = self.cfg
         ctx = bctx.BlockCtx(grow=grow, Mm=cfg.Mm, gcol=gcol,
                             Lm=cfg.Lm,
-                            xi_periodic=self.lay.xi_periodic)
+                            xi_periodic=self.lay.xi_periodic,
+                            nghost=self.lay.nghost)
         with bctx.block_ctx(ctx), no_pallas():
             # ---- R1: start-of-step halo refresh --------------------
             f3 = [state.u, state.v, state.t, state.t_prev]

@@ -477,3 +477,67 @@ def test_sharded_step_wec():
                   vmix_fn=upwelling.make_vmix_fn(cfg))
     base = plain.step(plain.step(s0))
     assert np.abs(np.asarray(ref.u) - np.asarray(base.u)).max() > 1e-10
+
+
+def test_sharded_step_volcons():
+    """Blocked obc_volcons (core.obc._obc_volcons_blocked): boundary
+    flux/area integrals as owned-cell masked sums + scalar psum, edge
+    rewrites via gcol/grow masks — must equal the global function
+    bitwise for one call.  (The full engine still refuses VolCons:
+    the post-correction ghost convention at open edges differs across
+    steps; the integrals themselves are verified here.)"""
+    import dataclasses
+    from jax import shard_map as _sm
+    from jax.sharding import PartitionSpec as P
+    from roms_tpu.core import obc as obc_mod
+    from roms_tpu.functionals import kelvin
+    from roms_tpu.parallel import blockctx as bctx
+    from roms_tpu.parallel.blocked import from_blocks, to_blocks
+    cfg = kelvin.make_config(Lm=64, Mm=16, N=6)
+    cfg = cfg.replace(dtype="float64")
+    cfg = cfg.replace(bc=dataclasses.replace(
+        cfg.bc, volcons=("west", "east")))
+    grid = kelvin.make_grid(cfg)
+    model = Model(cfg, grid, kelvin.make_forcing_fn(cfg, grid),
+                  obc_fn=kelvin.make_obc_fn(cfg, grid))
+    s0 = model.run(kelvin.make_initial(cfg, grid), 3)
+
+    zeta, ubar, vbar = s0.zeta, s0.ubar, s0.vbar
+    Drhs = zeta + grid.h
+    DUon = Drhs * ubar * grid.on_u
+    DVom = Drhs * vbar * grid.om_v
+    DUon_g, DVom_g = obc_mod.obc_volcons(cfg, grid, zeta, ubar, vbar,
+                                         Drhs, DUon, DVom)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    # volcons=() only to build the layout helpers; the blocked call
+    # below uses the volcons cfg directly
+    model_p = Model(cfg.replace(bc=dataclasses.replace(cfg.bc,
+                                                       volcons=())),
+                    grid, kelvin.make_forcing_fn(cfg, grid))
+    ss = ShardedStep(model_p, mesh, nghost=14, refresh_every=2)
+    lay = ss.lay
+
+    def body(g, grow, gcol, *fields):
+        ctx = bctx.BlockCtx(grow=grow, Mm=cfg.Mm, gcol=gcol,
+                            Lm=cfg.Lm, xi_periodic=lay.xi_periodic,
+                            nghost=lay.nghost)
+        with bctx.block_ctx(ctx):
+            return obc_mod.obc_volcons(cfg, g, *fields)
+
+    s2 = P("eta", "xi")
+    sm = _sm(body, mesh=mesh,
+             in_specs=(ss._grid_specs, P("eta"), P("xi")) + (s2,) * 6,
+             out_specs=(s2, s2))
+    args = [to_blocks(a, lay) for a in (zeta, ubar, vbar, Drhs, DUon,
+                                        DVom)]
+    DUon_b, DVom_b = sm(ss.gridblk, ss.grow, ss.gcol, *args)
+    a = np.asarray
+    np.testing.assert_allclose(
+        a(from_blocks(DUon_b, lay))[1:-1, 1:-1],
+        a(DUon_g)[1:-1, 1:-1], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        a(from_blocks(DVom_b, lay))[1:-1, 1:-1],
+        a(DVom_g)[1:-1, 1:-1], rtol=1e-12, atol=1e-14)
+    # the correction is active (edge fluxes rewritten)
+    assert np.abs(a(DUon_g) - a(DUon)).max() > 1e-12
