@@ -44,15 +44,26 @@ def load_sed_deck(path_or_params) -> SedDeck:
         n = len(d50)
         if n == 0:
             return dict(n=0)
+
+        def arr(key, default):
+            v = _plural(params, f"{prefix}_{key}") or [default] * n
+            if len(v) == 1 and n > 1:
+                v = v * n            # scalar broadcast over classes
+            if len(v) != n:
+                raise ValueError(
+                    f"SPARNAM: {prefix}_{key} lists {len(v)} values "
+                    f"for {n} {prefix} classes ({prefix}_SD50)")
+            return v
+
         return dict(
             n=n,
             d50=[x * 1.0e-3 for x in d50],          # mm -> m
-            wsed=_plural(params, f"{prefix}_WSED") or [1.0] * n,
-            erate=_plural(params, f"{prefix}_ERATE") or [5e-4] * n,
-            tau_ce=_plural(params, f"{prefix}_TAU_CE") or [0.05] * n,
-            srho=_plural(params, f"{prefix}_SRHO") or [2650.0] * n,
-            poros=_plural(params, f"{prefix}_POROS") or [0.5] * n,
-            csed=_plural(params, f"{prefix}_CSED") or [0.0] * n,
+            wsed=arr("WSED", 1.0),
+            erate=arr("ERATE", 5e-4),
+            tau_ce=arr("TAU_CE", 0.05),
+            srho=arr("SRHO", 2650.0),
+            poros=arr("POROS", 0.5),
+            csed=arr("CSED", 0.0),
         )
 
     mud = block("MUD")
