@@ -107,7 +107,11 @@ def _app_module(name: str):
                       idealized.shoreface_initial,
                       lambda cfg, grid: idealized.zero_forcing(cfg),
                       None, idealized.shoreface_extras),
-        "CHANNEL_NECK": None,   # file-based (grid NetCDF), generic path
+        "CHANNEL_NECK": (idealized.channel_neck_config,
+                         idealized.channel_neck_grid,
+                         idealized.channel_neck_initial,
+                         idealized.channel_neck_forcing_fn,
+                         idealized.channel_neck_vmix),
         "BIO_TOY": (idealized.bio_toy_config, idealized.bio_toy_grid,
                     idealized.bio_toy_initial,
                     idealized.bio_toy_forcing_fn, None),
@@ -429,7 +433,7 @@ def main(argv=None):
               "RIVERPLUME", "WINDBASIN", "LMD_TEST", "MIXED_LAYER",
               "SED_TOY", "TEST_CHAN", "SED_TEST1", "CHANNEL",
               "BIO_TOY", "WEDDELL", "COUPLING_TEST", "LAKE_JERSEY",
-              "TEST_HEAD", "DAMEE_4", "WC13")):
+              "TEST_HEAD", "DAMEE_4", "WC13", "CHANNEL_NECK")):
         # same header-physics merge for the newer analytical apps:
         # the factory carries the .h file's compile-time selections
         # (mixing closure, rotated diffusion, drag law, EOS, LBC set,

@@ -81,23 +81,46 @@ def _dot(a: Control, b: Control):
                    jax.tree_util.tree_leaves(b)))
 
 
-def make_bsqrt(sigmas: Control, smooth: int = 2):
+def make_bsqrt(sigmas: Control, smooth: int = 2, rmask=None):
     """Diffusion-convolution square-root background covariance.
 
     B^1/2 v = sigma * L^smooth v with L a 1-2-1 horizontal smoother —
     the discrete analog of convolve.F's diffusion-operator filter.
+    With ``rmask`` (MASKING apps, e.g. CHANNEL_NECK/correlation.h),
+    the smoother is masked each iteration so correlations do not leak
+    through land, matching convolve.F's masked diffusion fluxes; the
+    masked operator stays self-adjoint (M L M with M, L symmetric).
     """
     def lap(f):
         f1 = 0.25 * (jnp.roll(f, 1, -1) + jnp.roll(f, -1, -1)
                      + jnp.roll(f, 1, -2) + jnp.roll(f, -1, -2))
         return 0.5 * f + 0.5 * f1
 
+    def mask_for(shape):
+        if rmask is None:
+            return None
+        m = jnp.asarray(rmask)
+        Mj, Li = m.shape
+        mj, li = shape[-2], shape[-1]
+        if (mj, li) == (Mj, Li):
+            return m
+        if (mj, li) == (Mj, Li - 1):          # u points
+            return m[:, 1:] * m[:, :-1]
+        if (mj, li) == (Mj - 1, Li):          # v points
+            return m[1:, :] * m[:-1, :]
+        return None
+
     def bsqrt(v: Control) -> Control:
         out = []
         for s, f in zip(jax.tree_util.tree_leaves(sigmas),
                         jax.tree_util.tree_leaves(v)):
+            m = mask_for(f.shape)
+            if m is not None:
+                f = f * m
             for _ in range(smooth):
                 f = lap(f)
+                if m is not None:
+                    f = f * m
             out.append(s * f)
         return Control(*out)
 

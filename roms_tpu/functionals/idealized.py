@@ -1919,3 +1919,92 @@ def wc13_config(Lm: int = 72, Mm: int = 48, N: int = 30,
         bc=BoundaryConfig.uniform(closed),
         rho0=1025.0, gamma2=1.0, dtype=dtype, curvgrid=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# CHANNEL_NECK — channel with a constriction (channel_neck.h), the
+# reference's CORRELATION / 4D-Var sanity application.  Header
+# physics: DJ_GRADPS pressure gradient, UV_VIS2 + MIX_GEO_UV rotated
+# momentum mixing, linear bottom drag, MASKING, analytic vertical
+# mixing (ana_vmix.h:116-122, 240-247:
+#     Akv = 2e-4 + 8e-4 exp(z_w/5),  Akt = 2e-6 + 8e-6 exp(z_w/5))
+# and a constant westward wind (ana_smflux.h:175-186:
+# sustr = -0.01/rho0).  The reference reads the neck geometry from an
+# unshipped grid NetCDF (roms_channel_neck1.in GRDNAME); the native
+# grid synthesizes it: a 100 km EW-periodic, 40 km wide, 20 m deep
+# f-plane channel whose masked coastline pinches to ~40% width
+# through a Gaussian neck at mid-channel.  Initial state is 20 C at
+# rest (ana_initial.h:608-616).  The CORRELATION driver itself is
+# assim/symmetry.py:correlation_map over the diffusion-B square root.
+# ---------------------------------------------------------------------------
+
+def channel_neck_config(Lm: int = 128, Mm: int = 40, N: int = 16,
+                        dt: float = 120.0, ndtfast: int = 24,
+                        dtype: str = "float64") -> ModelConfig:
+    return ModelConfig(
+        Lm=Lm, Mm=Mm, NT=2, NAT=2, dt=dt, ndtfast=ndtfast,
+        vert=VerticalCoordConfig(N=N, Vtransform=1, Vstretching=1,
+                                 theta_s=3.0, theta_b=0.0,
+                                 Tcline=20.0),
+        eos=EOSConfig(linear=True, T0=20.0),
+        mixing=MixingConfig(vmix="ana", visc2=5.0, mix_geo_uv=True),
+        drag=BottomDragConfig(kind="linear", rdrg=3.0e-4),
+        bc=BoundaryConfig.uniform(LBC.ew_periodic()),
+        rho0=1025.0, gamma2=1.0, prsgrd="djs",
+        uv_cor=True, uv_adv=True, dtype=dtype,
+    )
+
+
+def channel_neck_grid(cfg: ModelConfig) -> Grid:
+    Mj, Li = cfg.shape2d
+    Xsize, Esize = 100.0e3, 40.0e3
+    grid = _plane_grid(cfg, Xsize, Esize, 20.0, f0=1.0e-4)
+    xr, yr = np.asarray(grid.xr), np.asarray(grid.yr)
+    # Gaussian neck: the land encroaches symmetrically from both
+    # walls, narrowest (~40% of Esize open) at x = Xsize/2.
+    pinch = 0.3 * Esize * np.exp(-((xr - 0.5 * Xsize)
+                                   / (0.15 * Xsize)) ** 2)
+    rmask = ((yr > pinch) & (yr < Esize - pinch)).astype(np.float64)
+    return build_grid(cfg, h=np.asarray(grid.h),
+                      pm=np.asarray(grid.pm), pn=np.asarray(grid.pn),
+                      f=np.asarray(grid.f), xr=xr, yr=yr, rmask=rmask)
+
+
+def channel_neck_initial(cfg: ModelConfig, grid: Grid) -> State:
+    Mj, Li = cfg.shape2d
+    T = jnp.full((cfg.N, Mj, Li), 20.0, cfg.dtype)
+    S = jnp.full_like(T, cfg.eos.S0)
+    return initial_state(cfg, grid, t=jnp.stack([T, S]))
+
+
+def channel_neck_forcing_fn(cfg: ModelConfig, grid: Grid):
+    """Constant westward wind stress, sustr = -0.01/rho0 kinematic
+    (ana_smflux.h:175-186; the ramped variant is commented out in the
+    reference too)."""
+    Mj, Li = cfg.shape2d
+    dtype = jnp.dtype(cfg.dtype)
+    zeros = jnp.zeros((Mj, Li), dtype)
+    zerosT = jnp.zeros((cfg.NT, Mj, Li), dtype)
+    sustr = jnp.full((Mj, Li), -0.01 / cfg.rho0, dtype)
+
+    def forcing(time):
+        return Forcing(sustr=sustr, svstr=zeros, stflx=zerosT,
+                       btflx=zerosT, srflx=zeros)
+
+    return forcing
+
+
+def channel_neck_vmix(cfg: ModelConfig):
+    """Surface-intensified analytic profiles (ana_vmix.h CHANNEL_NECK,
+    5 m e-folding): Akv on all W interfaces, Akt on temperature only
+    (salinity keeps the akt_bak background, matching the reference's
+    itemp-only loop)."""
+    def vmix(state, grid, z_w):
+        Akv = 2.0e-4 + 8.0e-4 * jnp.exp(z_w / 5.0)
+        Akt_T = 2.0e-6 + 8.0e-6 * jnp.exp(z_w / 5.0)
+        Akt = jnp.stack([Akt_T] + [
+            jnp.full_like(z_w, cfg.mixing.akt_bak[min(
+                i, len(cfg.mixing.akt_bak) - 1)])
+            for i in range(1, cfg.NAT)])
+        return Akv, Akt
+    return vmix
