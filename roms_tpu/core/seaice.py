@@ -152,9 +152,18 @@ def _strain_rates(grid: Grid, ui, vi):
 
 def evp_substep(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
                 ai, hi, ui, vi, sxx, syy, sxy, dte,
-                tau_ax, tau_ay, uw, vw, sse, fcor):
+                tau_ax, tau_ay, uw, vw, sse, fcor,
+                lbc_sca=None, lbc_vel=None):
     """One elastic substep: stresses then semi-implicit momentum
-    (ice_evp.F + ice_evp_sig.F + ice_elastic.F)."""
+    (ice_evp.F + ice_evp_sig.F + ice_elastic.F).
+
+    ``lbc_sca``/``lbc_vel`` apply the ice lateral BCs at the
+    reference's points in the cycle: stresses are BC'd BETWEEN the
+    sigma update and the momentum solve (ice_evp_sig.F ends with
+    bc + mp_exchange before ice_elastic.F runs), velocities after the
+    momentum solve.  Without them the momentum consumes undefined
+    ghost-ring stress values, which also breaks single-chip /
+    explicit-halo-engine equivalence (wrap vs halo garbage)."""
     e2r = 1.0 / icfg.ellip_sq
     exx, eyy, exy = _strain_rates(grid, ui, vi)
     eone = exx + eyy
@@ -190,6 +199,10 @@ def evp_substep(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
     sxx = jnp.where(thick, sxx_e, sxx_v) * grid.rmask
     syy = jnp.where(thick, syy_e, syy_v) * grid.rmask
     sxy = jnp.where(thick, sxy_e, sxy_v) * grid.rmask
+    if lbc_sca is not None:
+        sxx = boundary.bc_rho(sxx, lbc_sca)
+        syy = boundary.bc_rho(syy, lbc_sca)
+        sxy = boundary.bc_rho(sxy, lbc_sca)
 
     # ---- momentum (ice_elastic.F:230-520) ------------------------------
     def at_u(q):
@@ -244,6 +257,9 @@ def evp_substep(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
     vi_new = (masv * vi + dte * (vforce + avf * rho0 * chvy * vw)) / \
         alfa_v
     vi_new = vi_new * grid.vmask
+    if lbc_vel is not None:
+        ui_new = boundary.bc_u(ui_new, lbc_vel, 1.0)
+        vi_new = boundary.bc_v(vi_new, lbc_vel, 1.0)
     return ui_new, vi_new, sxx, syy, sxy
 
 
@@ -520,7 +536,7 @@ def ice_thermo_mk(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
 
 
 def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
-                atm_fn):
+                atm_fn, refresh=None, refresh_every: int = 2):
     """Per-step sea-ice hook.
 
     atm_fn(time) -> (uwind, vwind, tair, qnet_ao): 10-m winds (m/s,
@@ -531,10 +547,51 @@ def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
     (ice_new, tau_ox, tau_oy, sflx) where tau_o* are the kinematic
     ocean surface stresses under the ice-weighted blend and sflx the
     brine/melt salt flux.
+
+    ``refresh`` enables the explicit-halo sharded engine
+    (parallel.sharded_step): a callable taking a list of 2-D block
+    fields and returning them with halos refreshed from their owner
+    devices.  It is applied on entry to the full ice state, every
+    ``refresh_every`` elastic substeps to the EVP carry (matching the
+    reference's per-substep ice_evp.F mp_exchange calls with the
+    fast-loop aggregation discipline; each substep's strain +
+    stress-divergence contamination reach is 2 cells), and once after
+    the subcycle before advection (MPDATA reach <= 4).
     """
     dte = cfg.dt / icfg.nevp
 
+    # Ice lateral boundary conditions (the reference applies ice BCs +
+    # mp_exchange after every elastic substep and after transport,
+    # ice_elastic.F/ice_frazil driver order): periodic sides follow
+    # the app; walls are closed for ice velocity and zero-gradient for
+    # scalars/stresses.  Using the ctx-aware bc_* dispatchers keeps the
+    # ghost-ring convention IDENTICAL between the single-chip path and
+    # the explicit-halo sharded engine (parallel.blockctx wall writes).
+    from ..config import LBC, PERIODIC
+
+    def _side(kind, s):
+        return PERIODIC if getattr(cfg.bc.zeta, s) == PERIODIC \
+            else kind
+
+    from ..config import CLOSED, GRADIENT
+    lbc_vel = LBC(west=_side(CLOSED, "west"),
+                  east=_side(CLOSED, "east"),
+                  south=_side(CLOSED, "south"),
+                  north=_side(CLOSED, "north"))
+    lbc_sca = LBC(west=_side(GRADIENT, "west"),
+                  east=_side(GRADIENT, "east"),
+                  south=_side(GRADIENT, "south"),
+                  north=_side(GRADIENT, "north"))
+
     def fn(time, ice, uw, vw, sst, sss, sse):
+        if refresh is not None:
+            (ai_r, hi_r, ui_r, vi_r, sxx_r, syy_r, sxy_r, ti_r,
+             hsn_r) = refresh([ice.ai, ice.hi, ice.ui, ice.vi,
+                               ice.sxx, ice.syy, ice.sxy, ice.ti,
+                               ice.hsn])
+            ice = IceState(ai=ai_r, hi=hi_r, ui=ui_r, vi=vi_r,
+                           sxx=sxx_r, syy=syy_r, sxy=sxy_r, ti=ti_r,
+                           hsn=hsn_r)
         atm = atm_fn(time)
         if len(atm) == 5:
             uwind, vwind, tair, qao, snowfall = atm
@@ -554,12 +611,34 @@ def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
             ui, vi, sxx, syy, sxy = carry
             ui, vi, sxx, syy, sxy = evp_substep(
                 cfg, icfg, grid, ice.ai, ice.hi, ui, vi, sxx, syy,
-                sxy, dte, tau_ax, tau_ay, uw, vw, sse, grid.f)
+                sxy, dte, tau_ax, tau_ay, uw, vw, sse, grid.f,
+                lbc_sca=lbc_sca, lbc_vel=lbc_vel)
             return (ui, vi, sxx, syy, sxy), None
 
-        (ui, vi, sxx, syy, sxy), _ = jax.lax.scan(
-            sub, (ice.ui, ice.vi, ice.sxx, ice.syy, ice.sxy), None,
-            length=icfg.nevp)
+        carry0 = (ice.ui, ice.vi, ice.sxx, ice.syy, ice.sxy)
+        if refresh is None:
+            (ui, vi, sxx, syy, sxy), _ = jax.lax.scan(
+                sub, carry0, None, length=icfg.nevp)
+        else:
+            # grouped subcycle with the fast-loop halo discipline:
+            # one stacked 5-field refresh per group of refresh_every
+            # substeps, then a final refresh before advection
+            k = refresh_every
+
+            def group(c, _):
+                c = tuple(refresh(list(c)))
+                for _q in range(k):
+                    c, _n = sub(c, None)
+                return c, None
+
+            ngroup = icfg.nevp // k
+            carry, _ = jax.lax.scan(group, carry0, None,
+                                    length=ngroup)
+            for _q in range(icfg.nevp - ngroup * k):
+                if _q == 0:
+                    carry = tuple(refresh(list(carry)))
+                carry, _n = sub(carry, None)
+            ui, vi, sxx, syy, sxy = tuple(refresh(list(carry)))
 
         ai, hi, hsn_adv = ice_advect(cfg, icfg, grid, ice.ai, ice.hi,
                                      ui, vi, hsn=ice.hsn)
@@ -571,6 +650,12 @@ def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
             ai, hi, sflx, ti = ice_thermo(cfg, icfg, grid, ai, hi, sst,
                                           sss, tair, qao, ti=ice.ti)
             hsn = hsn_adv
+        # scalar BCs after transport + thermo (ice driver order)
+        ai = boundary.bc_rho(ai, lbc_sca)
+        hi = boundary.bc_rho(hi, lbc_sca)
+        ti = boundary.bc_rho(ti, lbc_sca)
+        if hsn is not None:
+            hsn = boundary.bc_rho(hsn, lbc_sca)
         new = IceState(ai=ai, hi=hi, ui=ui, vi=vi,
                        sxx=sxx, syy=syy, sxy=sxy, ti=ti, hsn=hsn)
 
@@ -586,6 +671,15 @@ def make_ice_fn(cfg: ModelConfig, icfg: IceConfig, grid: Grid,
         tio_y = icfg.Cd_io * spd_v * (vi - vw)
         tau_ox = (1.0 - ai_u) * tauw_x + ai_u * tio_x
         tau_oy = (1.0 - ai_v) * tauw_y + ai_v * tio_y
+        if refresh is not None:
+            # exit refresh: advection/thermo contaminate the outer
+            # halo ring of the outputs; the ocean step consumes the
+            # stresses/salt flux assuming the FULL nghost ring is
+            # valid, so restore it in one stacked slab
+            (ai, hi, hsn, ti, tau_ox, tau_oy, sflx) = refresh(
+                [new.ai, new.hi, new.hsn, new.ti, tau_ox, tau_oy,
+                 sflx])
+            new = new._replace(ai=ai, hi=hi, hsn=hsn, ti=ti)
         return new, tau_ox, tau_oy, sflx
 
     return fn

@@ -141,7 +141,7 @@ class Model:
                   forcing_fn=None, fast_loop=None, clm_data=None,
                   eqt_data=None, pair_data=None,
                   collect_tfx: bool = False, sources_data=None,
-                  bbl_fn=None, wec_fn=None):
+                  bbl_fn=None, wec_fn=None, ice_fn=None):
         """One baroclinic step (main3d.F:216-1130).
 
         The trailing keyword hooks let a wrapper re-enter the SAME
@@ -157,6 +157,7 @@ class Model:
         fast_loop = fast_loop or self.fast_loop
         bbl_fn = bbl_fn or self.bbl_fn
         wec_fn = wec_fn or self.wec_fn
+        ice_fn = ice_fn or self.ice_fn
         sources = sources_data if sources_data is not None \
             else self.sources
         z_r, z_w, Hz = state.z_r, state.z_w, state.Hz
@@ -246,12 +247,12 @@ class Model:
                     forcing = forcing._replace(
                         **{fname: getattr(forcing, fname) + val})
         ice_new = state.ice
-        if self.ice_fn is not None:
+        if ice_fn is not None:
             # sea-ice step before the ocean step (seaice.F driver
             # order); ice modifies surface stress and salt flux
             sss_srf = state.t[1][-1] if cfg.NT > 1 else \
                 jnp.zeros_like(state.zeta)
-            ice_new, tox, toy, isflx = self.ice_fn(
+            ice_new, tox, toy, isflx = ice_fn(
                 state.time, state.ice, state.u[-1], state.v[-1],
                 state.t[0][-1], sss_srf, state.zeta)
             stflx = forcing.stflx

@@ -45,9 +45,13 @@ aux blocked per step), the MB/SSW/SG wave-current BBL via a
 ``bbl_factory(cfg, grid_block)`` rebuilt in-region (BBLState rides
 the state pytree), and WEC vortex-force/Stokes-coupling via a
 ``wec_factory(cfg, grid_block)`` (stokes2d enters the blocked fast
-loop like the unsharded one).  Still unsupported: Shchepetkin/
-reduced OBCs, VolCons, sea ice, nesting, coupled wave imports —
-these raise at construction.
+loop like the unsharded one), and sea ice via an
+``ice_factory(cfg, grid_block, refresh)`` whose EVP subcycle
+refreshes its 5-field carry per group of elastic substeps
+(seaice.make_ice_fn(refresh=...); ice_evp.F per-substep exchange
+aggregated like the fast loop).  Still unsupported: Shchepetkin/
+reduced OBCs, VolCons, nesting, coupled wave imports — these raise
+at construction.
 Horizontal advection schemes are guarded against the nghost budget
 (`_check_stencil_reach`); wide-stencil schemes (MPDATA/HSIMT/AKIMA4)
 raise instead of silently corrupting interiors.
@@ -124,13 +128,20 @@ class ShardedStep:
                  refresh_every: int = 2,
                  forcing_factory: Optional[Callable] = None,
                  bbl_factory: Optional[Callable] = None,
-                 wec_factory: Optional[Callable] = None):
+                 wec_factory: Optional[Callable] = None,
+                 ice_factory: Optional[Callable] = None):
         cfg = model.cfg
         if cfg.bc.ns_periodic:
             raise ValueError("sharded step: NS-periodic unsupported "
                              "(decompose the periodic axis as xi)")
-        if model.ice_fn is not None:
-            raise ValueError("sharded step: ice_fn unsupported")
+        if model.ice_fn is not None and ice_factory is None:
+            raise ValueError(
+                "sharded step: a model with ice_fn needs an "
+                "ice_factory(cfg, grid_block, refresh) so the EVP "
+                "subcycle refreshes halos per group of elastic "
+                "substeps (ice_evp.F's per-substep mp_exchange; pass "
+                "e.g. lambda c, g, r: seaice.make_ice_fn(c, icfg, g, "
+                "atm_fn, refresh=r))")
         if model.bbl_fn is not None and bbl_factory is None:
             raise ValueError(
                 "sharded step: a model with bbl_fn needs a "
@@ -172,6 +183,7 @@ class ShardedStep:
         self.forcing_factory = forcing_factory
         self.bbl_factory = bbl_factory
         self.wec_factory = wec_factory
+        self.ice_factory = ice_factory
         self._use_gls = cfg.mixing.vmix in ("gls", "my25")
         self.nfast, w1, w2 = power_law_weights(cfg.ndtfast)
         dtype = jnp.dtype(cfg.dtype)
@@ -285,13 +297,15 @@ class ShardedStep:
                       if self.bbl_factory is not None else None)
             wec_fn = (self.wec_factory(cfg, grid)
                       if self.wec_factory is not None else None)
+            ice_fn = (self.ice_factory(cfg, grid, self._refresh3)
+                      if self.ice_factory is not None else None)
             return self.model.step_impl(
                 state, grid=grid, forcing_fn=forcing_fn,
                 fast_loop=self._fast_loop_blocked,
                 obc_data=aux.get("obc"), clm_data=aux.get("clm"),
                 sources_data=aux.get("sources"),
                 eqt_data=aux.get("eqt"), pair_data=aux.get("pair"),
-                bbl_fn=bbl_fn, wec_fn=wec_fn)
+                bbl_fn=bbl_fn, wec_fn=wec_fn, ice_fn=ice_fn)
 
     def _fast_loop_blocked(self, grid, zeta0, ubar0, vbar0, rufrc,
                            rvfrc, rhoS, rhoA, ru0_prev, rv0_prev,

@@ -541,3 +541,93 @@ def test_sharded_step_volcons():
         a(DVom_g)[1:-1, 1:-1], rtol=1e-12, atol=1e-14)
     # the correction is active (edge fluxes rewritten)
     assert np.abs(a(DUon_g) - a(DUon)).max() > 1e-12
+
+
+def test_sharded_step_seaice():
+    """Sea ice through the engine: the EVP subcycle refreshes its
+    5-field carry per group of elastic substeps (ice_evp.F exchange
+    discipline aggregated like the fast loop), the full ice state is
+    refreshed on entry, and the zonally-VARYING wind makes any seam
+    error visible.  Interior ice + ocean fields must match the
+    unsharded step.
+
+    Tolerance note: one elastic substep reproduces the unsharded path
+    to f64 roundoff (verified while landing this), but the EVP
+    semi-implicit algebra runs through O(1/(pm*dte)^2) ~ 1e7..1e15
+    intermediates (E, alfa, beta in evp_substep), so cross-program
+    reassociation ulps between the sharded and unsharded compilations
+    amplify to a measured ~1e-10 absolute noise floor on ui/stress
+    that accumulates roughly linearly over the nevp=20 subcycle —
+    NOT exponentially (checked at nevp 2/4/8).  The thresholds below
+    are set at that floor; a convention bug (the kind this test
+    caught twice while landing: stress BCs must precede the momentum
+    solve, outputs must be exit-refreshed) shows up at 1e-8..1e-3."""
+    from roms_tpu.core import seaice
+    cfg = upwelling.make_config(Lm=64, Mm=32, N=6, dt=120.0,
+                                ndtfast=10, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+    s0 = upwelling.make_initial(cfg, grid)
+    t = np.asarray(s0.t).copy()
+    t[0] = -1.8
+    t[1] = 32.0
+    s0 = s0._replace(t=jnp.asarray(t), t_prev=jnp.asarray(t),
+                     ice=seaice.initial_ice(cfg, ai0=0.4, hi0=0.3))
+    icfg = seaice.IceConfig()
+
+    # wind period == the torus period Lm*dx so the global ghost
+    # column and the wrapped block halo see the same value
+    xper = cfg.Lm / float(np.asarray(grid.pm)[0, 0])
+
+    def make_atm(g):
+        # zonally-varying wind so torus-seam errors cannot cancel
+        uw = 5.0 + 0.5 * jnp.sin(2.0 * jnp.pi * g.xr / xper)
+
+        def atm_fn(time):
+            return (uw, jnp.zeros_like(uw),
+                    jnp.full_like(uw, -20.0),
+                    jnp.full_like(uw, -100.0))
+        return atm_fn
+
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  vmix_fn=upwelling.make_vmix_fn(cfg),
+                  ice_fn=seaice.make_ice_fn(cfg, icfg, grid,
+                                            make_atm(grid)))
+    s0 = model.run(s0, 2)
+
+    mesh = make_mesh(8, shape=(2, 4))
+    ss = ShardedStep(
+        model, mesh, nghost=14, refresh_every=2,
+        ice_factory=lambda c, g, r: seaice.make_ice_fn(
+            c, icfg, g, make_atm(g), refresh=r))
+    ref = model.step(model.step(s0))
+    out = ss.step(ss.step(s0))
+    for name in FIELDS:
+        a = _interior(getattr(ref, name))
+        b = _interior(getattr(out, name))
+        assert np.abs(a - b).max() < 2e-9, \
+            (name, np.abs(a - b).max())
+    for name in ("ai", "hi", "ui", "vi", "sxx"):
+        a = _interior(getattr(ref.ice, name))
+        b = _interior(getattr(out.ice, name))
+        assert np.abs(a - b).max() < 1e-7, \
+            (name, np.abs(a - b).max())
+    # the ice is actually doing something (EVP drift + growth)
+    assert np.abs(np.asarray(ref.ice.ui)).max() > 1e-3
+    assert np.asarray(ref.ice.hi).mean() > 0.3
+
+
+def test_sharded_step_ice_factory_required():
+    from roms_tpu.core import seaice
+    cfg = upwelling.make_config(Lm=64, Mm=32, N=6, dt=120.0,
+                                ndtfast=10, dtype="float64")
+    grid = upwelling.make_grid(cfg)
+
+    def atm_fn(time):
+        z = jnp.zeros(cfg.shape2d)
+        return (z + 5.0, z, z - 20.0, z - 100.0)
+
+    model = Model(cfg, grid, upwelling.make_forcing_fn(cfg, grid),
+                  ice_fn=seaice.make_ice_fn(cfg, seaice.IceConfig(),
+                                            grid, atm_fn))
+    with pytest.raises(ValueError, match="ice_factory"):
+        ShardedStep(model, make_mesh(8, shape=(2, 4)))
