@@ -653,6 +653,38 @@ def main(argv=None):
                            else "none"))
             print("surface flux corrections active "
                   f"(SST={'SST' in ffields}, SSS={'SSS' in ffields})")
+    # ---- IPARNAM sea-ice deck (read_phypar.F:4273 ice_inp chain) -------
+    ipar = deck_files("IPARNAM")
+    if ipar:
+        import jax.numpy as jnp
+        from .core import seaice as _seaice
+        from .io.ice_in import load_ice_deck
+        ice_deck = load_ice_deck(ipar[0])
+        if ice_deck.unknown:
+            print(f"IPARNAM: unrecognized keywords "
+                  f"{', '.join(ice_deck.unknown)}")
+        if not (frc and ("Uwind" in ffields or "Tair" in ffields)):
+            raise SystemExit(
+                "IPARNAM sea ice needs an atmosphere: name an FRCNAME "
+                "file with Uwind/Vwind/Tair (get_data.F ice branch)")
+        Mj, Li = cfg.shape2d
+        _z2 = jnp.zeros((Mj, Li), jnp.dtype(cfg.dtype))
+
+        def ice_atm_fn(time, _ff=ffields, _z=_z2):
+            uw = _ff["Uwind"].at(time) if "Uwind" in _ff else _z
+            vw = _ff["Vwind"].at(time) if "Vwind" in _ff else _z
+            ta = (_ff["Tair"].at(time) if "Tair" in _ff
+                  else _z - 5.0)
+            qao = (_ff["swrad"].at(time) if "swrad" in _ff else _z)
+            return uw, vw, ta, qao
+
+        extras["ice_fn"] = _seaice.make_ice_fn(
+            cfg, ice_deck.config, grid, ice_atm_fn)
+        if state.ice is None:
+            state = state._replace(ice=_seaice.initial_ice(cfg))
+        print(f"sea ice from {ipar[0]}: nEVP={ice_deck.config.nevp}, "
+              f"Cd_ai={ice_deck.config.Cd_ai}")
+
     if extras.get("bbl_fn") is not None and state.bbl is None:
         from .core.bbl import initial_bbl
         state = state._replace(bbl=initial_bbl(cfg))

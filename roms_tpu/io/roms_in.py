@@ -209,7 +209,7 @@ _ACCEPTED = {
     "FWDNAME", "HISNAME", "QCKNAME", "RSTNAME", "AVGNAME", "DIANAME",
     "STANAME", "FLTNAME", "GSTNAME", "TLFNAME", "TLMNAME", "ADJNAME",
     "GRXNAME", "XTRNAME", "DAINAME", "HARNAME", "APARNAM", "BPARNAM",
-    "SPARNAM", "SPOSNAM", "FPOSNAM", "USRNAME", "AVGBASE", "DIABASE",
+    "SPARNAM", "IPARNAM", "SPOSNAM", "FPOSNAM", "USRNAME", "AVGBASE", "DIABASE",
     "FOInameA", "FOInameB", "FCTnameA", "FCTnameB",
     # output field switches
     "Hout", "Qout", "Aout", "Dout",
